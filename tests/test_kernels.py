@@ -1,0 +1,272 @@
+"""Kernel round-trip tests, mirroring the reference's encoder unit layer
+(reference: test/encoding.test.js, test/delta.test.js) and the FIXTURES.md
+F3 run-structure boundary cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sparkcodec.kernels import (
+    bit_widths,
+    byte_stream_split_decode,
+    byte_stream_split_encode,
+    delta_binary_pack,
+    delta_binary_unpack,
+    delta_byte_array_decode,
+    delta_byte_array_encode,
+    delta_for_pack,
+    delta_for_unpack,
+    delta_length_decode,
+    delta_length_encode,
+    for_pack,
+    for_unpack,
+    pack_bits_lsb,
+    plain_decode_binary,
+    plain_decode_bool,
+    plain_decode_numeric,
+    plain_encode_binary,
+    plain_encode_bool,
+    plain_encode_numeric,
+    rle_hybrid_decode,
+    rle_hybrid_encode,
+    unpack_bits_lsb,
+    unzigzag,
+    zigzag,
+)
+from sparkcodec.kernels.dictionary import dict_indexes_decode, dict_indexes_encode, factorize
+from sparkcodec.kernels.plain import binary_buffers
+
+RNG = np.random.default_rng(42)
+
+
+# ---------- bitpack ----------
+
+@pytest.mark.parametrize("bw", [0, 1, 2, 3, 5, 7, 8, 13, 17, 25, 31, 32, 33, 47, 63, 64])
+def test_pack_unpack_roundtrip(bw):
+    n = 1000
+    if bw == 0:
+        vals = np.zeros(n, dtype=np.uint64)
+    elif bw == 64:
+        vals = RNG.integers(0, 2**63, n, dtype=np.uint64) * 2 + RNG.integers(0, 2, n, dtype=np.uint64)
+    else:
+        vals = RNG.integers(0, 2**bw, n, dtype=np.uint64)
+    buf = pack_bits_lsb(vals, bw)
+    assert len(buf) == (n * bw + 7) // 8
+    out = unpack_bits_lsb(buf, bw, n)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_pack_known_vector():
+    # values 0..7 at bw=3 (parquet spec worked example): bytes 0x88 0xC6 0xFA
+    buf = pack_bits_lsb(np.arange(8, dtype=np.uint64), 3)
+    assert buf == bytes([0x88, 0xC6, 0xFA])
+
+
+def test_bit_widths():
+    got = bit_widths(np.array([0, 1, 2, 3, 4, 255, 256, 2**63], dtype=np.uint64))
+    np.testing.assert_array_equal(got, [0, 1, 2, 2, 3, 8, 9, 64])
+
+
+# ---------- zigzag ----------
+
+def test_zigzag_roundtrip():
+    v = np.array([0, -1, 1, -2, 2, np.iinfo(np.int64).min, np.iinfo(np.int64).max], dtype=np.int64)
+    np.testing.assert_array_equal(unzigzag(zigzag(v)), v)
+    np.testing.assert_array_equal(zigzag(np.array([0, -1, 1, -2, 2])), [0, 1, 2, 3, 4])
+
+
+# ---------- RLE hybrid ----------
+
+@pytest.mark.parametrize("case", [
+    np.zeros(10000, dtype=np.uint64),                       # all zeros
+    np.repeat(np.arange(100, dtype=np.uint64), 7),          # runs of exactly 7
+    np.repeat(np.arange(100, dtype=np.uint64), 8),          # runs of exactly 8
+    np.tile(np.array([0, 1], dtype=np.uint64), 5000),       # alternating
+    np.arange(10001, dtype=np.uint64) % 97,                 # length not multiple of 8
+    np.array([], dtype=np.uint64),                          # empty
+    np.array([5], dtype=np.uint64),                         # single value
+])
+def test_rle_hybrid_roundtrip(case):
+    bw = int(bit_widths(np.array([case.max() if len(case) else 0], dtype=np.uint64))[0])
+    buf = rle_hybrid_encode(case, bw)
+    out = rle_hybrid_decode(buf, bw, len(case))
+    np.testing.assert_array_equal(out, case)
+
+
+def test_rle_sparse_spikes():
+    v = np.zeros(10000, dtype=np.uint64)
+    v[[17, 4001, 4002, 9998]] = 1
+    buf = rle_hybrid_encode(v, 1)
+    np.testing.assert_array_equal(rle_hybrid_decode(buf, 1, len(v)), v)
+    assert len(buf) < 100  # mostly RLE runs
+
+
+def test_rle_run_compression():
+    # 100k values, 2 distinct, long runs -> tiny output (ref 170-byte pin analog)
+    v = np.repeat(np.array([0, 1], dtype=np.uint64), 50000)
+    buf = rle_hybrid_encode(v, 1)
+    assert len(buf) <= 12
+    np.testing.assert_array_equal(rle_hybrid_decode(buf, 1, len(v)), v)
+
+
+def test_rle_misaligned_long_run():
+    # 3 odd values then a long run: span must borrow values to 8-align
+    v = np.concatenate([np.array([9, 3, 7], dtype=np.uint64), np.full(100, 5, dtype=np.uint64)])
+    buf = rle_hybrid_encode(v, 4)
+    np.testing.assert_array_equal(rle_hybrid_decode(buf, 4, len(v)), v)
+
+
+def test_rle_random_fuzz():
+    for _ in range(20):
+        n = int(RNG.integers(1, 3000))
+        bw = int(RNG.integers(1, 20))
+        v = RNG.integers(0, 2**bw, n, dtype=np.uint64)
+        # inject runs
+        for _ in range(5):
+            s = int(RNG.integers(0, n))
+            e = min(n, s + int(RNG.integers(1, 50)))
+            v[s:e] = v[s]
+        buf = rle_hybrid_encode(v, bw)
+        np.testing.assert_array_equal(rle_hybrid_decode(buf, bw, n), v)
+
+
+# ---------- DELTA_BINARY_PACKED ----------
+
+@pytest.mark.parametrize("case", [
+    np.array([], dtype=np.int64),
+    np.array([7], dtype=np.int64),
+    np.full(1000, 7, dtype=np.int64),                       # constant (zero deltas)
+    np.arange(1000, dtype=np.int64) * 3,                    # constant delta
+    RNG.integers(-(2**31), 2**31, 5000).astype(np.int64),   # full int32 range
+    np.array([2**31 - 1, -(2**31), 2**31 - 1, 0], dtype=np.int64),  # 33-bit adjusted deltas
+    RNG.integers(0, 50257, 4097).astype(np.int64),          # token-id shaped, non-multiple of 128
+    np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max], dtype=np.int64),
+])
+def test_delta_binary_roundtrip(case):
+    buf = delta_binary_pack(case)
+    out = delta_binary_unpack(buf)
+    np.testing.assert_array_equal(out, case)
+
+
+def test_delta_binary_monotonic_is_small():
+    v = np.arange(100000, dtype=np.int64)
+    buf = delta_binary_pack(v)
+    # all deltas 1 -> 0-bit miniblocks; floor is the 5-byte/128-value block header
+    assert len(buf) < 5000
+
+
+# ---------- FOR / DELTA_FOR ----------
+
+@pytest.mark.parametrize("codec", [(for_pack, for_unpack), (delta_for_pack, delta_for_unpack)])
+@pytest.mark.parametrize("case", [
+    np.array([], dtype=np.int64),
+    np.array([-5], dtype=np.int64),
+    np.full(999, -123456, dtype=np.int64),
+    np.arange(10000, dtype=np.int64) * 7 + 1000,
+    RNG.integers(-(2**31), 2**31, 5000).astype(np.int64),
+    RNG.integers(1000, 1063, 10000).astype(np.int64),       # width-6 FOR window
+])
+def test_for_roundtrip(codec, case):
+    enc, dec = codec
+    np.testing.assert_array_equal(dec(enc(case)), case)
+
+
+def test_for_small_range_size():
+    v = RNG.integers(1000, 1064, 10000).astype(np.int64)  # 64-value range -> 6 bits
+    buf = for_pack(v)
+    assert len(buf) <= 10000 * 6 // 8 + 16
+
+
+# ---------- PLAIN ----------
+
+def test_plain_numeric_roundtrip():
+    for dtype, arr in [
+        ("int32", RNG.integers(-(2**31), 2**31, 1000).astype(np.int32)),
+        ("int64", RNG.integers(-(2**62), 2**62, 1000).astype(np.int64)),
+        ("float32", RNG.normal(size=1000).astype(np.float32)),
+        ("float64", RNG.normal(size=1000)),
+    ]:
+        buf = plain_encode_numeric(arr, dtype)
+        np.testing.assert_array_equal(plain_decode_numeric(buf, dtype), arr)
+
+
+def test_plain_bool_roundtrip():
+    v = RNG.integers(0, 2, 1001).astype(bool)
+    np.testing.assert_array_equal(plain_decode_bool(plain_encode_bool(v), len(v)), v)
+
+
+def test_plain_binary_roundtrip():
+    vals = ["", "a", "hello world", "x" * 300, "épée🎉"]
+    buf = plain_encode_binary(vals)
+    offsets, data = plain_decode_binary(buf, len(vals))
+    out = [bytes(data[offsets[i]:offsets[i + 1]]).decode() for i in range(len(vals))]
+    assert out == vals
+
+
+# ---------- dictionary ----------
+
+def test_factorize_strings_first_occurrence_order():
+    idx, d = factorize(["b", "a", "b", "c", "a"], "string")
+    assert d.to_pylist() == ["b", "a", "c"]
+    np.testing.assert_array_equal(idx, [0, 1, 0, 2, 1])
+
+
+def test_dict_indexes_roundtrip():
+    idx = RNG.integers(0, 17, 5000).astype(np.int64)
+    buf = dict_indexes_encode(idx, 17)
+    np.testing.assert_array_equal(dict_indexes_decode(buf, len(idx)), idx)
+
+
+def test_dict_single_entry():
+    idx = np.zeros(100, dtype=np.int64)
+    buf = dict_indexes_encode(idx, 1)
+    np.testing.assert_array_equal(dict_indexes_decode(buf, 100), idx)
+
+
+# ---------- byte-array codecs ----------
+
+def _as_buffers(vals):
+    return binary_buffers([v.encode() for v in vals])
+
+
+@pytest.mark.parametrize("vals", [
+    ["", "a", "ab", "abc"],
+    ["http://example.com/a/1", "http://example.com/a/2", "http://example.com/b/9"],
+    ["same", "same", "same"],
+    [""] * 5,
+    ["z" * 500, "z" * 500 + "tail", "different"],
+])
+def test_delta_byte_array_roundtrip(vals):
+    offsets, data = _as_buffers(vals)
+    buf = delta_byte_array_encode(offsets, data)
+    off2, dat2 = delta_byte_array_decode(buf)
+    out = [bytes(dat2[off2[i]:off2[i + 1]]).decode() for i in range(len(vals))]
+    assert out == vals
+
+
+def test_delta_length_roundtrip():
+    vals = ["", "one", "two", "three" * 40]
+    offsets, data = _as_buffers(vals)
+    off2, dat2 = delta_length_decode(delta_length_encode(offsets, data))
+    out = [bytes(dat2[off2[i]:off2[i + 1]]).decode() for i in range(len(vals))]
+    assert out == vals
+
+
+def test_prefix_compression_wins_on_urls():
+    urls = [f"https://example.com/some/long/shared/prefix/path/{i:06d}" for i in range(1000)]
+    offsets, data = _as_buffers(urls)
+    dba = delta_byte_array_encode(offsets, data)
+    dlb = delta_length_encode(offsets, data)
+    assert len(dba) < len(dlb) * 0.5
+
+
+# ---------- byte stream split ----------
+
+def test_bss_roundtrip():
+    v = RNG.normal(size=1000)
+    buf = byte_stream_split_encode(v, 8)
+    np.testing.assert_array_equal(byte_stream_split_decode(buf, 8, 1000, "<f8"), v)
+    f = v.astype(np.float32)
+    buf = byte_stream_split_encode(f, 4)
+    np.testing.assert_array_equal(byte_stream_split_decode(buf, 4, 1000, "<f4"), f)
