@@ -1,0 +1,425 @@
+"""Self-describing column-chunk format: header + null bitmap + optional
+dictionary block + encoded payload, plus footer-style metadata.
+
+Plays the role of the reference's column-chunk writer + DataPageV2 framing
+(reference: src/column.js:22-199, src/datapage.js:17-101): per chunk we
+compute statistics, make the codec decision, strip nulls (definition
+levels at bit width 1, like the reference's flat OPTIONAL fast path,
+src/dremel.js:32-37), encode, and return (payload bytes, metadata).
+
+Wire layout (all little-endian):
+
+    magic 'SCK1' | u8 version | u8 type_tag | u8 codec_tag | u8 comp_tag
+    | uvarint n_logical | uvarint null_count
+    | [uvarint len + validity RLE stream         -- iff 0 < null_count < n]
+    | [uvarint len + u8 comp + dictionary block  -- iff codec == DICT]
+    | payload (to end; compressed iff comp_tag != 0)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import selector as S
+from .kernels.bitpack import bit_widths
+from .kernels.delta import (
+    delta_binary_pack,
+    delta_binary_unpack,
+    delta_for_pack,
+    delta_for_unpack,
+    for_pack,
+    for_unpack,
+)
+from .kernels.dictionary import dict_indexes_decode, dict_indexes_encode, factorize
+from .kernels.plain import (
+    arrow_binary_from_buffers,
+    binary_buffers,
+    plain_decode_binary,
+    plain_decode_bool,
+    plain_decode_numeric,
+    plain_encode_binary,
+    plain_encode_bool,
+    plain_encode_numeric,
+)
+from .kernels.rle import rle_hybrid_decode, rle_hybrid_encode
+from .kernels.strings import (
+    byte_stream_split_decode,
+    byte_stream_split_encode,
+    delta_byte_array_decode,
+    delta_byte_array_encode,
+    delta_length_decode,
+    delta_length_encode,
+)
+from .kernels.varint import read_uvarint, unzigzag_int, write_uvarint, zigzag_int
+from .stats import ChunkStats, binary_stats, numeric_stats
+
+MAGIC = b"SCK1"
+VERSION = 1
+
+# general-purpose compressor stage applied after the lightweight codec,
+# mirroring the reference's pluggable Compressors map with a built-in
+# default (reference: src/parquet-writer.js:35, src/snappy.js).  zlib is
+# the stdlib stand-in for snappy here; swap via the `compressors` arg.
+COMP_NONE = 0
+COMP_ZLIB = 1
+_COMP_KEEP_RATIO = 0.9  # keep compressed form only if it saves >=10%
+
+
+def _compress(payload: bytes, enable: bool) -> tuple[int, bytes]:
+    if not enable or len(payload) < 64:
+        return COMP_NONE, payload
+    import zlib
+
+    comp = zlib.compress(payload, 1)
+    if len(comp) < len(payload) * _COMP_KEEP_RATIO:
+        return COMP_ZLIB, comp
+    return COMP_NONE, payload
+
+
+def _decompress(tag: int, payload) -> bytes:
+    if tag == COMP_NONE:
+        return payload
+    if tag == COMP_ZLIB:
+        import zlib
+
+        return zlib.decompress(payload)
+    raise ValueError(f"unknown compressor tag {tag}")
+
+# type tags
+T_INT32, T_INT64, T_FLOAT32, T_FLOAT64, T_BOOL, T_BINARY, T_STRING = 1, 2, 3, 4, 5, 6, 7
+
+TYPE_NAMES = {
+    T_INT32: "int32", T_INT64: "int64", T_FLOAT32: "float32",
+    T_FLOAT64: "float64", T_BOOL: "bool", T_BINARY: "binary", T_STRING: "string",
+}
+_NP_DTYPES = {T_INT32: "<i4", T_INT64: "<i8", T_FLOAT32: "<f4", T_FLOAT64: "<f8"}
+_PA_TYPES = {
+    T_INT32: pa.int32(), T_INT64: pa.int64(), T_FLOAT32: pa.float32(),
+    T_FLOAT64: pa.float64(), T_BOOL: pa.bool_(),
+    T_BINARY: pa.large_binary(), T_STRING: pa.large_string(),
+}
+
+
+def _type_tag_of(arr: pa.Array) -> int:
+    t = arr.type
+    if pa.types.is_int32(t):
+        return T_INT32
+    if pa.types.is_int64(t):
+        return T_INT64
+    if pa.types.is_float32(t):
+        return T_FLOAT32
+    if pa.types.is_float64(t):
+        return T_FLOAT64
+    if pa.types.is_boolean(t):
+        return T_BOOL
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return T_STRING
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return T_BINARY
+    raise TypeError(f"unsupported arrow type: {t}")
+
+
+def _to_arrow(values) -> pa.Array:
+    if isinstance(values, pa.ChunkedArray):
+        return values.combine_chunks()
+    if isinstance(values, pa.Array):
+        return values
+    if isinstance(values, np.ndarray) and values.dtype.kind in "iufb":
+        return pa.array(values)
+    return pa.array(values)
+
+
+# ---------- numeric payload encode/decode ----------
+
+def _rle_for_encode(ints: np.ndarray) -> bytes:
+    """RLE hybrid over frame-of-reference-shifted values."""
+    out = bytearray()
+    if len(ints) == 0:
+        write_uvarint(out, 0)
+        return bytes(out)
+    ref = int(ints.min())
+    with np.errstate(over="ignore"):
+        adjusted = (ints - ref).view(np.uint64)
+    bw = int(bit_widths(np.array([adjusted.max()], dtype=np.uint64))[0])
+    write_uvarint(out, zigzag_int(ref))
+    out.append(bw)
+    out.extend(rle_hybrid_encode(adjusted, bw))
+    return bytes(out)
+
+
+def _rle_for_decode(buf, n: int) -> np.ndarray:
+    mv = memoryview(buf)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    zz, pos = read_uvarint(mv, 0)
+    ref = unzigzag_int(zz)
+    bw = mv[pos]
+    with np.errstate(over="ignore"):
+        return rle_hybrid_decode(mv[pos + 1 :], bw, n).view(np.int64) + ref
+
+
+def _bits_of(values: np.ndarray) -> np.ndarray:
+    """Reinterpret float bit patterns as int64 (exact, reversible)."""
+    if values.dtype.itemsize == 4:
+        return values.view("<u4").astype(np.int64)
+    return values.view("<i8")
+
+
+def _bits_back(ints: np.ndarray, type_tag: int) -> np.ndarray:
+    if type_tag == T_FLOAT32:
+        return ints.astype("<u4").view("<f4")
+    return ints.view("<f8")
+
+
+# ---------- public API ----------
+
+def encode_array(values, codec: int | None = None, stats: bool = True,
+                 compress: bool = True) -> tuple[bytes, dict]:
+    """Encode one column chunk.  Returns (chunk bytes, metadata dict).
+
+    ``values`` may be a pyarrow Array/ChunkedArray, numpy array, pandas
+    Series values, or list.  ``codec=None`` engages the auto-selector.
+    ``compress`` enables the general-purpose post-codec stage.
+    """
+    arr = _to_arrow(values)
+    type_tag = _type_tag_of(arr)
+    n = len(arr)
+    null_count = arr.null_count
+    dense = arr.drop_null() if null_count else arr
+
+    out = bytearray()
+    out.extend(MAGIC)
+    out.append(VERSION)
+    out.append(type_tag)
+
+    header_tail = bytearray()
+    write_uvarint(header_tail, n)
+    write_uvarint(header_tail, null_count)
+    if 0 < null_count < n:
+        validity = np.asarray(arr.is_valid()).astype(np.uint64)
+        vbuf = rle_hybrid_encode(validity, 1)
+        write_uvarint(header_tail, len(vbuf))
+        header_tail.extend(vbuf)
+
+    st: ChunkStats
+    dict_block = b""
+    if type_tag in (T_BINARY, T_STRING):
+        offsets, data = binary_buffers(dense)
+        st = binary_stats(offsets, data, n)
+        if codec is None:
+            samp = S.sample_binary(offsets, data)
+            codec = S.pick(S.estimate_costs_binary(samp, fsst_gain=_fsst_gain(offsets, data)))
+        if codec == S.PLAIN:
+            payload = plain_encode_binary(dense)
+        elif codec == S.DELTA_LENGTH:
+            payload = delta_length_encode(offsets, data)
+        elif codec == S.DELTA_BA:
+            payload = delta_byte_array_encode(offsets, data)
+        elif codec == S.FSST:
+            from .kernels.fsst import fsst_encode
+
+            payload = fsst_encode(offsets, data)
+        elif codec == S.DICT:
+            idx, d = factorize(dense, "binary")
+            doff, ddata = binary_buffers(d)
+            dict_block = delta_length_encode(doff, ddata)
+            payload = dict_indexes_encode(idx, len(d))
+        else:
+            raise ValueError(f"codec {codec} not valid for byte arrays")
+    elif type_tag == T_BOOL:
+        vals = np.asarray(dense).astype(bool)
+        st = numeric_stats(vals, n)
+        if codec is None:
+            samp = S.sample_numeric(vals.astype(np.int64))
+            codec = S.pick(S.estimate_costs_numeric(samp, "b"))
+        if codec == S.PLAIN:
+            payload = plain_encode_bool(vals)
+        elif codec == S.RLE:
+            payload = _rle_for_encode(vals.astype(np.int64))
+        else:
+            raise ValueError(f"codec {codec} not valid for booleans")
+    else:
+        vals = np.asarray(dense)
+        st = numeric_stats(vals, n)
+        kind = vals.dtype.kind
+        ints = _bits_of(vals) if kind == "f" else vals.astype(np.int64)
+        if codec is None:
+            samp = S.sample_numeric(vals)
+            codec = S.pick(S.estimate_costs_numeric(samp, kind))
+        if codec == S.PLAIN:
+            payload = plain_encode_numeric(vals, TYPE_NAMES[type_tag])
+        elif codec == S.FOR:
+            payload = for_pack(ints)
+        elif codec == S.DELTA_FOR:
+            payload = delta_for_pack(ints)
+        elif codec == S.DELTA_BP:
+            payload = delta_binary_pack(ints)
+        elif codec == S.RLE:
+            payload = _rle_for_encode(ints)
+        elif codec == S.BSS:
+            payload = byte_stream_split_encode(vals, vals.dtype.itemsize)
+        elif codec == S.DICT:
+            idx, d = factorize(ints, "numeric")
+            dict_block = plain_encode_numeric(d.astype(np.int64), "int64")
+            payload = dict_indexes_encode(idx, len(d))
+        else:
+            raise ValueError(f"codec {codec} not valid for {TYPE_NAMES[type_tag]}")
+
+    ptag, payload = _compress(payload, compress)
+    out.append(codec)
+    out.append(ptag)
+    out.extend(header_tail)
+    if codec == S.DICT:
+        dtag, dict_block = _compress(dict_block, compress)
+        write_uvarint(out, len(dict_block) + 1)
+        out.append(dtag)
+        out.extend(dict_block)
+    out.extend(payload)
+
+    meta = {
+        "type": TYPE_NAMES[type_tag],
+        "codec": S.CODEC_NAMES[codec],
+        "n_values": n,
+        "null_count": null_count,
+        "min": _meta_repr(st.min_value),
+        "max": _meta_repr(st.max_value),
+        "is_min_exact": st.is_min_exact,
+        "is_max_exact": st.is_max_exact,
+        "bytes_out": len(out),
+    }
+    return bytes(out), meta
+
+
+def _meta_repr(v):
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v.hex()
+    return v
+
+
+def _fsst_gain(offsets, data) -> float | None:
+    """Estimated fractional size reduction from FSST on a sample, or None
+    if the FSST kernel is not yet profitable/available for this data."""
+    try:
+        from .kernels.fsst import fsst_sample_gain
+    except ImportError:
+        return None
+    return fsst_sample_gain(offsets, data)
+
+
+def decode_array(buf) -> pa.Array:
+    """Decode a chunk produced by :func:`encode_array` back to pyarrow."""
+    mv = memoryview(buf)
+    if bytes(mv[:4]) != MAGIC:
+        raise ValueError("bad chunk magic")
+    version = mv[4]
+    if version != VERSION:
+        raise ValueError(f"unsupported chunk version {version}")
+    type_tag = mv[5]
+    codec = mv[6]
+    ptag = mv[7]
+    pos = 8
+    n, pos = read_uvarint(mv, pos)
+    null_count, pos = read_uvarint(mv, pos)
+    validity = None
+    if 0 < null_count < n:
+        vlen, pos = read_uvarint(mv, pos)
+        validity = rle_hybrid_decode(mv[pos : pos + vlen], 1, n).astype(bool)
+        pos += vlen
+    dict_block = None
+    if codec == S.DICT:
+        dlen, pos = read_uvarint(mv, pos)
+        dict_block = _decompress(mv[pos], mv[pos + 1 : pos + dlen])
+        pos += dlen
+    payload = _decompress(ptag, mv[pos:])
+    n_dense = n - null_count
+
+    if type_tag in (T_BINARY, T_STRING):
+        as_string = type_tag == T_STRING
+        if codec == S.PLAIN:
+            offsets, data = plain_decode_binary(payload, n_dense)
+        elif codec == S.DELTA_LENGTH:
+            offsets, data = delta_length_decode(payload)
+        elif codec == S.DELTA_BA:
+            offsets, data = delta_byte_array_decode(payload)
+        elif codec == S.FSST:
+            from .kernels.fsst import fsst_decode
+
+            offsets, data = fsst_decode(payload)
+        elif codec == S.DICT:
+            doff, ddata = delta_length_decode(dict_block)
+            idx = dict_indexes_decode(bytes(payload), n_dense)
+            lens = np.diff(doff)
+            sel_len = lens[idx]
+            offsets = np.zeros(n_dense + 1, dtype=np.int64)
+            np.cumsum(sel_len, out=offsets[1:])
+            # gather value bytes: repeat dict spans per index
+            data = _gather_spans(ddata, doff[:-1][idx], sel_len)
+        else:
+            raise ValueError(f"bad codec {codec} for byte arrays")
+        dense = arrow_binary_from_buffers(offsets, data, as_string)
+    elif type_tag == T_BOOL:
+        if codec == S.PLAIN:
+            vals = plain_decode_bool(payload, n_dense)
+        elif codec == S.RLE:
+            vals = _rle_for_decode(payload, n_dense).astype(bool)
+        else:
+            raise ValueError(f"bad codec {codec} for booleans")
+        dense = pa.array(vals, type=pa.bool_())
+    else:
+        dtype_name = TYPE_NAMES[type_tag]
+        if codec == S.PLAIN:
+            vals = plain_decode_numeric(payload, dtype_name)
+        elif codec == S.BSS:
+            itemsize = int(_NP_DTYPES[type_tag][-1])
+            vals = byte_stream_split_decode(payload, itemsize, n_dense, _NP_DTYPES[type_tag])
+        else:
+            if codec == S.FOR:
+                ints = for_unpack(payload)
+            elif codec == S.DELTA_FOR:
+                ints = delta_for_unpack(payload)
+            elif codec == S.DELTA_BP:
+                ints = delta_binary_unpack(payload)
+            elif codec == S.RLE:
+                ints = _rle_for_decode(payload, n_dense)
+            elif codec == S.DICT:
+                d = plain_decode_numeric(dict_block, "int64")
+                idx = dict_indexes_decode(bytes(payload), n_dense)
+                ints = d[idx]
+            else:
+                raise ValueError(f"bad codec {codec} for {dtype_name}")
+            if type_tag in (T_FLOAT32, T_FLOAT64):
+                vals = _bits_back(ints, type_tag)
+            else:
+                vals = ints.astype(_NP_DTYPES[type_tag])
+        dense = pa.array(vals, type=_PA_TYPES[type_tag])
+
+    if null_count == 0:
+        return dense
+    if null_count == n:
+        return pa.nulls(n, type=_PA_TYPES[type_tag])
+    return _expand_with_nulls(dense, validity, n, type_tag)
+
+
+def _expand_with_nulls(dense: pa.Array, validity: np.ndarray, n: int, type_tag: int) -> pa.Array:
+    idx = np.zeros(n, dtype=np.int64)
+    idx[validity] = np.arange(len(dense))
+    taken = dense.take(pa.array(idx))
+    mask = pa.array(validity)
+    return pa.compute.if_else(mask, taken, pa.nulls(n, type=_PA_TYPES[type_tag]))
+
+
+def _gather_spans(data: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Concatenate data[starts[i]:starts[i]+lengths[i]] vectorized."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.zeros(0, dtype="u1")
+    out_off = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=out_off[1:])
+    pos = np.arange(total, dtype=np.int64)
+    span_id = np.searchsorted(out_off[1:], pos, side="right")
+    rel = pos - out_off[span_id]
+    return data[starts[span_id] + rel]

@@ -1,0 +1,252 @@
+"""Chunk encode/decode round-trips over the FIXTURES.md F2 codec-probe
+shapes, plus stats semantics (NaN skip, signed zero, 16-byte truncation)
+mirroring the reference's statistics tests
+(reference: test/write.buffer.test.js:225-255, write.statistics.test.js)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sparkcodec import selector as S
+from sparkcodec.chunk import decode_array, encode_array
+from sparkcodec.stats import truncate_max, truncate_min
+
+RNG = np.random.default_rng(42)
+N = 100_000
+
+
+def roundtrip(values, codec=None):
+    buf, meta = encode_array(values, codec=codec)
+    out = decode_array(buf)
+    return out, buf, meta
+
+
+def assert_equal_arrays(out: pa.Array, expected: pa.Array):
+    assert out.equals(expected) or out.cast(expected.type).equals(expected), (
+        out.slice(0, 10), expected.slice(0, 10))
+
+
+# ---------- F2 codec-probe columns ----------
+
+def test_const_int_picks_rle():
+    v = pa.array(np.full(N, 7, dtype=np.int32))
+    out, buf, meta = roundtrip(v)
+    assert_equal_arrays(out, v)
+    assert meta["codec"] in ("RLE", "DICT")
+    assert len(buf) < 100
+
+
+def test_low_card_str_dictionary_size_pin():
+    # reference pin: 100k rows / 2 distinct strings -> 170-byte parquet file.
+    # Our chunk has no thrift footer; assert the same order of magnitude.
+    v = pa.array(["aaaa"] * 50000 + ["bbbb"] * 50000)
+    out, buf, meta = roundtrip(v)
+    assert_equal_arrays(out, v)
+    assert meta["codec"] in ("DICT", "RLE")
+    assert len(buf) <= 170
+
+
+def test_low_card_int_dictionary():
+    vals = RNG.zipf(1.5, N).astype(np.int64) % 16
+    v = pa.array(vals.astype(np.int32))
+    out, buf, meta = roundtrip(v)
+    assert_equal_arrays(out, v)
+    assert len(buf) < N  # <1 byte/value
+
+def test_high_card_int_full_range():
+    vals = RNG.integers(-(2**31), 2**31, N, dtype=np.int64).astype(np.int32)
+    vals[:4] = [2**31 - 1, -(2**31), 2**31 - 1, 0]  # 33-bit adjusted deltas
+    v = pa.array(vals)
+    out, buf, meta = roundtrip(v)
+    assert_equal_arrays(out, v)
+
+
+def test_monotonic_int_delta():
+    vals = (np.arange(N, dtype=np.int64) * 3 + RNG.integers(0, 3, N)).astype(np.int32)
+    v = pa.array(vals)
+    out, buf, meta = roundtrip(v)
+    assert_equal_arrays(out, v)
+    assert meta["codec"] in ("DELTA_BP", "DELTA_FOR")
+    assert len(buf) <= N // 2 + 64  # 4 bits/value (zigzag deltas span [2,10])
+
+
+def test_small_range_int_bitpack_width6():
+    vals = RNG.integers(1000, 1063, N).astype(np.int32)
+    v = pa.array(vals)
+    out, buf, meta = roundtrip(v)
+    assert_equal_arrays(out, v)
+    assert len(buf) <= N * 6 // 8 + 64
+
+
+def test_sparse_bool_nulls():
+    vals = [None] * 10000
+    for i, b in zip((17, 401, 5000, 9998), (True, False, True, True)):
+        vals[i] = b
+    v = pa.array(vals, type=pa.bool_())
+    out, buf, meta = roundtrip(v)
+    assert_equal_arrays(out, v)
+    assert meta["null_count"] == 9996
+    assert len(buf) < 200  # RLE levels + values (ref pin: 168-byte file)
+
+
+def test_prefix_str():
+    vals = [f"https://example.com/shared/prefix/{i % 100:04d}/{i:08d}" for i in range(20000)]
+    v = pa.array(vals)
+    out, buf, meta = roundtrip(v)
+    assert_equal_arrays(out, v)
+    avg = len(buf) / len(vals)
+    assert avg < 30  # beats raw (~47 B/value)
+
+
+def test_rand_str_distinct():
+    import string
+
+    alpha = np.array(list(string.ascii_letters + string.digits))
+    lens = RNG.integers(8, 25, 5000)
+    vals = ["".join(alpha[RNG.integers(0, len(alpha), l)]) for l in lens]
+    v = pa.array(vals)
+    out, buf, meta = roundtrip(v)
+    assert_equal_arrays(out, v)
+
+
+def test_floats_special_values():
+    vals = RNG.normal(size=N)
+    vals[:6] = [np.nan, 0.0, -0.0, np.inf, -np.inf, 1.5]
+    v = pa.array(vals)
+    out, buf, meta = roundtrip(v)
+    got = out.to_numpy(zero_copy_only=False)
+    np.testing.assert_array_equal(got, vals)  # NaN == NaN under array_equal
+    # signed zero: -0.0 decodes with its sign bit intact
+    assert np.signbit(got[2]) and not np.signbit(got[1])
+    # NaN skipped in stats; min is -inf, max +inf
+    assert meta["min"] == -np.inf and meta["max"] == np.inf
+
+
+def test_nullable_int_every_third():
+    vals = [None if i % 3 == 0 else i * 11 for i in range(30000)]
+    v = pa.array(vals, type=pa.int32())
+    out, buf, meta = roundtrip(v)
+    assert_equal_arrays(out, v)
+    assert meta["null_count"] == 10000
+
+
+def test_long_str_truncation():
+    vals = ["x" * 56 + f"{i:06d}" for i in range(1000)]
+    v = pa.array(vals)
+    out, buf, meta = roundtrip(v)
+    assert_equal_arrays(out, v)
+    assert len(meta["min"]) == 16 and not meta["is_min_exact"]
+    assert meta["max"] == "x" * 15 + "y"  # prefix rounded up
+    assert not meta["is_max_exact"]
+
+
+def test_all_null_column():
+    v = pa.array([None] * 100, type=pa.int64())
+    out, buf, meta = roundtrip(v)
+    assert out.null_count == 100 and len(out) == 100
+
+
+def test_empty_column():
+    v = pa.array([], type=pa.int32())
+    out, buf, meta = roundtrip(v)
+    assert len(out) == 0
+
+
+# ---------- every codec explicitly, round-trip ----------
+
+@pytest.mark.parametrize("codec", [S.PLAIN, S.RLE, S.DICT, S.DELTA_BP, S.FOR, S.DELTA_FOR])
+def test_explicit_codecs_int(codec):
+    vals = RNG.integers(0, 1000, 5000).astype(np.int32)
+    v = pa.array(vals)
+    out, buf, meta = roundtrip(v, codec=codec)
+    assert_equal_arrays(out, v)
+    assert meta["codec"] == S.CODEC_NAMES[codec]
+
+
+@pytest.mark.parametrize("codec", [S.PLAIN, S.DICT, S.DELTA_LENGTH, S.DELTA_BA])
+def test_explicit_codecs_str(codec):
+    vals = [f"val-{i % 50}" for i in range(5000)]
+    v = pa.array(vals)
+    out, buf, meta = roundtrip(v, codec=codec)
+    assert_equal_arrays(out, v)
+
+
+@pytest.mark.parametrize("codec", [S.PLAIN, S.BSS, S.DICT, S.RLE])
+def test_explicit_codecs_float(codec):
+    vals = np.round(RNG.normal(size=5000), 2)
+    v = pa.array(vals)
+    out, buf, meta = roundtrip(v, codec=codec)
+    assert_equal_arrays(out, v)
+
+
+@pytest.mark.parametrize("codec", [S.PLAIN, S.RLE])
+def test_explicit_codecs_bool(codec):
+    vals = RNG.integers(0, 2, 5001).astype(bool)
+    v = pa.array(vals)
+    out, buf, meta = roundtrip(v, codec=codec)
+    assert_equal_arrays(out, v)
+
+
+def test_binary_type_roundtrip():
+    vals = [bytes([i % 256, 255 - i % 256]) * (i % 5) for i in range(3000)]
+    v = pa.array(vals, type=pa.large_binary())
+    out, buf, meta = roundtrip(v)
+    assert_equal_arrays(out, v)
+    assert meta["type"] == "binary"
+
+
+def test_int64_roundtrip():
+    vals = RNG.integers(-(2**62), 2**62, 5000, dtype=np.int64)
+    v = pa.array(vals)
+    out, buf, meta = roundtrip(v)
+    assert_equal_arrays(out, v)
+
+
+def test_float32_roundtrip():
+    vals = RNG.normal(size=5000).astype(np.float32)
+    v = pa.array(vals)
+    out, buf, meta = roundtrip(v)
+    assert_equal_arrays(out, v)
+
+
+# ---------- truncation unit rules ----------
+
+def test_truncate_rules():
+    assert truncate_min(b"short") == (b"short", True)
+    assert truncate_min(b"x" * 20) == (b"x" * 16, False)
+    assert truncate_max(b"x" * 20) == (b"x" * 15 + b"y", False)
+    assert truncate_max(b"\xff" * 20) == (None, False)
+    assert truncate_max(b"a" + b"\xff" * 19) == (b"b", False)
+    assert truncate_max(b"\xff" * 16) == (b"\xff" * 16, True)  # fits: no truncation
+
+
+# ---------- selector determinism ----------
+
+def test_selector_is_deterministic():
+    vals = RNG.integers(0, 100, 5000).astype(np.int32)
+    v = pa.array(vals)
+    metas = {encode_array(v)[1]["codec"] for _ in range(3)}
+    assert len(metas) == 1
+
+
+def test_compressed_at_most_pyarrow_parquet():
+    """FIXTURES F4(c): chunk bytes <= pyarrow parquet of the same column."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    cases = {
+        "const": pa.array(np.full(N, 7, dtype=np.int32)),
+        "low_card_str": pa.array(["aaaa", "bbbb"] * (N // 2)),
+        "monotonic": pa.array(np.arange(N, dtype=np.int32) * 3),
+        "small_range": pa.array(RNG.integers(1000, 1063, N).astype(np.int32)),
+        "zipf_tokens": pa.array((RNG.zipf(1.2, N) % 50257).astype(np.int32)),
+    }
+    for name, arr in cases.items():
+        buf, meta = encode_array(arr)
+        sink = io.BytesIO()
+        pq.write_table(pa.table({"c": arr}), sink, compression="snappy", use_dictionary=True)
+        ref = sink.getbuffer().nbytes
+        assert len(buf) <= ref, (name, len(buf), ref, meta["codec"])
