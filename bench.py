@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark: encode/decode throughput of the sparkcodec engine.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  SPARK_GRAFT_BENCH_ROWS  synthetic F1 rows (default 100000, ~50M tokens)
+
+Workload: the FIXTURES.md F1 deterministic synthetic tokens table (the
+testdata documents table is too small for a >=1e6-token protocol run; the
+derived-tokens roundtrip over real testdata is also timed).  Baseline
+comparator: Spark's builtin parquet writer (snappy + dictionary), the
+stand-in for the reference parquet writer's output size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "100000"))
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sparkcodec-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from sparkcodec.datagen import synth_tokens
+    from sparkcodec.engine import decode_dataframe, encode_dataframe
+    from sparkcodec.tokens import tokens_table
+
+    tmp = tempfile.mkdtemp(prefix="sparkcodec_bench_")
+    queries: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    try:
+        # materialize the deterministic input once (parquet on local disk) so
+        # encode timing measures the engine, not the generator
+        src_path = f"{tmp}/input.parquet"
+        toks = synth_tokens(spark, n_rows, seed=42, num_partitions=cpus * 2)
+        toks.write.mode("overwrite").parquet(src_path)
+        inp = spark.read.parquet(src_path)
+
+        # q1: encode (the headline)
+        t0 = time.perf_counter()
+        enc_path = f"{tmp}/encoded.parquet"
+        encode_dataframe(inp).write.mode("overwrite").parquet(enc_path)
+        queries["encode"] = time.perf_counter() - t0
+
+        enc = spark.read.parquet(enc_path)
+        agg = enc.agg(
+            F.sum("bytes_in").alias("bi"), F.sum("bytes_out").alias("bo"),
+            F.sum("n_tokens").alias("nt"), F.count(F.lit(1)).alias("nc"),
+        ).collect()[0]
+        extras["tokens"] = int(agg["nt"])
+        extras["bytes_in"] = int(agg["bi"])
+        extras["bytes_out"] = int(agg["bo"])
+        extras["n_chunks"] = int(agg["nc"])
+        extras["tokens_per_sec_encode"] = round(agg["nt"] / queries["encode"], 1)
+
+        # q2: decode
+        t0 = time.perf_counter()
+        dec = decode_dataframe(enc)
+        dec_checksum = dec.agg(F.expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))")).collect()[0][0]
+        queries["decode"] = time.perf_counter() - t0
+        extras["tokens_per_sec_decode"] = round(agg["nt"] / queries["decode"], 1)
+
+        # q3: verify round-trip checksum equality against the source table
+        t0 = time.perf_counter()
+        src_checksum = inp.agg(F.expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))")).collect()[0][0]
+        queries["verify"] = time.perf_counter() - t0
+        extras["roundtrip_checksum_equal"] = bool(dec_checksum == src_checksum)
+
+        # q4: parquet-writer baseline (snappy+dict) on identical data
+        t0 = time.perf_counter()
+        pq_path = f"{tmp}/baseline.parquet"
+        inp.write.mode("overwrite").option("compression", "snappy").parquet(pq_path)
+        queries["parquet_baseline_write"] = time.perf_counter() - t0
+        pq_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(pq_path) for f in fs if f.endswith(".parquet")
+        )
+        extras["parquet_baseline_bytes"] = pq_bytes
+        extras["compressed_le_parquet"] = bool(int(agg["bo"]) <= pq_bytes)
+        extras["size_vs_parquet"] = round(int(agg["bo"]) / pq_bytes, 4)
+
+        # q5: real-testdata derived-tokens roundtrip (documents -> tokens)
+        t0 = time.perf_counter()
+        real = tokens_table(spark, sf_dir)
+        real_dec = decode_dataframe(encode_dataframe(real))
+        real_dec.agg(F.expr("bit_xor(xxhash64(doc_id, tokens))")).collect()
+        queries["roundtrip_testdata_tokens"] = time.perf_counter() - t0
+
+        # q6: mixed-type lineitem encode
+        t0 = time.perf_counter()
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_returnflag", "l_linestatus")
+        encode_dataframe(li).agg(F.sum("bytes_out")).collect()
+        queries["encode_lineitem"] = time.perf_counter() - t0
+
+        out = {
+            "metric": "encode_wall_sec_synthetic_tokens",
+            "value": round(queries["encode"], 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in queries.items()},
+            "sf": sf_dir,
+            "cpus": cpus,
+            "bench_rows": n_rows,
+            **extras,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

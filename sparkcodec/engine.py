@@ -1,0 +1,372 @@
+"""Spark-level encode/decode engine.
+
+The dataflow (SURVEY.md §7.0):
+
+    input DataFrame (e.g. doc_id, tokens, n_tok, source)
+      -> weighted/range repartition on (source, doc_id)   [skew defusal]
+      -> mapInArrow(encode)                               [zero-copy Arrow]
+           per chunk group: per column: sample -> auto-select codec
+           -> encode -> stats
+      -> one output row per chunk group:
+           (part_id, chunk_seq, chunk_id, n_rows, n_tokens, bytes_in,
+            bytes_out, schema_json, meta_json, payload BINARY)
+
+    decode: mapInArrow over encoded rows -> original schema, exact values.
+
+A chunk group is the analog of the reference's row group (reference:
+src/parquet-writer.js:63-144): all column chunks for a window of rows,
+serialized into one self-describing blob with a tiny footer-style JSON
+metadata row alongside.  List columns (the `tokens` payload) collapse the
+Dremel machinery to Arrow offset arithmetic (SURVEY.md §1.4): one chunk
+for the rebased offsets, one for the flattened values.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from .chunk import decode_array, encode_array
+from .kernels.rle import rle_hybrid_decode, rle_hybrid_encode
+from .kernels.varint import read_uvarint, write_uvarint
+
+GROUP_MAGIC = b"SCG1"
+GROUP_VERSION = 1
+
+DEFAULT_CHUNK_ROWS = 65536
+DEFAULT_TOKEN_BUDGET = 1 << 22  # list elements per chunk group
+
+ENCODED_DDL = (
+    "part_id INT, chunk_seq INT, chunk_id LONG, n_rows LONG, n_tokens LONG, "
+    "bytes_in LONG, bytes_out LONG, schema_json STRING, meta_json STRING, "
+    "payload BINARY"
+)
+
+ENCODED_PA_SCHEMA = pa.schema([
+    ("part_id", pa.int32()), ("chunk_seq", pa.int32()), ("chunk_id", pa.int64()),
+    ("n_rows", pa.int64()), ("n_tokens", pa.int64()), ("bytes_in", pa.int64()),
+    ("bytes_out", pa.int64()), ("schema_json", pa.string()),
+    ("meta_json", pa.string()), ("payload", pa.binary()),
+])
+
+
+# ---------- type naming ----------
+
+def _type_name(t: pa.DataType) -> str:
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_type_name(t.value_type)}>"
+    for name, typ in _PRIMS.items():
+        if t.equals(typ):
+            return name
+    if pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_large_binary(t):
+        return "binary"
+    raise TypeError(f"unsupported type {t}")
+
+
+_PRIMS = {
+    "int32": pa.int32(), "int64": pa.int64(), "float32": pa.float32(),
+    "float64": pa.float64(), "bool": pa.bool_(), "string": pa.string(),
+    "binary": pa.binary(),
+}
+
+
+def _type_from_name(name: str) -> pa.DataType:
+    if name.startswith("list<"):
+        return pa.list_(_type_from_name(name[5:-1]))
+    return _PRIMS[name]
+
+
+def spark_schema_from_names(pairs: list[list[str]]):
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, BooleanType, DoubleType, FloatType,
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    prim = {
+        "int32": IntegerType(), "int64": LongType(), "float32": FloatType(),
+        "float64": DoubleType(), "bool": BooleanType(), "string": StringType(),
+        "binary": BinaryType(),
+    }
+
+    def conv(name):
+        if name.startswith("list<"):
+            return ArrayType(prim[name[5:-1]])
+        return prim[name]
+
+    return StructType([StructField(n, conv(t), True) for n, t in pairs])
+
+
+# ---------- chunk-group blob ----------
+
+def _encode_list_column(arr: pa.Array, compress: bool) -> tuple[bytes, dict]:
+    n = len(arr)
+    null_count = arr.null_count
+    lens = arr.value_lengths()
+    if null_count:
+        lens = lens.fill_null(0)
+    lens_np = lens.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens_np, out=offsets[1:])
+    values = arr.flatten()  # null/slice-safe concatenation of list contents
+
+    out = bytearray()
+    write_uvarint(out, n)
+    write_uvarint(out, null_count)
+    if 0 < null_count < n:
+        validity = np.asarray(arr.is_valid()).astype(np.uint64)
+        vbuf = rle_hybrid_encode(validity, 1)
+        write_uvarint(out, len(vbuf))
+        out.extend(vbuf)
+    off_chunk, off_meta = encode_array(pa.array(offsets), compress=compress)
+    val_chunk, val_meta = encode_array(values, compress=compress)
+    write_uvarint(out, len(off_chunk))
+    out.extend(off_chunk)
+    write_uvarint(out, len(val_chunk))
+    out.extend(val_chunk)
+    meta = {
+        "kind": "list",
+        "n_values": n,
+        "null_count": null_count,
+        "codec": f"offsets:{off_meta['codec']}|values:{val_meta['codec']}",
+        "offsets": off_meta,
+        "values": val_meta,
+        "bytes_out": len(out),
+    }
+    return bytes(out), meta
+
+
+def _decode_list_column(buf, value_type: pa.DataType) -> pa.Array:
+    mv = memoryview(buf)
+    n, pos = read_uvarint(mv, 0)
+    null_count, pos = read_uvarint(mv, pos)
+    validity = None
+    if 0 < null_count < n:
+        vlen, pos = read_uvarint(mv, pos)
+        validity = rle_hybrid_decode(mv[pos : pos + vlen], 1, n).astype(bool)
+        pos += vlen
+    olen, pos = read_uvarint(mv, pos)
+    offsets = decode_array(mv[pos : pos + olen]).to_numpy(zero_copy_only=False).astype(np.int32)
+    pos += olen
+    vlen2, pos = read_uvarint(mv, pos)
+    values = decode_array(mv[pos : pos + vlen2])
+    if not values.type.equals(value_type):
+        values = values.cast(value_type)
+    if null_count == n:
+        off_pa = pa.array(offsets, mask=np.concatenate([np.ones(n, bool), [False]]))
+    elif validity is not None:
+        off_pa = pa.array(offsets, mask=np.concatenate([~validity, [False]]))
+    else:
+        off_pa = pa.array(offsets)
+    return pa.ListArray.from_arrays(off_pa, values)
+
+
+def encode_chunk_group(batch: pa.Table | pa.RecordBatch, compress: bool = True) -> tuple[bytes, dict, list[list[str]], int]:
+    """Encode all columns of a row window.  Returns
+    (blob, per-column meta, schema pairs, n_tokens)."""
+    out = bytearray()
+    out.extend(GROUP_MAGIC)
+    out.append(GROUP_VERSION)
+    names = batch.schema.names
+    write_uvarint(out, len(batch))
+    write_uvarint(out, len(names))
+    metas: dict[str, dict] = {}
+    pairs: list[list[str]] = []
+    n_tokens = 0
+    for name in names:
+        col = batch.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tname = _type_name(col.type)
+        pairs.append([name, tname])
+        if tname.startswith("list<"):
+            blob, meta = _encode_list_column(col, compress)
+            n_tokens += int(meta["values"]["n_values"])
+        else:
+            blob, meta = encode_array(col, compress=compress)
+        nb = name.encode()
+        write_uvarint(out, len(nb))
+        out.extend(nb)
+        write_uvarint(out, len(blob))
+        out.extend(blob)
+        metas[name] = meta
+    return bytes(out), metas, pairs, n_tokens
+
+
+def decode_chunk_group(blob, pairs: list[list[str]]) -> pa.RecordBatch:
+    mv = memoryview(blob)
+    if bytes(mv[:4]) != GROUP_MAGIC:
+        raise ValueError("bad chunk-group magic")
+    pos = 5
+    n_rows, pos = read_uvarint(mv, pos)
+    n_cols, pos = read_uvarint(mv, pos)
+    types = dict(pairs)
+    arrays = []
+    names = []
+    for _ in range(n_cols):
+        nlen, pos = read_uvarint(mv, pos)
+        name = bytes(mv[pos : pos + nlen]).decode()
+        pos += nlen
+        blen, pos = read_uvarint(mv, pos)
+        colbuf = mv[pos : pos + blen]
+        pos += blen
+        tname = types[name]
+        target = _type_from_name(tname)
+        if tname.startswith("list<"):
+            arr = _decode_list_column(colbuf, target.value_type)
+        else:
+            arr = decode_array(colbuf)
+            if not arr.type.equals(target):
+                arr = arr.cast(target)
+        arrays.append(arr)
+        names.append(name)
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+# ---------- chunk windowing ----------
+
+def _window_boundaries(weights: np.ndarray, max_rows: int, budget: int) -> list[tuple[int, int]]:
+    """Split rows into windows bounded by row count and summed weight."""
+    n = len(weights)
+    cum = np.cumsum(weights, dtype=np.int64)
+    spans = []
+    start = 0
+    while start < n:
+        end_rows = min(start + max_rows, n)
+        target = (cum[start - 1] if start else 0) + budget
+        end_w = int(np.searchsorted(cum, target, side="left")) + 1
+        end = max(start + 1, min(end_rows, end_w))
+        spans.append((start, end))
+        start = end
+    return spans
+
+
+# ---------- Spark entry points ----------
+
+def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                     token_budget: int = DEFAULT_TOKEN_BUDGET,
+                     compress: bool = True):
+    """DataFrame -> encoded chunk-group DataFrame (one row per chunk)."""
+
+    def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else 0
+        seq = 0
+        pending: list[pa.RecordBatch] = []
+        pending_rows = 0
+        pending_weight = 0
+
+        def weights_of(b) -> np.ndarray:
+            import pyarrow.compute as pc
+
+            for i, f in enumerate(b.schema):
+                if pa.types.is_list(f.type) or pa.types.is_large_list(f.type):
+                    lens = pc.list_value_length(b.column(i))
+                    return lens.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            return np.ones(len(b), dtype=np.int64)
+
+        def flush(tbl: pa.Table) -> Iterator[pa.RecordBatch]:
+            nonlocal seq
+            w = weights_of(tbl) if len(tbl) else np.zeros(0, dtype=np.int64)
+            for s, e in _window_boundaries(w, chunk_rows, token_budget):
+                window = tbl.slice(s, e - s)
+                bytes_in = sum(c.nbytes for c in window.columns)
+                blob, metas, pairs, n_tokens = encode_chunk_group(window, compress)
+                row = {
+                    "part_id": part_id,
+                    "chunk_seq": seq,
+                    "chunk_id": (part_id << 32) | seq,
+                    "n_rows": len(window),
+                    "n_tokens": n_tokens,
+                    "bytes_in": int(bytes_in),
+                    "bytes_out": len(blob),
+                    "schema_json": json.dumps(pairs),
+                    "meta_json": json.dumps(metas, default=str),
+                    "payload": blob,
+                }
+                seq += 1
+                yield pa.RecordBatch.from_pylist([row], schema=ENCODED_PA_SCHEMA)
+
+        for b in batches:
+            pending.append(b)
+            pending_rows += len(b)
+            pending_weight += int(weights_of(b).sum())
+            if pending_rows >= chunk_rows or pending_weight >= token_budget:
+                yield from flush(pa.Table.from_batches(pending))
+                pending, pending_rows, pending_weight = [], 0, 0
+        if pending:
+            yield from flush(pa.Table.from_batches(pending))
+
+    return df.mapInArrow(encode_partition, ENCODED_DDL)
+
+
+def infer_decoded_schema(enc_df):
+    row = enc_df.select("schema_json").limit(1).collect()
+    if not row:
+        raise ValueError("encoded DataFrame is empty")
+    return spark_schema_from_names(json.loads(row[0][0]))
+
+
+def decode_dataframe(enc_df, schema=None):
+    """Encoded chunk-group DataFrame -> original rows (exact values)."""
+    if schema is None:
+        schema = infer_decoded_schema(enc_df)
+
+    def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            payloads = b.column(b.schema.get_field_index("payload"))
+            schemas = b.column(b.schema.get_field_index("schema_json"))
+            for i in range(len(b)):
+                pairs = json.loads(schemas[i].as_py())
+                yield decode_chunk_group(payloads[i].as_py(), pairs)
+
+    return enc_df.mapInArrow(decode_partition, schema)
+
+
+# ---------- partitioning / skew defusal ----------
+
+def weighted_repartition(df, num_partitions: int, weight_col: str = "n_tok",
+                         source_col: str = "source", id_col: str = "doc_id"):
+    """Salted repartition sized by per-source weight share (north-rule skew
+    defusal): heavy sources get proportionally many salt buckets, so long
+    token arrays cannot pile into one partition.  Two jobs: a tiny
+    aggregate (map-side combined) + the real shuffle; the aggregate output
+    is collected (|sources| rows) and broadcast back as a literal map.
+    """
+    from pyspark.sql import functions as F
+
+    totals = df.groupBy(source_col).agg(F.sum(weight_col).alias("w")).collect()
+    grand = sum(r["w"] for r in totals) or 1
+    # proportional bucket counts, then dense global bucket ids so ranges map
+    # ~1:1 onto partitions (hash-partitioning (source, salt) pairs would let
+    # several heavy buckets collide into one partition)
+    buckets: dict = {}
+    offsets: dict = {}
+    next_off = 0
+    for r in sorted(totals, key=lambda r: str(r[source_col])):
+        k = max(1, int(round(num_partitions * r["w"] / grand)))
+        buckets[r[source_col]] = k
+        offsets[r[source_col]] = next_off
+        next_off += k
+    kmap = F.create_map(*[F.lit(x) for kv in buckets.items() for x in kv])
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    salted = df.withColumn(
+        "_bucket",
+        (omap[F.col(source_col)]
+         + F.pmod(F.xxhash64(F.col(id_col)), kmap[F.col(source_col)])).cast("int"),
+    )
+    out = salted.repartitionByRange(max(num_partitions, next_off), "_bucket").drop("_bucket")
+    return out
+
+
+def range_repartition(df, num_partitions: int, source_col: str = "source",
+                      id_col: str = "doc_id"):
+    """Range repartition on (source, doc_id): stable chunk locality, lets
+    sorted doc_id prefix-compress inside chunks."""
+    return df.repartitionByRange(num_partitions, source_col, id_col)

@@ -1,0 +1,131 @@
+"""Spark integration: encode -> decode round-trip (per-row token-array
+equality, the reference's write->read deep-equality invariant, reference:
+test/write.roundtrip.test.js:6-34), chunk windowing, and skew-defusing
+repartition."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcodec.engine import (
+    decode_dataframe,
+    encode_dataframe,
+    range_repartition,
+    weighted_repartition,
+)
+from sparkcodec.tokens import tokens_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def toks(spark):
+    return tokens_table(spark, SF_DIR).cache()
+
+
+def _sorted_rows(df, key="doc_id"):
+    rows = df.orderBy(key).collect()
+    return [(r["doc_id"], list(r["tokens"]), r["n_tok"], r["source"]) for r in rows]
+
+
+def test_roundtrip_tokens_table(spark, toks):
+    enc = encode_dataframe(range_repartition(toks, 4))
+    dec = decode_dataframe(enc)
+    assert _sorted_rows(dec) == _sorted_rows(toks)
+
+
+def test_roundtrip_exact_per_row_token_equality(spark, toks):
+    enc = encode_dataframe(toks, chunk_rows=128)  # force many chunks
+    dec = decode_dataframe(enc)
+    orig = {r["doc_id"]: list(r["tokens"]) for r in toks.collect()}
+    got = {r["doc_id"]: list(r["tokens"]) for r in dec.collect()}
+    assert orig == got  # bit-identical int32 arrays, order preserved
+
+
+def test_encoded_metadata(spark, toks):
+    enc = encode_dataframe(range_repartition(toks, 2)).cache()
+    rows = enc.collect()
+    assert all(r["bytes_out"] > 0 for r in rows)
+    assert sum(r["n_rows"] for r in rows) == toks.count()
+    total_tok = toks.agg(F.sum("n_tok")).collect()[0][0]
+    assert sum(r["n_tokens"] for r in rows) == total_tok
+    meta = json.loads(rows[0]["meta_json"])
+    assert set(meta) == {"doc_id", "tokens", "n_tok", "source"}
+    assert meta["tokens"]["kind"] == "list"
+    assert "|" in meta["tokens"]["codec"]
+    # compression should be real on this table
+    assert sum(r["bytes_out"] for r in rows) < sum(r["bytes_in"] for r in rows)
+    enc.unpersist()
+
+
+def test_chunk_windowing_token_budget(spark, toks):
+    enc = encode_dataframe(toks.repartition(1), chunk_rows=10**9, token_budget=5000)
+    rows = enc.collect()
+    assert len(rows) > 1
+    # every chunk except possibly the last respects the budget loosely
+    # (budget is a greedy bound: a chunk may exceed it by at most one row)
+    max_row_tok = toks.agg(F.max("n_tok")).collect()[0][0]
+    for r in rows:
+        assert r["n_tokens"] <= 5000 + max_row_tok
+
+
+def test_decode_after_write_read(spark, toks, tmp_path):
+    """Encoded chunks survive a parquet write/read (Iceberg-managed binary
+    column stand-in) and still decode exactly."""
+    enc = encode_dataframe(range_repartition(toks, 2))
+    path = str(tmp_path / "encoded.parquet")
+    enc.write.mode("overwrite").parquet(path)
+    enc2 = spark.read.parquet(path)
+    dec = decode_dataframe(enc2)
+    assert _sorted_rows(dec) == _sorted_rows(toks)
+
+
+def test_weighted_repartition_balances_tokens(spark, toks):
+    heavy = toks.withColumn(
+        "source", F.when(F.rand(7) < 0.9, F.lit("web")).otherwise(F.col("source"))
+    )
+    parts = 8
+    df = weighted_repartition(heavy, parts)
+    sizes = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").agg(F.sum("n_tok").alias("w"))
+        .collect()
+    )
+    weights = np.array([r["w"] for r in sizes], dtype=float)
+    total = weights.sum()
+    # no partition holds more than ~2.5x its fair share despite 90% skew
+    assert weights.max() <= 2.5 * total / parts, weights
+    assert len(sizes) >= parts // 2
+
+
+def test_nullable_and_empty_lists_roundtrip(spark):
+    data = [
+        ("a", [1, 2, 3], 3, "web"),
+        ("b", [], 0, "web"),
+        ("c", None, 0, "books"),
+        ("d", [7] * 100, 100, "code"),
+        ("e", None, 0, "books"),
+    ]
+    df = spark.createDataFrame(data, "doc_id string, tokens array<int>, n_tok int, source string")
+    dec = decode_dataframe(encode_dataframe(df))
+    got = {r["doc_id"]: r["tokens"] and list(r["tokens"]) for r in dec.collect()}
+    exp = {r[0]: (list(r[1]) if r[1] is not None else None) for r in data}
+    assert got == exp
+
+
+def test_mixed_type_table_roundtrip(spark):
+    sdf = spark.range(5000).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") % 7).cast("int").alias("small"),
+        (F.rand(1) * 100).alias("dbl"),
+        (F.col("id") % 2 == 0).alias("flag"),
+        F.concat(F.lit("user-"), F.col("id")).alias("name"),
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.col("id") * 2).alias("nullable"),
+    )
+    dec = decode_dataframe(encode_dataframe(sdf))
+    a = [tuple(r) for r in sdf.orderBy("k").collect()]
+    b = [tuple(r) for r in dec.orderBy("k").collect()]
+    assert a == b
