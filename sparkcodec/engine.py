@@ -40,16 +40,16 @@ DEFAULT_CHUNK_ROWS = 65536
 DEFAULT_TOKEN_BUDGET = 1 << 22  # list elements per chunk group
 
 ENCODED_DDL = (
-    "part_id INT, chunk_seq INT, chunk_id LONG, n_rows LONG, n_tokens LONG, "
-    "bytes_in LONG, bytes_out LONG, schema_json STRING, meta_json STRING, "
-    "payload BINARY"
+    "part_id INT, bucket INT, chunk_seq INT, chunk_id LONG, n_rows LONG, "
+    "n_tokens LONG, bytes_in LONG, bytes_out LONG, encode_ms DOUBLE, "
+    "schema_json STRING, meta_json STRING, payload BINARY"
 )
 
 ENCODED_PA_SCHEMA = pa.schema([
-    ("part_id", pa.int32()), ("chunk_seq", pa.int32()), ("chunk_id", pa.int64()),
-    ("n_rows", pa.int64()), ("n_tokens", pa.int64()), ("bytes_in", pa.int64()),
-    ("bytes_out", pa.int64()), ("schema_json", pa.string()),
-    ("meta_json", pa.string()), ("payload", pa.binary()),
+    ("part_id", pa.int32()), ("bucket", pa.int32()), ("chunk_seq", pa.int32()),
+    ("chunk_id", pa.int64()), ("n_rows", pa.int64()), ("n_tokens", pa.int64()),
+    ("bytes_in", pa.int64()), ("bytes_out", pa.int64()), ("encode_ms", pa.float64()),
+    ("schema_json", pa.string()), ("meta_json", pa.string()), ("payload", pa.binary()),
 ])
 
 
@@ -249,10 +249,19 @@ def _window_boundaries(weights: np.ndarray, max_rows: int, budget: int) -> list[
 
 def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                      token_budget: int = DEFAULT_TOKEN_BUDGET,
-                     compress: bool = True):
-    """DataFrame -> encoded chunk-group DataFrame (one row per chunk)."""
+                     compress: bool = True, partition_col: str | None = None):
+    """DataFrame -> encoded chunk-group DataFrame (one row per chunk).
+
+    ``partition_col`` names an int column carrying a deterministic bucket
+    id (see :func:`assign_weight_buckets`): it is excluded from the encoded
+    payload, chunks never span two bucket values (input must be sorted by
+    it within partitions), and the value is recorded per chunk -- the unit
+    of checkpoint/resume in :mod:`sparkcodec.manifest`.
+    """
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import time
+
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
@@ -266,6 +275,8 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
             import pyarrow.compute as pc
 
             for i, f in enumerate(b.schema):
+                if f.name == partition_col:
+                    continue
                 if pa.types.is_list(f.type) or pa.types.is_large_list(f.type):
                     lens = pc.list_value_length(b.column(i))
                     return lens.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -273,19 +284,27 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
 
         def flush(tbl: pa.Table) -> Iterator[pa.RecordBatch]:
             nonlocal seq
+            bucket = part_id
+            if partition_col is not None and len(tbl):
+                bucket = int(tbl.column(partition_col)[0].as_py())
+                tbl = tbl.drop_columns([partition_col])
             w = weights_of(tbl) if len(tbl) else np.zeros(0, dtype=np.int64)
             for s, e in _window_boundaries(w, chunk_rows, token_budget):
                 window = tbl.slice(s, e - s)
                 bytes_in = sum(c.nbytes for c in window.columns)
+                t0 = time.perf_counter()
                 blob, metas, pairs, n_tokens = encode_chunk_group(window, compress)
+                encode_ms = (time.perf_counter() - t0) * 1000.0
                 row = {
                     "part_id": part_id,
+                    "bucket": bucket,
                     "chunk_seq": seq,
                     "chunk_id": (part_id << 32) | seq,
                     "n_rows": len(window),
                     "n_tokens": n_tokens,
                     "bytes_in": int(bytes_in),
                     "bytes_out": len(blob),
+                    "encode_ms": encode_ms,
                     "schema_json": json.dumps(pairs),
                     "meta_json": json.dumps(metas, default=str),
                     "payload": blob,
@@ -293,13 +312,33 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                 seq += 1
                 yield pa.RecordBatch.from_pylist([row], schema=ENCODED_PA_SCHEMA)
 
-        for b in batches:
-            pending.append(b)
-            pending_rows += len(b)
-            pending_weight += int(weights_of(b).sum())
-            if pending_rows >= chunk_rows or pending_weight >= token_budget:
-                yield from flush(pa.Table.from_batches(pending))
-                pending, pending_rows, pending_weight = [], 0, 0
+        def split_by_bucket(b: pa.RecordBatch) -> list[pa.RecordBatch]:
+            if partition_col is None:
+                return [b]
+            vals = b.column(b.schema.get_field_index(partition_col)).to_numpy(
+                zero_copy_only=False)
+            cuts = np.flatnonzero(vals[1:] != vals[:-1]) + 1
+            if len(cuts) == 0:
+                return [b]
+            bounds = [0, *cuts.tolist(), len(b)]
+            return [b.slice(bounds[i], bounds[i + 1] - bounds[i])
+                    for i in range(len(bounds) - 1)]
+
+        cur_bucket = None
+        for raw in batches:
+            for b in split_by_bucket(raw):
+                if partition_col is not None and len(b):
+                    bval = b.column(b.schema.get_field_index(partition_col))[0].as_py()
+                    if cur_bucket is not None and bval != cur_bucket and pending:
+                        yield from flush(pa.Table.from_batches(pending))
+                        pending, pending_rows, pending_weight = [], 0, 0
+                    cur_bucket = bval
+                pending.append(b)
+                pending_rows += len(b)
+                pending_weight += int(weights_of(b).sum())
+                if pending_rows >= chunk_rows or pending_weight >= token_budget:
+                    yield from flush(pa.Table.from_batches(pending))
+                    pending, pending_rows, pending_weight = [], 0, 0
         if pending:
             yield from flush(pa.Table.from_batches(pending))
 
@@ -331,38 +370,49 @@ def decode_dataframe(enc_df, schema=None):
 
 # ---------- partitioning / skew defusal ----------
 
-def weighted_repartition(df, num_partitions: int, weight_col: str = "n_tok",
-                         source_col: str = "source", id_col: str = "doc_id"):
-    """Salted repartition sized by per-source weight share (north-rule skew
-    defusal): heavy sources get proportionally many salt buckets, so long
-    token arrays cannot pile into one partition.  Two jobs: a tiny
-    aggregate (map-side combined) + the real shuffle; the aggregate output
-    is collected (|sources| rows) and broadcast back as a literal map.
+def assign_weight_buckets(df, num_partitions: int, weight_col: str = "n_tok",
+                          source_col: str = "source", id_col: str = "doc_id",
+                          bucket_col: str = "_bucket"):
+    """Add a deterministic bucket id sized by per-source weight share
+    (north-rule skew defusal): heavy sources get proportionally many salt
+    buckets, so long token arrays cannot pile into one partition.  The
+    bucket is a pure function of (source, doc_id) given the per-source
+    totals, which makes it the stable unit for checkpoint/resume.
+
+    Cost: one tiny aggregate (map-side combined, |sources| rows collected)
+    broadcast back as a literal map -- no extra shuffle of the data itself.
     """
     from pyspark.sql import functions as F
 
     totals = df.groupBy(source_col).agg(F.sum(weight_col).alias("w")).collect()
-    grand = sum(r["w"] for r in totals) or 1
-    # proportional bucket counts, then dense global bucket ids so ranges map
-    # ~1:1 onto partitions (hash-partitioning (source, salt) pairs would let
-    # several heavy buckets collide into one partition)
+    grand = sum(r["w"] or 0 for r in totals) or 1
     buckets: dict = {}
     offsets: dict = {}
     next_off = 0
     for r in sorted(totals, key=lambda r: str(r[source_col])):
-        k = max(1, int(round(num_partitions * r["w"] / grand)))
+        k = max(1, int(round(num_partitions * (r["w"] or 0) / grand)))
         buckets[r[source_col]] = k
         offsets[r[source_col]] = next_off
         next_off += k
     kmap = F.create_map(*[F.lit(x) for kv in buckets.items() for x in kv])
     omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    salted = df.withColumn(
-        "_bucket",
+    out = df.withColumn(
+        bucket_col,
         (omap[F.col(source_col)]
          + F.pmod(F.xxhash64(F.col(id_col)), kmap[F.col(source_col)])).cast("int"),
     )
-    out = salted.repartitionByRange(max(num_partitions, next_off), "_bucket").drop("_bucket")
-    return out
+    return out, next_off
+
+
+def weighted_repartition(df, num_partitions: int, weight_col: str = "n_tok",
+                         source_col: str = "source", id_col: str = "doc_id"):
+    """Skew-defusing repartition: weight-proportional buckets, then a range
+    partition on the dense bucket id so buckets map ~1:1 onto partitions
+    (hash-partitioning (source, salt) pairs would let several heavy buckets
+    collide into one partition)."""
+    bucketed, n_buckets = assign_weight_buckets(
+        df, num_partitions, weight_col, source_col, id_col)
+    return bucketed.repartitionByRange(max(num_partitions, n_buckets), "_bucket").drop("_bucket")
 
 
 def range_repartition(df, num_partitions: int, source_col: str = "source",

@@ -1,0 +1,79 @@
+"""Checkpoint/resume + lineage manifest semantics."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcodec.engine import decode_dataframe
+from sparkcodec.manifest import read_encoded, read_manifest, run_encode_job
+from sparkcodec.tokens import tokens_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def toks(spark):
+    return tokens_table(spark, SF_DIR)
+
+
+def _tok_rows(df):
+    return sorted((r["doc_id"], tuple(r["tokens"])) for r in df.collect())
+
+
+def test_job_runs_and_manifests(spark, toks, tmp_path):
+    out = str(tmp_path / "job")
+    s = run_encode_job(spark, toks, out, num_partitions=6, job_id="j1",
+                       input_snapshot="sf0.001/documents@v1")
+    assert s["buckets_encoded"] > 0
+    man = read_manifest(spark, out)
+    rows = man.collect()
+    assert len(rows) > 0
+    assert all(r["input_snapshot"] == "sf0.001/documents@v1" for r in rows)
+    assert all(r["tokens_per_sec"] > 0 for r in rows)
+    assert all(r["bytes_out"] > 0 and r["n_tokens"] > 0 for r in rows)
+    # decode everything committed -> exact equality with the source
+    dec = decode_dataframe(read_encoded(spark, out))
+    assert _tok_rows(dec) == _tok_rows(toks)
+
+
+def test_rerun_is_noop(spark, toks, tmp_path):
+    out = str(tmp_path / "job")
+    run_encode_job(spark, toks, out, num_partitions=4)
+    s2 = run_encode_job(spark, toks, out, num_partitions=4)
+    assert s2["buckets_encoded"] == 0
+
+
+def test_resume_after_partial_manifest_loss(spark, toks, tmp_path):
+    """Simulate a crash where some buckets committed and others did not:
+    drop half the manifest rows (their chunks become orphans), rerun, and
+    require a complete, duplicate-free, exactly-decodable result."""
+    out = str(tmp_path / "job")
+    run_encode_job(spark, toks, out, num_partitions=6)
+    man = read_manifest(spark, out)
+    keep_buckets = [r["bucket"] for r in man.collect()][: man.count() // 2]
+    kept = man.filter(F.col("bucket").isin(keep_buckets))
+    # rewrite the manifest with only the "surviving" rows
+    kept_pd = kept.toPandas()
+    shutil.rmtree(f"{out}/manifest")
+    spark.createDataFrame(kept_pd, man.schema).write.parquet(f"{out}/manifest")
+
+    s = run_encode_job(spark, toks, out, num_partitions=6)
+    assert s["buckets_encoded"] > 0
+
+    man2 = read_manifest(spark, out)
+    assert man2.select("bucket").distinct().count() == man2.count()  # no dupes
+    dec = decode_dataframe(read_encoded(spark, out))
+    assert _tok_rows(dec) == _tok_rows(toks)
+
+
+def test_bucket_assignment_deterministic(spark, toks):
+    from sparkcodec.engine import assign_weight_buckets
+
+    a, na = assign_weight_buckets(toks, 8)
+    b, nb = assign_weight_buckets(toks.orderBy(F.rand(3)), 8)
+    assert na == nb
+    ma = {r["doc_id"]: r["_bucket"] for r in a.collect()}
+    mb = {r["doc_id"]: r["_bucket"] for r in b.collect()}
+    assert ma == mb  # pure function of (source, doc_id) + totals
