@@ -128,6 +128,91 @@ def _compression_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dedup_exact(spark, sf_dir):
+    from sparkcodec.pipeline.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _dedup_ngram_jaccard(spark, sf_dir):
+    from sparkcodec.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def _dedup_minhash_lsh(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sparkcodec.pipeline.dedup import minhash_lsh_candidates
+
+    return (minhash_lsh_candidates(_docs(spark, sf_dir))
+            .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")))
+
+
+def _dedup_simhash(spark, sf_dir):
+    from sparkcodec.pipeline.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _lang_id(spark, sf_dir):
+    from sparkcodec.pipeline.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _quality(spark, sf_dir):
+    from sparkcodec.pipeline.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _token_count(spark, sf_dir):
+    from sparkcodec.pipeline.textstats import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+def _fingerprint(spark, sf_dir):
+    from sparkcodec.pipeline.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _ann_topk(spark, sf_dir):
+    from sparkcodec.pipeline.simsearch import cosine_topk_bruteforce
+
+    return cosine_topk_bruteforce(_emb(spark, sf_dir), k=5, n_queries=10)
+
+
+def _ann_lsh_topk(spark, sf_dir):
+    from sparkcodec.pipeline.simsearch import lsh_topk
+
+    return lsh_topk(_emb(spark, sf_dir), k=5, n_queries=10)
+
+
+def _media_features(spark, sf_dir):
+    from sparkcodec.pipeline.multimodal import extract_image_features, synth_media_table
+
+    media = synth_media_table(spark, _docs(spark, sf_dir), kind="image")
+    feats = extract_image_features(media, feat_dim=16)
+    from pyspark.sql import functions as F
+
+    return feats.select(
+        "media_id",
+        F.round(F.aggregate("features", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 4).alias("feat_sum"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encode+decode the sf0.001 tokens table; driver checks rows>0."""
     return _roundtrip_tokens(spark, "/root/testdata/sf0.001")
@@ -141,6 +226,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_stats_tokens": _chunk_stats_tokens,
         "codec_histogram": _codec_histogram,
         "compression_summary": _compression_summary,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "text_lang_id": _lang_id,
+        "text_quality_score": _quality,
+        "text_token_count": _token_count,
+        "text_fingerprint": _fingerprint,
+        "ann_cosine_topk": _ann_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "media_image_features": _media_features,
     }
 
 
@@ -156,4 +252,41 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk_stats_tokens": _chunk_stats_oracle(),
         # codec_histogram / compression_summary: engine-internal, rows-only
+        "dedup_exact": (
+            "SELECT min(doc_id) AS keep_id, count(*) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+        # dedup_minhash_lsh / dedup_simhash: signature-based (hash functions
+        # not SQL-expressible) -> rows-only
+        "text_lang_id": _textstats_oracle("lang_id"),
+        "text_quality_score": _textstats_oracle("quality"),
+        "text_token_count": _textstats_oracle("token_count"),
+        "text_fingerprint": _textstats_oracle("fingerprint"),
+        "ann_cosine_topk": _ann_oracle(),
+        # ann_lsh_topk: approximate (bucketed) -> rows-only
+        # media_image_features: stubbed decoder, engine-internal -> rows-only
     }
+
+
+def _ngram_jaccard_oracle() -> str:
+    from sparkcodec.pipeline.dedup import ngram_jaccard_oracle_sql
+
+    return ngram_jaccard_oracle_sql(n=3, threshold=0.5)
+
+
+def _textstats_oracle(which: str) -> str:
+    from sparkcodec.pipeline import textstats as T
+
+    return {
+        "lang_id": T.lang_id_oracle_sql(),
+        "quality": T.quality_score_oracle_sql(),
+        "token_count": T.token_count_oracle_sql(),
+        "fingerprint": T.fingerprint_oracle_sql(),
+    }[which]
+
+
+def _ann_oracle() -> str:
+    from sparkcodec.pipeline.simsearch import cosine_topk_oracle_sql
+
+    return cosine_topk_oracle_sql(k=5, n_queries=10)

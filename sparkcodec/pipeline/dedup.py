@@ -1,0 +1,295 @@
+"""Deduplication operators for training-data pipelines.
+
+All operators are DataFrame programs; the only Python kernels are
+vectorized pandas/Arrow UDFs (minhash / simhash signatures), and every
+shuffle key is chosen so the candidate-generation join is band-bucketed
+rather than an all-pairs product -- the property that keeps these
+runnable at 10^12-document scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE = (1 << 61) - 1
+SHINGLE_K = 5  # char-level shingle width for minhash
+
+
+# ---------- exact dedup ----------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per distinct text (hash group-by: one shuffle
+    on the text hash, map-side combined)."""
+    return (
+        docs.groupBy(text_col)
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups with more than one copy (duplicate clusters)."""
+    return (
+        docs.groupBy(text_col)
+        .agg(F.min(id_col).alias("keep_id"),
+             F.sort_array(F.collect_list(id_col)).alias("members"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("keep_id", "members", "n_copies")
+    )
+
+
+# ---------- minhash signatures (vectorized kernel) ----------
+
+def _char_shingle_hashes(texts: pd.Series, k: int = SHINGLE_K) -> tuple[np.ndarray, np.ndarray]:
+    """(doc offsets, rolling-hash values of all k-byte shingles), vectorized
+    over the whole batch: one concatenated byte buffer, one polynomial
+    rolling hash, segmented by document."""
+    enc = texts.fillna("").str.encode("utf-8")
+    lens = enc.str.len().to_numpy(dtype=np.int64)
+    n_docs = len(enc)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    data = np.frombuffer(b"".join(enc.tolist()), dtype="u1").astype(np.uint64)
+    n = len(data)
+    sh_off = np.zeros(n_docs + 1, dtype=np.int64)
+    if n == 0:
+        return sh_off, np.zeros(0, dtype=np.uint64)
+    # lay docs out with k-1 zero-byte separators so no k-window ever reads a
+    # neighboring document's bytes (signatures stay pure per document)
+    for_doc = np.repeat(np.arange(n_docs), lens)
+    padded = np.zeros(n + (k - 1) * n_docs + (k - 1), dtype=np.uint64)
+    positions = np.arange(n) + (k - 1) * for_doc
+    padded[positions] = data
+    starts2 = offsets[:-1] + (k - 1) * np.arange(n_docs)
+    # polynomial hash of every k-window
+    B = np.uint64(1000003)
+    powers = np.empty(k, dtype=np.uint64)
+    powers[0] = 1
+    for i in range(1, k):
+        powers[i] = powers[i - 1] * B
+    with np.errstate(over="ignore"):
+        win = np.lib.stride_tricks.sliding_window_view(padded, k)
+        hashes_all = (win * powers[::-1]).sum(axis=1, dtype=np.uint64)
+    # shingle count per doc: max(len - k + 1, 1) (short docs hash whole text)
+    sh_lens = np.maximum(lens - k + 1, np.minimum(lens, 1))
+    np.cumsum(sh_lens, out=sh_off[1:])
+    keep_idx = np.repeat(starts2, sh_lens) + _ragged_arange(sh_lens)
+    return sh_off, hashes_all[keep_idx]
+
+
+def _ragged_arange(lengths: np.ndarray) -> np.ndarray:
+    total = int(lengths.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 64,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       seed: int = 42) -> DataFrame:
+    """(id, sig array<long>) -- minhash over char-5-gram rolling hashes.
+    One pass, fully vectorized (pandas UDF, segmented minimum)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+
+    def sig_iter(it):
+        for pdf in it:
+            sh_off, hashes = _char_shingle_hashes(pdf[text_col])
+            n_docs = len(pdf)
+            sigs = np.full((n_docs, num_perm), np.iinfo(np.int64).max, dtype=np.int64)
+            if len(hashes):
+                with np.errstate(over="ignore"):
+                    # (n_shingles, num_perm) permuted hashes, then segmented min
+                    ph = ((hashes[:, None] * a[None, :] + b[None, :])
+                          % np.uint64(MERSENNE)).astype(np.int64)
+                nonempty = np.diff(sh_off) > 0
+                idx = np.minimum(sh_off[:-1], len(hashes) - 1)
+                mins = np.minimum.reduceat(ph, idx, axis=0)
+                # reduceat quirk: empty segments return the element at the
+                # index; mask them back to sentinel
+                mins[~nonempty] = np.iinfo(np.int64).max
+                sigs = mins
+            yield pd.DataFrame({"sig": list(sigs)})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        lambda it: _attach(it, sig_iter, id_col),
+        f"{id_col} {_dtype_of(docs, id_col)}, sig array<long>")
+
+
+def _dtype_of(df: DataFrame, col: str) -> str:
+    return dict(df.dtypes)[col]
+
+
+def _attach(it, sig_iter, id_col):
+    """Run the signature kernel per batch, keeping the id column aligned."""
+    for pdf in it:
+        out = next(sig_iter(iter([pdf])))
+        out.insert(0, id_col, pdf[id_col].to_numpy())
+        yield out
+
+
+def minhash_lsh_candidates(docs: DataFrame, num_perm: int = 64, bands: int = 16,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           seed: int = 42) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH: shingle -> minhash ->
+    band hash -> bucket join.  The self-join is per (band, bucket) -- never
+    an all-pairs product -- and emits (id_a < id_b, est_jaccard)."""
+    num_rows = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, text_col, id_col, seed)
+    banded = sigs.select(
+        id_col, "sig",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.slice("sig", i * num_rows + 1, num_rows))
+                for i in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+                      "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+                      "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = pairs.withColumn(
+        "est_jaccard",
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0), lambda acc, v: acc + v,
+        ) / F.lit(float(num_perm)),
+    )
+    return est.select("id_a", "id_b", "est_jaccard")
+
+
+# ---------- simhash ----------
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """64-bit simhash over char-5-gram hashes (vectorized bit-vote)."""
+
+    def sim_iter(it):
+        for pdf in it:
+            sh_off, hashes = _char_shingle_hashes(pdf[text_col])
+            n_docs = len(pdf)
+            out = np.zeros(n_docs, dtype=np.int64)
+            if len(hashes):
+                bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                        & np.uint64(1)).astype(np.int32) * 2 - 1
+                idx = np.minimum(sh_off[:-1], len(hashes) - 1)
+                votes = np.add.reduceat(bits, idx, axis=0)
+                votes[np.diff(sh_off) == 0] = 0
+                sim = (votes > 0).astype(np.uint64)
+                out = (sim << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                    axis=1, dtype=np.uint64).view(np.int64)
+            yield pd.DataFrame({"sig": out})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        lambda it: _attach(it, sim_iter, id_col),
+        f"{id_col} {_dtype_of(docs, id_col)}, sig long")
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, found by
+    bucketing on 16-bit chunks (any pair within distance 3 shares at least
+    one of the 4 chunks exactly -- pigeonhole)."""
+    sigs = simhash_signatures(docs, text_col, id_col)
+    chunks = sigs.select(
+        id_col, "sig",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("sig", i * 16).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ])).alias("chunk", "key"),
+    )
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+                      "chunk", "key")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+                      "chunk", "key")
+    pairs = (
+        a.join(b, ["chunk", "key"]).filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+# ---------- n-gram Jaccard (SQL-expressible, oracle-checkable) ----------
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard over word n-gram sets for pairs sharing at least one
+    n-gram (inverted-index join: explode -> join on shingle -> count).
+    Spark-first: the candidate join is keyed by shingle, intersection
+    counts come from the group-by, and set sizes broadcast back."""
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"filter(split({text_col}, ' '), w -> w <> '')").alias("w"),
+    )
+    grams = words.select(
+        "id",
+        F.explode(F.expr(
+            f"CASE WHEN size(w) >= {n} THEN "
+            f"transform(sequence(0, size(w) - {n}), "
+            f"i -> concat_ws(' ', slice(w, i + 1, {n}))) "
+            f"ELSE CAST(array() AS array<string>) END"
+        )).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        grams.alias("x").join(grams.alias("y"), "gram")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def ngram_jaccard_oracle_sql(n: int = 3, threshold: float = 0.5,
+                             table: str = "documents") -> str:
+    return f"""
+        WITH w AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM {table}
+        ), grams AS (
+          SELECT DISTINCT id, gram FROM (
+            SELECT id, unnest(list_transform(
+              generate_series(1, greatest(length(w) - {n - 1}, 0)),
+              i -> array_to_string(list_slice(w, i, i + {n - 1}), ' '))) AS gram
+            FROM w)
+        ), sizes AS (
+          SELECT id, count(*) AS sz FROM grams GROUP BY id
+        ), inter AS (
+          SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+          FROM grams x JOIN grams y USING (gram)
+          WHERE x.id < y.id GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
+    """

@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk_bruteforce`` -- exact top-k by cosine: broadcast the query
+  set against the corpus, JVM-side dot products (F.aggregate/zip_with in
+  whole-stage codegen -- no Python in the hot path), window top-k.  The
+  oracle-checkable baseline.
+* ``lsh_topk`` -- random-hyperplane LSH variant: signatures via a
+  vectorized pandas UDF, candidates restricted to matching buckets
+  (multi-band), exact re-rank inside buckets.  The 100TB scale path: the
+  crossJoin disappears, replaced by a bucket-keyed join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# cosine in double precision with a strict left-fold so Spark and DuckDB
+# produce bit-identical sums (both fold sequentially over the list)
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return (f"{_DOT.format(a=a, b=b)} / "
+            f"(greatest({_NORM.format(a=a)}, 1e-30) * greatest({_NORM.format(a=b)}, 1e-30))")
+
+
+def cosine_topk_bruteforce(emb: DataFrame, k: int = 5, n_queries: int = 10,
+                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """For each of the first ``n_queries`` ids: exact top-k neighbors by
+    cosine.  The query side is broadcast (small); Catalyst keeps the dot
+    product inside codegen."""
+    queries = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(queries).crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.expr(cosine_expr("qv", "cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_topk_oracle_sql(k: int = 5, n_queries: int = 10,
+                           table: str = "embeddings") -> str:
+    dot = ("list_sum(list_transform(generate_series(1, len(q.embedding)), "
+           "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))")
+    nq = ("sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    nc = ("sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+    return f"""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {dot} / (greatest({nq}, 1e-30) * greatest({nc}, 1e-30)) AS cosine
+          FROM {table} q, {table} c
+          WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+               round(cosine, 6) AS cosine
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def hyperplane_signatures(emb: DataFrame, n_planes: int = 16, seed: int = 42,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          dim: int | None = None) -> DataFrame:
+    """Random-hyperplane sign bits packed into a long (vectorized)."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    def sig_iter(it):
+        for pdf in it:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ planes) > 0
+            sig = (bits.astype(np.uint64)
+                   << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64).view(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sig": sig})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        sig_iter, f"{id_col} long, sig long")
+
+
+def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 10, n_planes: int = 16,
+             bands: int = 4, seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates share at least one signature band with
+    the query, exact cosine re-rank within candidates.  Bucket-keyed join
+    instead of a crossJoin -- the shape that survives 10^9 vectors."""
+    sigs = hyperplane_signatures(emb, n_planes, seed, id_col, vec_col)
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    banded = sigs.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("sig", i * bits_per_band).bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ])).alias("band", "key"),
+    )
+    emb_b = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    q_band = (banded.filter(F.col(id_col) < n_queries)
+              .select(F.col(id_col).alias("query_id"), "band", "key"))
+    c_band = banded.select(F.col(id_col).alias("neighbor_id"), "band", "key")
+    cands = (
+        q_band.join(c_band, ["band", "key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id").distinct()
+    )
+    scored = (
+        cands.join(emb_b.withColumnRenamed("_id", "query_id")
+                   .withColumnRenamed("_v", "qv"), "query_id")
+        .join(emb_b.withColumnRenamed("_id", "neighbor_id")
+              .withColumnRenamed("_v", "cv"), "neighbor_id")
+        .withColumn("cosine", F.expr(cosine_expr("qv", "cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

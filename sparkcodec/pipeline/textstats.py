@@ -1,0 +1,157 @@
+"""Text-analysis operators: language id, quality scoring, token counting,
+document fingerprinting.
+
+Every operator exists in two forms: the Spark DataFrame expression and an
+equivalent DuckDB SQL string, so the driver's oracle can verify values
+exactly.  All heuristics are deliberately pure integer/string arithmetic
+(no library calls, no floats until the final rounded division) so both
+engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (heuristic n-gram language id)
+LANG_MARKERS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "en": ["the", "and", "is", "of", "to", "a", "in"],
+    "es": ["el", "la", "los", "es", "y", "un", "de"],
+    "fr": ["le", "la", "les", "est", "et", "un", "dans"],
+    "zh": ["de", "shi", "bu", "le", "zai", "you", "wo"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+_WORDS = "filter(split(text, ' '), w -> w <> '')"
+
+
+def _marker_array_sql(words: list[str], dialect: str) -> str:
+    items = ", ".join(f"'{w}'" for w in words)
+    return f"array({items})" if dialect == "spark" else f"[{items}]"
+
+
+_LANGS = sorted(LANG_MARKERS)  # rank by name; ties resolve to the smallest
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language id: count distinct marker-word hits per language,
+    argmax with deterministic (count desc, lang asc) tie-break.  The argmax
+    is an integer-key greatest() -- key = score*8 + inverted_rank -- so the
+    Spark and DuckDB forms compute the identical winner."""
+    keys = [
+        f"size(array_intersect({_WORDS}, {_marker_array_sql(LANG_MARKERS[lang], 'spark')}))"
+        f" * 8 + {len(_LANGS) - 1 - i}"
+        for i, lang in enumerate(_LANGS)
+    ]
+    langs_arr = ", ".join(f"'{x}'" for x in _LANGS)
+    expr = (
+        f"element_at(array({langs_arr}), "
+        f"{len(_LANGS)} - greatest({', '.join(keys)}) % 8)"
+    )
+    return docs.select(F.col("doc_id"), F.expr(expr).alias("pred_lang"))
+
+
+def lang_id_oracle_sql(table: str = "documents") -> str:
+    words = "list_filter(string_split(text, ' '), w -> w <> '')"
+    keys = [
+        f"length(list_intersect({words}, {_marker_array_sql(LANG_MARKERS[lang], 'duckdb')}))"
+        f" * 8 + {len(_LANGS) - 1 - i}"
+        for i, lang in enumerate(_LANGS)
+    ]
+    langs_arr = ", ".join(f"'{x}'" for x in _LANGS)
+    return f"""
+        SELECT doc_id,
+               ([{langs_arr}])[{len(_LANGS)} - greatest({', '.join(keys)}) % 8] AS pred_lang
+        FROM {table}
+    """
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality heuristics: char length, word count, mean word length,
+    stopword ratio, non-alnum ratio -- integer counts, one rounded score."""
+    sw = _marker_array_sql(STOPWORDS, "spark")
+    return docs.select(
+        "doc_id",
+        F.expr("length(text)").cast("long").alias("n_chars2"),
+        F.expr(f"size({_WORDS})").cast("long").alias("n_words"),
+        F.expr(f"size(filter({_WORDS}, w -> array_contains({sw}, w)))")
+        .cast("long").alias("n_stop"),
+        F.expr("length(regexp_replace(text, '[a-zA-Z0-9 ]', ''))")
+        .cast("long").alias("n_punct"),
+        F.expr(
+            f"round(CAST(size(filter({_WORDS}, w -> array_contains({sw}, w))) AS DOUBLE)"
+            f" / greatest(size({_WORDS}), 1), 6)"
+        ).alias("stop_ratio"),
+        F.expr(
+            f"round(CAST(length(replace(text, ' ', '')) AS DOUBLE)"
+            f" / greatest(size({_WORDS}), 1), 6)"
+        ).alias("mean_word_len"),
+    )
+
+
+def quality_score_oracle_sql(table: str = "documents") -> str:
+    sw = _marker_array_sql(STOPWORDS, "duckdb")
+    words = "list_filter(string_split(text, ' '), w -> w <> '')"
+    return f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars2,
+               CAST(length({words}) AS BIGINT) AS n_words,
+               CAST(length(list_filter({words}, w -> list_contains({sw}, w))) AS BIGINT) AS n_stop,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+               round(CAST(length(list_filter({words}, w -> list_contains({sw}, w))) AS DOUBLE)
+                     / greatest(length({words}), 1), 6) AS stop_ratio,
+               round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / greatest(length({words}), 1), 6) AS mean_word_len
+        FROM {table}
+    """
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex token count (letters runs, digit
+    runs, single punctuation)."""
+    pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]"
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({_WORDS})").cast("long").alias("ws_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{pat}', 0))").cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def token_count_oracle_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(length(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS ws_tokens,
+               CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe_tokens
+        FROM {table}
+    """
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Position-weighted rolling-hash document fingerprint (pure integer
+    arithmetic, collision-resistant enough for dedup prefilters)."""
+    expr = (
+        "aggregate(transform(sequence(1, length(text)), "
+        "i -> CAST(i AS BIGINT) * ascii(substr(text, i, 1))), "
+        "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)"
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.expr("length(text)") > 0, F.expr(expr)).otherwise(F.lit(0))
+        .cast("long").alias("fp"),
+    )
+
+
+def fingerprint_oracle_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT doc_id,
+               CASE WHEN length(text) > 0 THEN
+                 CAST(list_reduce(
+                   list_transform(generate_series(1, length(text)),
+                                  i -> CAST(i AS BIGINT) * ord(substr(text, i, 1))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT)
+               ELSE 0 END AS fp
+        FROM {table}
+    """

@@ -1,0 +1,114 @@
+"""Dedup operators: exact, minhash LSH, simhash, n-gram Jaccard -- checked
+against planted duplicates and the DuckDB oracle SQL."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcodec.pipeline.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_oracle_sql,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    simhash_signatures,
+)
+
+WORDS = np.array("the quick brown fox jumps over lazy dog spark table query join".split())
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(300):
+        text = " ".join(WORDS[rng.integers(0, len(WORDS), 30)])
+        rows.append((i, text))
+    # planted exact duplicates
+    rows.append((1000, rows[3][1]))
+    rows.append((1001, rows[3][1]))
+    rows.append((1002, rows[7][1]))
+    # planted near-duplicates (one word changed)
+    w = rows[11][1].split()
+    w[5] = "changed"
+    rows.append((2000, " ".join(w)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_exact_dedup(spark, docs):
+    sdf, pdf = docs
+    out = exact_dedup(sdf).collect()
+    assert sum(r["n_copies"] for r in out) == len(pdf)
+    dup = {r["keep_id"]: r["n_copies"] for r in out if r["n_copies"] > 1}
+    assert dup == {3: 3, 7: 2}
+    groups = {r["keep_id"]: r["members"] for r in exact_dup_groups(sdf).collect()}
+    assert groups == {3: [3, 1000, 1001], 7: [7, 1002]}
+
+
+def test_minhash_signature_properties(spark, docs):
+    sdf, pdf = docs
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(sdf).collect()}
+    assert sigs[3] == sigs[1000] == sigs[1001]  # identical text -> identical sig
+    # near-dup shares most of its signature
+    sim = np.mean(np.array(sigs[11]) == np.array(sigs[2000]))
+    assert sim > 0.5
+    # unrelated docs share little
+    dis = np.mean(np.array(sigs[0]) == np.array(sigs[50]))
+    assert dis < 0.4
+
+
+def test_minhash_signatures_batch_independent(spark, docs):
+    sdf, pdf = docs
+    one = {r["doc_id"]: r["sig"] for r in minhash_signatures(sdf.repartition(1)).collect()}
+    many = {r["doc_id"]: r["sig"] for r in minhash_signatures(sdf.repartition(13)).collect()}
+    assert one == many  # pure per-document function
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, docs):
+    sdf, pdf = docs
+    cands = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_lsh_candidates(sdf).collect()}
+    assert (3, 1000) in cands and cands[(3, 1000)] == 1.0
+    assert (1000, 1001) in cands
+    assert (7, 1002) in cands
+    assert (11, 2000) in cands and cands[(11, 2000)] > 0.5
+
+
+def test_simhash_near_dups(spark, docs):
+    sdf, pdf = docs
+    sigs = {r["doc_id"]: r["sig"] for r in simhash_signatures(sdf).collect()}
+    assert sigs[3] == sigs[1000]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_dups(sdf, max_hamming=10).collect()}
+    assert pairs.get((3, 1000)) == 0
+    assert (11, 2000) in pairs
+
+
+def test_ngram_jaccard_matches_duckdb_oracle(spark, docs):
+    sdf, pdf = docs
+    got = ngram_jaccard_pairs(sdf, n=3, threshold=0.3).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = con.execute(ngram_jaccard_oracle_sql(n=3, threshold=0.3)).df()
+    key = ["id_a", "id_b"]
+    got2 = got.sort_values(key).reset_index(drop=True)
+    exp2 = exp.sort_values(key).reset_index(drop=True)
+    assert len(got2) == len(exp2) and len(got2) > 0
+    pd.testing.assert_frame_equal(got2[key + ["jaccard"]], exp2[key + ["jaccard"]],
+                                  check_dtype=False)
+
+
+def test_empty_and_short_docs(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["", "ab", "ab", None]})
+    sdf = spark.createDataFrame(pdf)
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(sdf).collect()}
+    assert sigs[2] == sigs[3]
+    assert sigs[1] != sigs[2]
+    simhash_signatures(sdf).collect()  # no crash

@@ -1,0 +1,116 @@
+"""Pipeline operators: textstats vs DuckDB oracles on REAL testdata,
+similarity search exactness + LSH recall, multimodal plumbing."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcodec.pipeline import simsearch, textstats
+from sparkcodec.pipeline.multimodal import (
+    extract_image_features,
+    resize_images,
+    sample_frames,
+    synth_media_table,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    c.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'")
+    return c
+
+
+def _match(got_df, oracle_df, key):
+    g = got_df.sort_values(key).reset_index(drop=True)
+    e = oracle_df.sort_values(key).reset_index(drop=True)
+    assert list(g.columns) == list(e.columns), (g.columns, e.columns)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+def test_lang_id_oracle(spark, docs, con):
+    got = textstats.lang_id(docs).toPandas()
+    exp = con.execute(textstats.lang_id_oracle_sql()).df()
+    _match(got, exp, ["doc_id"])
+
+
+def test_quality_score_oracle(spark, docs, con):
+    got = textstats.quality_score(docs).toPandas()
+    exp = con.execute(textstats.quality_score_oracle_sql()).df()
+    _match(got, exp, ["doc_id"])
+
+
+def test_token_count_oracle(spark, docs, con):
+    got = textstats.token_count(docs).toPandas()
+    exp = con.execute(textstats.token_count_oracle_sql()).df()
+    _match(got, exp, ["doc_id"])
+
+
+def test_fingerprint_oracle(spark, docs, con):
+    got = textstats.fingerprint(docs).toPandas()
+    exp = con.execute(textstats.fingerprint_oracle_sql()).df()
+    _match(got, exp, ["doc_id"])
+
+
+def test_cosine_topk_oracle(spark, emb, con):
+    got = simsearch.cosine_topk_bruteforce(emb, k=5, n_queries=8).toPandas()
+    exp = con.execute(simsearch.cosine_topk_oracle_sql(k=5, n_queries=8)).df()
+    _match(got, exp, ["query_id", "rank"])
+
+
+def test_lsh_topk_recall(spark, emb):
+    exact = simsearch.cosine_topk_bruteforce(emb, k=5, n_queries=8).toPandas()
+    approx = simsearch.lsh_topk(emb, k=5, n_queries=8, n_planes=16, bands=8).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # multi-band LSH keeps most true neighbors
+
+
+def test_media_feature_plumbing(spark, docs):
+    media = synth_media_table(spark, docs, kind="image")
+    feats = extract_image_features(media, feat_dim=32).toPandas()
+    assert len(feats) == docs.count()
+    assert all(len(f) == 32 for f in feats["features"])
+    assert all(0 <= v < 1 for f in feats["features"][:10] for v in f)
+    # deterministic: same payload -> same features
+    f2 = extract_image_features(media, feat_dim=32).toPandas()
+    m1 = dict(zip(feats["media_id"], [tuple(x) for x in feats["features"]]))
+    m2 = dict(zip(f2["media_id"], [tuple(x) for x in f2["features"]]))
+    assert m1 == m2
+
+
+def test_media_resize_and_frames(spark, docs):
+    media = synth_media_table(spark, docs, kind="image")
+    rs = resize_images(media, 224, 224).toPandas()
+    assert (rs["width"] == 224).all() and (rs["height"] == 224).all()
+
+    video = synth_media_table(spark, docs.limit(20), kind="video")
+    fr = sample_frames(video, every_n=16).toPandas()
+    assert len(fr) > 0
+    meta = {r["media_id"]: r["n_frames"] for r in video.collect()}
+    counts = fr.groupby("media_id").size()
+    for mid, c in counts.items():
+        assert c == (meta[mid] + 15) // 16
+
+
+def test_media_strict_raises(spark, docs):
+    media = synth_media_table(spark, docs.limit(5), kind="image")
+    with pytest.raises(Exception, match="NotImplementedError|image/audio"):
+        extract_image_features(media, strict=True).collect()
