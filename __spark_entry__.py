@@ -44,13 +44,27 @@ def _tokens_oracle() -> str:
 
 
 def _roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from sparkcodec.engine import decode_dataframe, encode_dataframe
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
-        "l_returnflag", "l_linestatus",
+        "l_returnflag", "l_linestatus", "l_shipdate",
     )
-    return decode_dataframe(encode_dataframe(li))
+    dec = decode_dataframe(encode_dataframe(li))
+    # timestamps compared as epoch micros (timezone-display-neutral)
+    return dec.withColumn("ship_us", F.unix_micros("l_shipdate")).drop("l_shipdate")
+
+
+def _roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_dataframe, encode_dataframe
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dec = decode_dataframe(encode_dataframe(ev))
+    return dec.withColumn("ts_us", F.unix_micros("ts")).drop("ts")
 
 
 def _roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_tokens": _roundtrip_tokens,
         "roundtrip_lineitem": _roundtrip_lineitem,
+        "roundtrip_events": _roundtrip_events,
         "roundtrip_documents": _roundtrip_documents,
         "chunk_stats_tokens": _chunk_stats_tokens,
         "codec_histogram": _codec_histogram,
@@ -245,7 +260,11 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_tokens": _tokens_oracle(),
         "roundtrip_lineitem": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
-            "l_returnflag, l_linestatus FROM lineitem"
+            "l_returnflag, l_linestatus, epoch_us(l_shipdate) AS ship_us FROM lineitem"
+        ),
+        "roundtrip_events": (
+            "SELECT event_id, user_id, event_type, value, props, "
+            "epoch_us(ts) AS ts_us FROM events"
         ),
         "roundtrip_documents": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"

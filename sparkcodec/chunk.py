@@ -88,16 +88,29 @@ def _decompress(tag: int, payload) -> bytes:
 
 # type tags
 T_INT32, T_INT64, T_FLOAT32, T_FLOAT64, T_BOOL, T_BINARY, T_STRING = 1, 2, 3, 4, 5, 6, 7
+T_TIMESTAMP_US, T_TIMESTAMP_NS, T_DATE32 = 8, 9, 10  # lowered to int64/int32
 
 TYPE_NAMES = {
     T_INT32: "int32", T_INT64: "int64", T_FLOAT32: "float32",
     T_FLOAT64: "float64", T_BOOL: "bool", T_BINARY: "binary", T_STRING: "string",
+    T_TIMESTAMP_US: "timestamp_us", T_TIMESTAMP_NS: "timestamp_ns",
+    T_DATE32: "date32",
 }
-_NP_DTYPES = {T_INT32: "<i4", T_INT64: "<i8", T_FLOAT32: "<f4", T_FLOAT64: "<f8"}
+_PHYS_NAMES = {
+    T_INT32: "int32", T_INT64: "int64", T_FLOAT32: "float32",
+    T_FLOAT64: "float64", T_TIMESTAMP_US: "int64", T_TIMESTAMP_NS: "int64",
+    T_DATE32: "int32",
+}
+_NP_DTYPES = {
+    T_INT32: "<i4", T_INT64: "<i8", T_FLOAT32: "<f4", T_FLOAT64: "<f8",
+    T_TIMESTAMP_US: "<i8", T_TIMESTAMP_NS: "<i8", T_DATE32: "<i4",
+}
 _PA_TYPES = {
     T_INT32: pa.int32(), T_INT64: pa.int64(), T_FLOAT32: pa.float32(),
     T_FLOAT64: pa.float64(), T_BOOL: pa.bool_(),
     T_BINARY: pa.large_binary(), T_STRING: pa.large_string(),
+    T_TIMESTAMP_US: pa.timestamp("us"), T_TIMESTAMP_NS: pa.timestamp("ns"),
+    T_DATE32: pa.date32(),
 }
 
 
@@ -117,6 +130,10 @@ def _type_tag_of(arr: pa.Array) -> int:
         return T_STRING
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return T_BINARY
+    if pa.types.is_timestamp(t):
+        return T_TIMESTAMP_NS if t.unit == "ns" else T_TIMESTAMP_US
+    if pa.types.is_date32(t):
+        return T_DATE32
     raise TypeError(f"unsupported arrow type: {t}")
 
 
@@ -187,6 +204,13 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
     n = len(arr)
     null_count = arr.null_count
     dense = arr.drop_null() if null_count else arr
+    # temporal types are lowered to their physical ints (parquet-style:
+    # TIMESTAMP -> INT64 epoch units, DATE -> INT32 days; reference analog
+    # src/unconvert.js:29-48) and restored from the type tag on decode
+    if type_tag in (T_TIMESTAMP_US, T_TIMESTAMP_NS):
+        dense = dense.cast(pa.int64())
+    elif type_tag == T_DATE32:
+        dense = dense.cast(pa.int32())
 
     out = bytearray()
     out.extend(MAGIC)
@@ -248,7 +272,7 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
             samp = S.sample_numeric(vals)
             codec = S.pick(S.estimate_costs_numeric(samp, kind))
         if codec == S.PLAIN:
-            payload = plain_encode_numeric(vals, TYPE_NAMES[type_tag])
+            payload = plain_encode_numeric(vals, _PHYS_NAMES[type_tag])
         elif codec == S.FOR:
             payload = for_pack(ints)
         elif codec == S.DELTA_FOR:
@@ -370,7 +394,7 @@ def decode_array(buf) -> pa.Array:
             raise ValueError(f"bad codec {codec} for booleans")
         dense = pa.array(vals, type=pa.bool_())
     else:
-        dtype_name = TYPE_NAMES[type_tag]
+        dtype_name = _PHYS_NAMES[type_tag]
         if codec == S.PLAIN:
             vals = plain_decode_numeric(payload, dtype_name)
         elif codec == S.BSS:

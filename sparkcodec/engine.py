@@ -58,6 +58,10 @@ ENCODED_PA_SCHEMA = pa.schema([
 def _type_name(t: pa.DataType) -> str:
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return f"list<{_type_name(t.value_type)}>"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit};{t.tz or ''}]"
+    if pa.types.is_date32(t):
+        return "date32"
     for name, typ in _PRIMS.items():
         if t.equals(typ):
             return name
@@ -71,13 +75,16 @@ def _type_name(t: pa.DataType) -> str:
 _PRIMS = {
     "int32": pa.int32(), "int64": pa.int64(), "float32": pa.float32(),
     "float64": pa.float64(), "bool": pa.bool_(), "string": pa.string(),
-    "binary": pa.binary(),
+    "binary": pa.binary(), "date32": pa.date32(),
 }
 
 
 def _type_from_name(name: str) -> pa.DataType:
     if name.startswith("list<"):
         return pa.list_(_type_from_name(name[5:-1]))
+    if name.startswith("timestamp["):
+        unit, tz = name[10:-1].split(";")
+        return pa.timestamp(unit, tz or None)
     return _PRIMS[name]
 
 
@@ -87,15 +94,19 @@ def spark_schema_from_names(pairs: list[list[str]]):
         IntegerType, LongType, StringType, StructField, StructType,
     )
 
+    from pyspark.sql.types import DateType, TimestampType
+
     prim = {
         "int32": IntegerType(), "int64": LongType(), "float32": FloatType(),
         "float64": DoubleType(), "bool": BooleanType(), "string": StringType(),
-        "binary": BinaryType(),
+        "binary": BinaryType(), "date32": DateType(),
     }
 
     def conv(name):
         if name.startswith("list<"):
             return ArrayType(prim[name[5:-1]])
+        if name.startswith("timestamp["):
+            return TimestampType()
         return prim[name]
 
     return StructType([StructField(n, conv(t), True) for n, t in pairs])

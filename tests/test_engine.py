@@ -124,6 +124,8 @@ def test_mixed_type_table_roundtrip(spark):
         (F.col("id") % 2 == 0).alias("flag"),
         F.concat(F.lit("user-"), F.col("id")).alias("name"),
         F.when(F.col("id") % 3 == 0, None).otherwise(F.col("id") * 2).alias("nullable"),
+        F.timestamp_micros((F.col("id") * 1000000 + 1700000000000000).cast("long")).alias("ts"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 1000).cast("int")).alias("d"),
     )
     dec = decode_dataframe(encode_dataframe(sdf))
     a = [tuple(r) for r in sdf.orderBy("k").collect()]
