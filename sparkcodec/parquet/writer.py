@@ -1,0 +1,533 @@
+"""Parquet file writer built on sparkcodec's own encoding kernels.
+
+File anatomy mirrors the reference (reference: src/parquet-writer.js:
+48,63-175): PAR1 magic, row groups of column chunks (optional dictionary
+page + DataPageV2s), a TCompactProtocol FileMetaData footer, u32 footer
+length, PAR1.  Everything is produced by this package's kernels -- the
+point is that pyarrow/DuckDB then act as the cross-implementation decode
+oracle for our encoders (FIXTURES.md F4(b)).
+
+Supported: BOOLEAN, INT32, INT64, FLOAT, DOUBLE, BYTE_ARRAY (string /
+binary), TIMESTAMP_MICROS, DATE, and one-level LIST columns.  Encodings:
+PLAIN, RLE_DICTIONARY, DELTA_BINARY_PACKED, DELTA_LENGTH_BYTE_ARRAY,
+DELTA_BYTE_ARRAY, BYTE_STREAM_SPLIT; GZIP or no compression.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .. import selector as S
+from ..kernels.bitpack import bit_width
+from ..kernels.delta import delta_binary_pack
+from ..kernels.dictionary import factorize
+from ..kernels.plain import binary_buffers, plain_encode_binary, plain_encode_bool, plain_encode_numeric
+from ..kernels.rle import rle_hybrid_encode
+from ..kernels.strings import byte_stream_split_encode
+from ..stats import binary_stats, numeric_stats, truncate_max, truncate_min
+from .thrift import CT_BINARY, CT_BYTE, CT_I32, CT_I64, CT_LIST, CT_STRUCT, CT_TRUE, serialize_struct
+
+MAGIC = b"PAR1"
+
+# parquet enums
+PT_BOOLEAN, PT_INT32, PT_INT64, PT_INT96, PT_FLOAT, PT_DOUBLE, PT_BYTE_ARRAY = 0, 1, 2, 3, 4, 5, 6
+ENC_PLAIN, ENC_RLE, ENC_DELTA_BP, ENC_DELTA_LBA, ENC_DELTA_BA, ENC_RLE_DICT, ENC_BSS = 0, 3, 5, 6, 7, 8, 9
+COMP_UNCOMPRESSED, COMP_GZIP = 0, 2
+PAGE_DATA_V2, PAGE_DICT = 3, 2
+REP_REQUIRED, REP_OPTIONAL, REP_REPEATED = 0, 1, 2
+CONV_UTF8, CONV_LIST, CONV_DATE, CONV_TS_MICROS = 0, 3, 6, 10
+
+_PAGE_BYTES = 1 << 20  # estimated-uncompressed split budget (reference: src/column.js:211-239)
+
+
+class _Leaf:
+    """One leaf column of the (possibly one-level-nested) schema."""
+
+    def __init__(self, name: str, arr: pa.Array):
+        self.name = name
+        t = arr.type
+        self.is_list = pa.types.is_list(t) or pa.types.is_large_list(t)
+        if self.is_list:
+            self.path = [name, "list", "element"]
+            self.max_def = 3  # optional list, repeated, optional element
+            self.max_rep = 1
+            self.value_type = t.value_type
+        else:
+            self.path = [name]
+            self.max_def = 1  # optional leaf
+            self.max_rep = 0
+            self.value_type = t
+        self.phys, self.conv = _physical_of(self.value_type)
+
+
+def _physical_of(t: pa.DataType) -> tuple[int, int | None]:
+    if pa.types.is_boolean(t):
+        return PT_BOOLEAN, None
+    if pa.types.is_int32(t):
+        return PT_INT32, None
+    if pa.types.is_int64(t):
+        return PT_INT64, None
+    if pa.types.is_float32(t):
+        return PT_FLOAT, None
+    if pa.types.is_float64(t):
+        return PT_DOUBLE, None
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return PT_BYTE_ARRAY, CONV_UTF8
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return PT_BYTE_ARRAY, None
+    if pa.types.is_timestamp(t):
+        return PT_INT64, CONV_TS_MICROS
+    if pa.types.is_date32(t):
+        return PT_INT32, CONV_DATE
+    raise TypeError(f"unsupported parquet leaf type {t}")
+
+
+def _dremel_levels(arr: pa.Array, leaf: _Leaf) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """(def_levels, rep_levels, dense leaf values) for one column.
+
+    For flat optional columns: def in {0,1}, no rep (reference fast path
+    src/dremel.js:32-37).  For one-level lists the full Dremel recursion
+    collapses to offset arithmetic (SURVEY.md §1.4): per row, the first
+    slot has rep 0 and later slots rep 1; def is 3 for present elements,
+    1 for empty lists, 0 for null lists.
+    """
+    n = len(arr)
+    if not leaf.is_list:
+        if arr.null_count == 0:
+            return np.ones(n, dtype=np.uint64), np.zeros(0, dtype=np.uint64), arr
+        valid = np.asarray(arr.is_valid())
+        return valid.astype(np.uint64), np.zeros(0, dtype=np.uint64), arr.drop_null()
+    lens = arr.value_lengths().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    valid = np.asarray(arr.is_valid()) if arr.null_count else np.ones(n, dtype=bool)
+    slots = np.maximum(lens, 1)  # empty/null lists still occupy one level slot
+    total = int(slots.sum())
+    rep = np.ones(total, dtype=np.uint64)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(slots, out=starts[1:])
+    rep[starts[:-1]] = 0
+    d = np.full(total, 3, dtype=np.uint64)
+    empty_rows = np.flatnonzero((lens == 0) & valid)
+    null_rows = np.flatnonzero(~valid)
+    d[starts[:-1][empty_rows]] = 1
+    d[starts[:-1][null_rows]] = 0
+    values = arr.flatten()
+    if values.null_count:
+        # def 2 marks a present-but-null element
+        elem_valid = np.asarray(values.is_valid())
+        has_elems = np.flatnonzero(lens > 0)
+        elem_slots = np.repeat(starts[:-1][has_elems], lens[has_elems]) + _ragged(lens[has_elems])
+        d[elem_slots[~elem_valid]] = 2
+        values = values.drop_null()
+    return d, rep, values
+
+
+def _ragged(lengths: np.ndarray) -> np.ndarray:
+    total = int(lengths.sum())
+    starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+
+
+def _rle_levels(levels: np.ndarray, max_level: int) -> bytes:
+    if max_level == 0 or len(levels) == 0:
+        return b""
+    return rle_hybrid_encode(levels, bit_width(max_level))
+
+
+def _encode_values(values: pa.Array, phys: int, encoding: int) -> bytes:
+    if phys == PT_BOOLEAN:
+        return plain_encode_bool(np.asarray(values))
+    if phys == PT_BYTE_ARRAY:
+        offsets, data = binary_buffers(values)
+        if encoding == ENC_PLAIN:
+            return plain_encode_binary(values)
+        # spec layouts are bare concatenations -- DELTA_BINARY_PACKED is
+        # self-delimiting via its header count, so no length prefixes
+        # (reference: src/delta.js:280-298, 307-364)
+        if encoding == ENC_DELTA_LBA:
+            lengths = np.diff(offsets.astype(np.int64))
+            return delta_binary_pack(lengths) + data.tobytes()
+        if encoding == ENC_DELTA_BA:
+            from ..kernels.strings import _common_prefix_lengths
+
+            offsets = offsets.astype(np.int64)
+            prefix = _common_prefix_lengths(offsets, data)
+            lengths = np.diff(offsets)
+            suffix_len = lengths - prefix
+            starts = offsets[:-1] + prefix
+            keep = np.zeros(len(data) + 1, dtype=np.int8)
+            np.add.at(keep, starts, 1)
+            np.add.at(keep, offsets[1:], -1)
+            mask = np.cumsum(keep[:-1]) > 0
+            return (delta_binary_pack(prefix) + delta_binary_pack(suffix_len)
+                    + data[mask].tobytes())
+        raise ValueError(f"bad byte-array encoding {encoding}")
+    # numeric
+    np_vals = _numeric_np(values, phys)
+    if encoding == ENC_PLAIN:
+        dt = {PT_INT32: "int32", PT_INT64: "int64", PT_FLOAT: "float32", PT_DOUBLE: "float64"}[phys]
+        return plain_encode_numeric(np_vals, dt)
+    if encoding == ENC_DELTA_BP:
+        return delta_binary_pack(np_vals.astype(np.int64))
+    if encoding == ENC_BSS:
+        return byte_stream_split_encode(np_vals, np_vals.dtype.itemsize)
+    raise ValueError(f"bad numeric encoding {encoding}")
+
+
+def _numeric_np(values: pa.Array, phys: int) -> np.ndarray:
+    t = values.type
+    if pa.types.is_timestamp(t):
+        values = values.cast(pa.int64())
+    elif pa.types.is_date32(t):
+        values = values.cast(pa.int32())
+    return values.to_numpy(zero_copy_only=False)
+
+
+def _plain_single(value, phys: int) -> bytes:
+    """PLAIN encoding of one value, for Statistics min/max."""
+    if phys == PT_INT32:
+        return int(value).to_bytes(4, "little", signed=True)
+    if phys == PT_INT64:
+        return int(value).to_bytes(8, "little", signed=True)
+    if phys == PT_FLOAT:
+        return np.float32(value).tobytes()
+    if phys == PT_DOUBLE:
+        return np.float64(value).tobytes()
+    if phys == PT_BOOLEAN:
+        return b"\x01" if value else b"\x00"
+    raise ValueError
+
+
+def _statistics(values: pa.Array, phys: int, n_logical: int) -> list:
+    """Statistics struct fields (3: null_count, 5: max_value, 6: min_value)."""
+    if phys == PT_BYTE_ARRAY:
+        offsets, data = binary_buffers(values)
+        st = binary_stats(offsets, data, n_logical)
+        mn = st.min_value if st.min_value is None else (
+            st.min_value if isinstance(st.min_value, bytes) else bytes(st.min_value))
+        mx = st.max_value
+        return [(3, CT_I64, st.null_count),
+                (5, CT_BINARY, mx), (6, CT_BINARY, mn)]
+    np_vals = _numeric_np(values, phys) if phys != PT_BOOLEAN else np.asarray(values)
+    st = numeric_stats(np_vals, n_logical)
+    mn = None if st.min_value is None else _plain_single(st.min_value, phys)
+    mx = None if st.max_value is None else _plain_single(st.max_value, phys)
+    return [(3, CT_I64, st.null_count), (5, CT_BINARY, mx), (6, CT_BINARY, mn)]
+
+
+def _pick_encoding(values: pa.Array, phys: int, use_dictionary: bool):
+    """(encoding, dict_values|None, indexes|None) via the chunk selector."""
+    n = len(values)
+    if n == 0:
+        return ENC_PLAIN, None, None
+    if phys == PT_BOOLEAN:
+        return ENC_PLAIN, None, None
+    if phys == PT_BYTE_ARRAY:
+        offsets, data = binary_buffers(values)
+        samp = S.sample_binary(offsets, data)
+        costs = S.estimate_costs_binary(samp)
+        costs.pop(S.FSST, None)
+        if not use_dictionary:
+            costs.pop(S.DICT, None)
+        pick = S.pick(costs)
+        if pick == S.DICT:
+            idx, d = factorize(values, "binary")
+            if len(d) <= (1 << 20):
+                return ENC_RLE_DICT, d, idx
+            pick = S.DELTA_LENGTH
+        return {S.PLAIN: ENC_PLAIN, S.DELTA_LENGTH: ENC_DELTA_LBA,
+                S.DELTA_BA: ENC_DELTA_BA}.get(pick, ENC_PLAIN), None, None
+    np_vals = _numeric_np(values, phys)
+    kind = np_vals.dtype.kind
+    samp = S.sample_numeric(np_vals)
+    costs = S.estimate_costs_numeric(samp, kind)
+    # parquet has no FOR/DELTA_FOR/RLE data encoding for plain ints; map to
+    # the closest spec encoding
+    costs.pop(S.RLE, None)
+    costs.pop(S.FOR, None)
+    if kind == "f":
+        costs.pop(S.DELTA_FOR, None)
+        costs.pop(S.DELTA_BP, None)
+    else:
+        if S.DELTA_FOR in costs:
+            costs[S.DELTA_BP] = min(costs.get(S.DELTA_BP, 1e18), costs.pop(S.DELTA_FOR))
+    if not use_dictionary:
+        costs.pop(S.DICT, None)
+    pick = S.pick(costs)
+    if pick == S.DICT:
+        idx, d = factorize(np_vals if kind != "f" else np_vals, "numeric")
+        return ENC_RLE_DICT, d, idx
+    return {S.PLAIN: ENC_PLAIN, S.DELTA_BP: ENC_DELTA_BP,
+            S.BSS: ENC_BSS}.get(pick, ENC_PLAIN), None, None
+
+
+def _compress(data: bytes, codec: int) -> bytes:
+    if codec == COMP_GZIP:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(data) + co.flush()
+    return data
+
+
+def _page_header_v2(num_values: int, num_nulls: int, num_rows: int, encoding: int,
+                    def_len: int, rep_len: int, comp_size: int, uncomp_size: int,
+                    stats_fields) -> bytes:
+    dphv2 = [
+        (1, CT_I32, num_values), (2, CT_I32, num_nulls), (3, CT_I32, num_rows),
+        (4, CT_I32, encoding), (5, CT_I32, def_len), (6, CT_I32, rep_len),
+        (7, CT_TRUE, True),
+        (8, CT_STRUCT, stats_fields) if stats_fields else (8, CT_STRUCT, None),
+    ]
+    return serialize_struct([
+        (1, CT_I32, PAGE_DATA_V2),
+        (2, CT_I32, uncomp_size),
+        (3, CT_I32, comp_size),
+        (8, CT_STRUCT, dphv2),
+    ])
+
+
+def _dict_page(dict_values, phys: int, codec: int) -> tuple[bytes, int, int]:
+    if phys == PT_BYTE_ARRAY:
+        raw = plain_encode_binary(dict_values)
+    else:
+        dt = {PT_INT32: "int32", PT_INT64: "int64", PT_FLOAT: "float32",
+              PT_DOUBLE: "float64"}[phys]
+        raw = plain_encode_numeric(np.asarray(dict_values, dtype=dt), dt)
+    comp = _compress(raw, codec)
+    header = serialize_struct([
+        (1, CT_I32, PAGE_DICT),
+        (2, CT_I32, len(raw)),
+        (3, CT_I32, len(comp)),
+        (7, CT_STRUCT, [(1, CT_I32, len(dict_values)), (2, CT_I32, ENC_PLAIN)]),
+    ])
+    return header + comp, len(dict_values), len(header) + len(raw)
+
+
+def write_parquet_bytes(table: pa.Table, *, row_group_rows: int = 1 << 20,
+                        compression: str = "gzip", use_dictionary: bool = True,
+                        page_bytes: int = _PAGE_BYTES) -> bytes:
+    """Serialize a pyarrow Table to parquet bytes using our own encoders."""
+    codec = {"gzip": COMP_GZIP, "none": COMP_UNCOMPRESSED}[compression]
+    table = table.combine_chunks()
+    leaves = [_Leaf(f.name, table.column(i).combine_chunks()
+                    if isinstance(table.column(i), pa.ChunkedArray) else table.column(i))
+              for i, f in enumerate(table.schema)]
+
+    out = bytearray(MAGIC)
+    row_groups = []
+    n_rows_total = len(table)
+    for rg_start in range(0, max(n_rows_total, 1), row_group_rows):
+        rg = table.slice(rg_start, row_group_rows)
+        if len(rg) == 0 and n_rows_total > 0:
+            break
+        cols_meta = []
+        total_bytes = 0
+        for i, leaf in enumerate(leaves):
+            col = rg.column(i)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            meta, nbytes = _write_column_chunk(out, col, leaf, codec, use_dictionary,
+                                               page_bytes)
+            cols_meta.append(meta)
+            total_bytes += nbytes
+        row_groups.append((cols_meta, total_bytes, len(rg)))
+        if n_rows_total == 0:
+            break
+
+    footer = _file_metadata(table.schema, leaves, row_groups, n_rows_total)
+    out.extend(footer)
+    out.extend(len(footer).to_bytes(4, "little"))
+    out.extend(MAGIC)
+    return bytes(out)
+
+
+def _write_column_chunk(out: bytearray, arr: pa.Array, leaf: _Leaf, codec: int,
+                        use_dictionary: bool, page_bytes: int):
+    d, r, values = _dremel_levels(arr, leaf)
+    n_slots = len(d) if leaf.max_def else len(arr)
+    num_nulls = n_slots - len(values)
+    encoding, dict_vals, indexes = _pick_encoding(values, leaf.phys, use_dictionary)
+
+    chunk_start = len(out)
+    dict_offset = None
+    encodings = [ENC_PLAIN]
+    uncomp_total = 0
+    if dict_vals is not None:
+        dict_offset = len(out)
+        page, _, dict_uncomp = _dict_page(dict_vals, leaf.phys, codec)
+        out.extend(page)
+        uncomp_total += dict_uncomp
+        encodings = [ENC_PLAIN, ENC_RLE_DICT]
+
+    data_offset = len(out)
+    # single V2 page per chunk for <= page budget, else split on row bounds
+    pages = _page_spans(arr, leaf, page_bytes)
+    pos = 0
+    vpos = 0
+    for (row_lo, row_hi) in pages:
+        sub = arr.slice(row_lo, row_hi - row_lo)
+        dd, rr, vv = _dremel_levels(sub, leaf)
+        def_bytes = _rle_levels(dd, leaf.max_def)
+        rep_bytes = _rle_levels(rr, leaf.max_rep)
+        if indexes is not None:
+            idx = indexes[vpos:vpos + len(vv)]
+            bw = max(1, bit_width(max(len(dict_vals) - 1, 0)))
+            raw = bytes([bw]) + rle_hybrid_encode(idx.astype(np.uint64), bw)
+            enc_tag = ENC_RLE_DICT
+        else:
+            raw = _encode_values(vv, leaf.phys, encoding)
+            enc_tag = encoding
+        comp = _compress(raw, codec)
+        stats = _statistics(vv, leaf.phys, len(dd) if leaf.max_def else len(sub))
+        header = _page_header_v2(
+            num_values=len(dd) if leaf.max_def else len(sub),
+            num_nulls=(len(dd) - len(vv)) if leaf.max_def else 0,
+            num_rows=len(sub), encoding=enc_tag,
+            def_len=len(def_bytes), rep_len=len(rep_bytes),
+            comp_size=len(comp) + len(def_bytes) + len(rep_bytes),
+            uncomp_size=len(raw) + len(def_bytes) + len(rep_bytes),
+            stats_fields=stats)
+        out.extend(header)
+        out.extend(rep_bytes)
+        out.extend(def_bytes)
+        out.extend(comp)
+        uncomp_total += len(header) + len(rep_bytes) + len(def_bytes) + len(raw)
+        vpos += len(vv)
+        pos += 1
+
+    total_comp = len(out) - chunk_start
+    if indexes is not None:
+        enc_final = ENC_RLE_DICT
+    else:
+        enc_final = encoding
+    stats_all = _statistics(values, leaf.phys, n_slots)
+    col_meta = [
+        (1, CT_I32, leaf.phys),
+        (2, CT_LIST, ("i32", sorted({ENC_RLE, enc_final} | set(encodings)))),
+        (3, CT_LIST, ("binary", leaf.path)),
+        (4, CT_I32, codec),
+        (5, CT_I64, n_slots),
+        (6, CT_I64, uncomp_total),
+        (7, CT_I64, total_comp),
+        (9, CT_I64, data_offset),
+        (11, CT_I64, dict_offset),
+        (12, CT_STRUCT, stats_all),
+    ]
+    chunk = [
+        (2, CT_I64, chunk_start),
+        (3, CT_STRUCT, col_meta),
+    ]
+    return chunk, total_comp
+
+
+def _page_spans(arr: pa.Array, leaf: _Leaf, page_bytes: int) -> list[tuple[int, int]]:
+    """Greedy page split on estimated uncompressed bytes (reference E13:
+    src/column.js:211-239), on row boundaries."""
+    n = len(arr)
+    if n == 0:
+        return [(0, 0)]
+    if leaf.is_list:
+        lens = arr.value_lengths().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        width = 4 if leaf.phys in (PT_INT32, PT_FLOAT) else 8
+        sizes = lens * width + 1
+    elif leaf.phys == PT_BYTE_ARRAY:
+        import pyarrow.compute as pc
+
+        sizes = pc.binary_length(arr.cast(pa.large_binary()) if not (
+            pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type))
+            else arr).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64) + 4
+    elif leaf.phys == PT_BOOLEAN:
+        sizes = np.full(n, 1, dtype=np.int64)
+    else:
+        width = 4 if leaf.phys in (PT_INT32, PT_FLOAT) else 8
+        sizes = np.full(n, width, dtype=np.int64)
+    cum = np.cumsum(sizes)
+    spans = []
+    start = 0
+    while start < n:
+        target = (cum[start - 1] if start else 0) + page_bytes
+        end = int(np.searchsorted(cum, target, side="left")) + 1
+        end = max(start + 1, min(end, n))
+        spans.append((start, end))
+        start = end
+    return spans
+
+
+def _file_metadata(schema: pa.Schema, leaves: list[_Leaf], row_groups, n_rows: int) -> bytes:
+    elements = [_schema_element("root", None, None, len(leaves), None)]
+    for leaf in leaves:
+        if leaf.is_list:
+            elements.append(_schema_element(leaf.name, None, REP_OPTIONAL, 1, CONV_LIST))
+            elements.append(_schema_element("list", None, REP_REPEATED, 1, None))
+            elements.append(_schema_element("element", leaf.phys, REP_OPTIONAL, None, leaf.conv))
+        else:
+            elements.append(_schema_element(leaf.name, leaf.phys, REP_OPTIONAL, None, leaf.conv))
+    rgs = []
+    for cols_meta, total_bytes, nr in row_groups:
+        rgs.append([
+            (1, CT_LIST, ("struct", cols_meta)),
+            (2, CT_I64, total_bytes),
+            (3, CT_I64, nr),
+        ])
+    # column_orders (TypeDefinedOrder per leaf) -- required for readers to
+    # trust min_value/max_value statistics
+    orders = [[(1, CT_STRUCT, [])] for _ in leaves]
+    return serialize_struct([
+        (1, CT_I32, 2),
+        (2, CT_LIST, ("struct", elements)),
+        (3, CT_I64, n_rows),
+        (4, CT_LIST, ("struct", rgs)),
+        (6, CT_BINARY, "sparkcodec"),
+        (7, CT_LIST, ("struct", orders)),
+    ])
+
+
+def write_partitioned_parquet(df, out_dir: str, *, compression: str = "gzip",
+                              use_dictionary: bool = True,
+                              row_group_rows: int = 1 << 20):
+    """Spark sink: each partition writes one parquet file produced by OUR
+    encoders (the reference's file-sink analog, reference: src/node.js:16-70).
+    Returns a DataFrame of (path, n_rows, n_bytes) manifest rows."""
+    import os
+    import uuid
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(batches):
+        import pyarrow as pa
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        tbls = list(batches)
+        if not tbls:
+            return
+        table = pa.Table.from_batches(tbls)
+        buf = write_parquet_bytes(table, compression=compression,
+                                  use_dictionary=use_dictionary,
+                                  row_group_rows=row_group_rows)
+        path = os.path.join(out_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf)
+        os.rename(tmp, path)
+        yield pa.RecordBatch.from_pylist(
+            [{"path": path, "n_rows": len(table), "n_bytes": len(buf)}],
+            schema=pa.schema([("path", pa.string()), ("n_rows", pa.int64()),
+                              ("n_bytes", pa.int64())]))
+
+    return df.mapInArrow(sink, "path string, n_rows long, n_bytes long")
+
+
+def _schema_element(name: str, phys: int | None, rep: int | None,
+                    num_children: int | None, conv: int | None):
+    return [
+        (1, CT_I32, phys),
+        (3, CT_I32, rep),
+        (4, CT_BINARY, name),
+        (5, CT_I32, num_children),
+        (6, CT_I32, conv),
+    ]

@@ -1,0 +1,174 @@
+"""Cross-implementation oracle (FIXTURES.md F4(b)): parquet files written
+by our own encoders must decode identically with pyarrow AND DuckDB --
+the stand-in for the reference's hyparquet-reader round-trips
+(reference: test/encoding.test.js:12-25, test/write.roundtrip.test.js)."""
+
+from __future__ import annotations
+
+import io
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sparkcodec.parquet import write_parquet_bytes
+
+RNG = np.random.default_rng(42)
+
+
+def _read_both(buf: bytes) -> tuple[pa.Table, object]:
+    t_pa = pq.read_table(io.BytesIO(buf))
+    con = duckdb.connect()
+    import tempfile, os
+    with tempfile.NamedTemporaryFile(suffix=".parquet", delete=False) as f:
+        f.write(buf)
+        path = f.name
+    try:
+        t_dd = con.execute(f"SELECT * FROM '{path}'").arrow()
+    finally:
+        os.unlink(path)
+    return t_pa, t_dd
+
+
+def _assert_equal(buf: bytes, expected: pa.Table):
+    got_pa, got_dd = _read_both(buf)
+    for got, who in ((got_pa, "pyarrow"), (got_dd, "duckdb")):
+        assert got.num_rows == expected.num_rows, who
+        for name in expected.column_names:
+            e = expected.column(name).combine_chunks()
+            g = got.column(name).combine_chunks()
+            if not g.type.equals(e.type):
+                g = g.cast(e.type)
+            assert g.equals(e), (who, name, g.slice(0, 5), e.slice(0, 5))
+
+
+def test_plain_numeric_columns():
+    t = pa.table({
+        "i32": pa.array(RNG.integers(-1000, 1000, 5000).astype(np.int32)),
+        "i64": pa.array(RNG.integers(-(2**40), 2**40, 5000)),
+        "f32": pa.array(RNG.normal(size=5000).astype(np.float32)),
+        "f64": pa.array(RNG.normal(size=5000)),
+        "b": pa.array(RNG.integers(0, 2, 5000).astype(bool)),
+    })
+    _assert_equal(write_parquet_bytes(t, use_dictionary=False), t)
+
+
+def test_dictionary_strings():
+    t = pa.table({"s": pa.array(["aaaa", "bbbb"] * 50000)})
+    buf = write_parquet_bytes(t)
+    _assert_equal(buf, t)
+    # dictionary + RLE keeps the file tiny (reference 170-byte pin analog;
+    # our footer is a bit chattier but the same order of magnitude)
+    assert len(buf) < 1000, len(buf)
+
+
+def test_delta_binary_packed_ints():
+    t = pa.table({"m": pa.array((np.arange(60000) * 3).astype(np.int32))})
+    buf = write_parquet_bytes(t, use_dictionary=False)
+    _assert_equal(buf, t)
+    assert len(buf) < 20000  # ~0 bits/value + block headers
+
+
+def test_delta_byte_array_strings():
+    urls = pa.array([f"https://example.com/path/{i:08d}" for i in range(20000)])
+    t = pa.table({"u": urls})
+    buf = write_parquet_bytes(t, use_dictionary=False)
+    _assert_equal(buf, t)
+
+
+def test_nullable_columns():
+    t = pa.table({
+        "x": pa.array([None if i % 3 == 0 else i for i in range(10000)], type=pa.int64()),
+        "s": pa.array([None if i % 7 == 0 else f"v{i % 50}" for i in range(10000)]),
+    })
+    _assert_equal(write_parquet_bytes(t), t)
+
+
+def test_tokens_list_column():
+    lens = RNG.integers(0, 50, 3000)
+    offsets = np.zeros(3001, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    vals = (RNG.zipf(1.2, int(offsets[-1])) % 50257).astype(np.int32)
+    tok = pa.ListArray.from_arrays(pa.array(offsets), pa.array(vals))
+    t = pa.table({"doc_id": pa.array([f"d{i:06d}" for i in range(3000)]), "tokens": tok})
+    _assert_equal(write_parquet_bytes(t), t)
+
+
+def test_list_with_nulls_and_empties():
+    data = [[1, 2, 3], [], None, [7] * 100, None, [0]]
+    tok = pa.array(data, type=pa.list_(pa.int32()))
+    t = pa.table({"tokens": tok})
+    _assert_equal(write_parquet_bytes(t), t)
+
+
+def test_timestamp_and_date():
+    ts = pa.array(np.arange(1000) * 10**6 + 1700000000 * 10**6, type=pa.timestamp("us"))
+    d = pa.array((np.arange(1000) % 2000).astype(np.int32), type=pa.date32())
+    t = pa.table({"ts": ts, "d": d})
+    _assert_equal(write_parquet_bytes(t), t)
+
+
+def test_multi_row_group_and_page_split():
+    t = pa.table({"x": pa.array(RNG.integers(0, 10**6, 800000).astype(np.int64)),
+                  "s": pa.array([f"row-{i}" for i in range(800000)])})
+    buf = write_parquet_bytes(t, row_group_rows=300000, use_dictionary=False,
+                              page_bytes=1 << 18)
+    got = pq.ParquetFile(io.BytesIO(buf))
+    assert got.num_row_groups == 3
+    _assert_equal(buf, t)
+
+
+def test_statistics_visible_to_readers():
+    t = pa.table({"x": pa.array(np.arange(1000, 3000).astype(np.int64)),
+                  "s": pa.array(["x" * 56 + f"{i:06d}" for i in range(2000)])})
+    buf = write_parquet_bytes(t, use_dictionary=False)
+    md = pq.ParquetFile(io.BytesIO(buf)).metadata
+    st = md.row_group(0).column(0).statistics
+    assert st.min == 1000 and st.max == 2999 and st.null_count == 0
+    st2 = md.row_group(0).column(1).statistics
+    assert st2.min == "x" * 16  # truncated prefix
+    assert st2.max == "x" * 15 + "y"  # rounded up
+    # predicate pushdown works against our stats
+    con = duckdb.connect()
+    import tempfile, os
+    with tempfile.NamedTemporaryFile(suffix=".parquet", delete=False) as f:
+        f.write(buf)
+    n = con.execute(f"SELECT count(*) FROM '{f.name}' WHERE x < 1100").fetchone()[0]
+    os.unlink(f.name)
+    assert n == 100
+
+
+def test_empty_table():
+    t = pa.table({"x": pa.array([], type=pa.int32())})
+    buf = write_parquet_bytes(t)
+    got = pq.read_table(io.BytesIO(buf))
+    assert got.num_rows == 0 and got.column_names == ["x"]
+
+
+def test_gzip_compression_effective():
+    t = pa.table({"s": pa.array(["the same text again and again"] * 20000)})
+    gz = write_parquet_bytes(t, compression="gzip", use_dictionary=False)
+    raw = write_parquet_bytes(t, compression="none", use_dictionary=False)
+    assert len(gz) < len(raw) * 0.2
+    _assert_equal(gz, t)
+
+
+def test_spark_partitioned_parquet_sink(spark, tmp_path):
+    """Distributed sink: Spark partitions -> our parquet files -> Spark and
+    DuckDB read them back identically."""
+    from sparkcodec.parquet.writer import write_partitioned_parquet
+    from sparkcodec.tokens import tokens_table
+    from tests.conftest import SF_DIR
+
+    toks = tokens_table(spark, SF_DIR)
+    out = str(tmp_path / "files")
+    manifest = write_partitioned_parquet(toks.repartition(4), out).collect()
+    assert len(manifest) == 4 and all(r["n_bytes"] > 0 for r in manifest)
+    back = spark.read.parquet(out)
+    a = sorted((r["doc_id"], tuple(r["tokens"] or ())) for r in toks.collect())
+    b = sorted((r["doc_id"], tuple(r["tokens"] or ())) for r in back.collect())
+    assert a == b
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    assert n == toks.count()
