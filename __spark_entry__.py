@@ -227,6 +227,55 @@ def _media_features(spark, sf_dir):
     )
 
 
+def _roundtrip_parquet_file(spark, sf_dir):
+    """lineitem written as REAL parquet by OUR writer (thrift footer,
+    DataPageV2, own encoders), read back by Spark's builtin reader."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.parquet.writer import write_partitioned_parquet
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    out = tempfile.mkdtemp(prefix="sc_pq_") + "/files"
+    write_partitioned_parquet(li.repartition(4), out).collect()
+    return spark.read.parquet(out)
+
+
+def _dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-duplicate pairs: cosine >= threshold over all pairs
+    (exact; the LSH-bucketed variant is the scale path)."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.pipeline.simsearch import cosine_expr
+
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.expr(cosine_expr("va", "vb")))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _dedup_embedding_oracle() -> str:
+    dot = ("list_sum(list_transform(generate_series(1, len(a.embedding)), "
+           "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))")
+    na = "sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({dot} / (greatest({na}, 1e-30) * greatest({nb}, 1e-30)), 6) AS cosine
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND {dot} / (greatest({na}, 1e-30) * greatest({nb}, 1e-30)) >= 0.4
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: encode+decode the sf0.001 tokens table; driver checks rows>0."""
     return _roundtrip_tokens(spark, "/root/testdata/sf0.001")
@@ -252,6 +301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "media_image_features": _media_features,
+        "roundtrip_parquet_file": _roundtrip_parquet_file,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
     }
 
 
@@ -283,6 +334,10 @@ def oracle_sql() -> dict[str, str]:
         "text_token_count": _textstats_oracle("token_count"),
         "text_fingerprint": _textstats_oracle("fingerprint"),
         "ann_cosine_topk": _ann_oracle(),
+        "roundtrip_parquet_file": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem"
+        ),
+        "dedup_embedding_cosine": _dedup_embedding_oracle(),
         # ann_lsh_topk: approximate (bucketed) -> rows-only
         # media_image_features: stubbed decoder, engine-internal -> rows-only
     }

@@ -66,11 +66,20 @@ COMP_ZLIB = 1
 _COMP_KEEP_RATIO = 0.9  # keep compressed form only if it saves >=10%
 
 
+_COMP_SAMPLE = 1 << 16
+
+
 def _compress(payload: bytes, enable: bool) -> tuple[int, bytes]:
     if not enable or len(payload) < 64:
         return COMP_NONE, payload
     import zlib
 
+    # bit-packed payloads are usually incompressible: probe a 64 KiB sample
+    # first and skip the full pass unless the sample actually shrinks
+    if len(payload) > 4 * _COMP_SAMPLE:
+        probe = zlib.compress(payload[:_COMP_SAMPLE], 1)
+        if len(probe) > _COMP_SAMPLE * 0.85:
+            return COMP_NONE, payload
     comp = zlib.compress(payload, 1)
     if len(comp) < len(payload) * _COMP_KEEP_RATIO:
         return COMP_ZLIB, comp
@@ -231,9 +240,11 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
     if type_tag in (T_BINARY, T_STRING):
         offsets, data = binary_buffers(dense)
         st = binary_stats(offsets, data, n)
+        fsst_table = None
         if codec is None:
             samp = S.sample_binary(offsets, data)
-            codec = S.pick(S.estimate_costs_binary(samp, fsst_gain=_fsst_gain(offsets, data)))
+            gain, fsst_table = _fsst_gain(offsets, data)
+            codec = S.pick(S.estimate_costs_binary(samp, fsst_gain=gain))
         if codec == S.PLAIN:
             payload = plain_encode_binary(dense)
         elif codec == S.DELTA_LENGTH:
@@ -243,7 +254,9 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
         elif codec == S.FSST:
             from .kernels.fsst import fsst_encode
 
-            payload = fsst_encode(offsets, data)
+            # reuse the sample-trained table from the selector probe (the
+            # encoder would otherwise re-train on the same sample prefix)
+            payload = fsst_encode(offsets, data, table=fsst_table)
         elif codec == S.DICT:
             idx, d = factorize(dense, "binary")
             doff, ddata = binary_buffers(d)
@@ -324,14 +337,13 @@ def _meta_repr(v):
     return v
 
 
-def _fsst_gain(offsets, data) -> float | None:
-    """Estimated fractional size reduction from FSST on a sample, or None
-    if the FSST kernel is not yet profitable/available for this data."""
+def _fsst_gain(offsets, data):
+    """(estimated fractional FSST size reduction | None, trained table)."""
     try:
         from .kernels.fsst import fsst_sample_gain
     except ImportError:
-        return None
-    return fsst_sample_gain(offsets, data)
+        return None, None
+    return fsst_sample_gain(offsets, data, return_table=True)
 
 
 def decode_array(buf) -> pa.Array:

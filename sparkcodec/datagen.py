@@ -47,7 +47,7 @@ def gen_rows(ids: np.ndarray, seed: int = 42) -> pa.RecordBatch:
     """Generate the F1 rows for the given row indexes (vectorized)."""
     n = len(ids)
     ids = ids.astype(np.uint64)
-    base = np.uint64(seed) * np.uint64(0xD1B54A32D192ED03)
+    base = np.uint64((seed * 0xD1B54A32D192ED03) & 0xFFFFFFFFFFFFFFFF)
     with np.errstate(over="ignore"):
         # lengths: lognormal via Box-Muller on two per-row uniforms
         u1 = _uniform(base + ids * np.uint64(4))

@@ -34,7 +34,7 @@ from .kernels.rle import rle_hybrid_decode, rle_hybrid_encode
 from .kernels.varint import read_uvarint, write_uvarint
 
 GROUP_MAGIC = b"SCG1"
-GROUP_VERSION = 1
+GROUP_VERSION = 2  # v2 adds an optional per-column bloom-filter section
 
 DEFAULT_CHUNK_ROWS = 65536
 DEFAULT_TOKEN_BUDGET = 1 << 22  # list elements per chunk group
@@ -176,9 +176,41 @@ def _decode_list_column(buf, value_type: pa.DataType) -> pa.Array:
     return pa.ListArray.from_arrays(off_pa, values)
 
 
-def encode_chunk_group(batch: pa.Table | pa.RecordBatch, compress: bool = True) -> tuple[bytes, dict, list[list[str]], int]:
+def _column_hashes(col: pa.Array) -> np.ndarray | None:
+    """xxhash64 of each non-null value's canonical bytes (for blooms)."""
+    from .kernels.bloom import xxhash64_int64, xxhash64_matrix
+
+    dense = col.drop_null() if col.null_count else col
+    t = dense.type
+    if pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_date32(t):
+        return xxhash64_int64(dense.cast(pa.int64()).to_numpy(zero_copy_only=False))
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or \
+            pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        from .kernels.plain import binary_buffers
+
+        offsets, data = binary_buffers(dense)
+        lens = np.diff(offsets)
+        width = int(lens.max(initial=1))
+        mat = np.zeros((len(lens), max(width, 1)), dtype="u1")
+        valid = np.arange(max(width, 1))[None, :] < lens[:, None]
+        if data.size:
+            gather = offsets[:-1, None] + np.arange(max(width, 1))
+            mat[valid] = data[np.minimum(gather, len(data) - 1)][valid]
+        return xxhash64_matrix(mat, lens.astype(np.int64))
+    return None
+
+
+def encode_chunk_group(batch: pa.Table | pa.RecordBatch, compress: bool = True,
+                       bloom_columns: tuple[str, ...] = ()) -> tuple[bytes, dict, list[list[str]], int]:
     """Encode all columns of a row window.  Returns
-    (blob, per-column meta, schema pairs, n_tokens)."""
+    (blob, per-column meta, schema pairs, n_tokens).
+
+    ``bloom_columns`` opt in per-column split-block bloom filters stored in
+    the group blob (reference analog: per-chunk bloom, src/bloom.js), used
+    by :func:`group_may_contain` for chunk pruning without decode.
+    """
+    from .kernels.bloom import build_bloom
+
     out = bytearray()
     out.extend(GROUP_MAGIC)
     out.append(GROUP_VERSION)
@@ -199,19 +231,70 @@ def encode_chunk_group(batch: pa.Table | pa.RecordBatch, compress: bool = True) 
             n_tokens += int(meta["values"]["n_values"])
         else:
             blob, meta = encode_array(col, compress=compress)
+        bloom_bytes = b""
+        if name in bloom_columns and not tname.startswith("list<"):
+            hashes = _column_hashes(col)
+            if hashes is not None and len(hashes):
+                bloom = build_bloom(hashes)
+                if bloom is not None:
+                    bloom_bytes = bloom.to_bytes()
+                    meta["bloom_bytes"] = len(bloom_bytes)
         nb = name.encode()
         write_uvarint(out, len(nb))
         out.extend(nb)
+        write_uvarint(out, len(bloom_bytes))
+        out.extend(bloom_bytes)
         write_uvarint(out, len(blob))
         out.extend(blob)
         metas[name] = meta
     return bytes(out), metas, pairs, n_tokens
 
 
+def group_may_contain(blob, column: str, value) -> bool:
+    """Bloom probe on an encoded chunk group WITHOUT decoding the data.
+    True if the chunk may contain ``value`` in ``column`` (always True when
+    the column carries no bloom filter)."""
+    from .kernels.bloom import SplitBlockBloom, xxhash64_int64, xxhash64_matrix
+
+    mv = memoryview(blob)
+    if bytes(mv[:4]) != GROUP_MAGIC:
+        raise ValueError("bad chunk-group magic")
+    version = mv[4]
+    pos = 5
+    _, pos = read_uvarint(mv, pos)
+    n_cols, pos = read_uvarint(mv, pos)
+    for _ in range(n_cols):
+        nlen, pos = read_uvarint(mv, pos)
+        name = bytes(mv[pos : pos + nlen]).decode()
+        pos += nlen
+        bloom_len = 0
+        if version >= 2:
+            bloom_len, pos = read_uvarint(mv, pos)
+            bloom_buf = mv[pos : pos + bloom_len]
+            pos += bloom_len
+        blen, pos = read_uvarint(mv, pos)
+        if name == column:
+            if bloom_len == 0:
+                return True
+            bloom = SplitBlockBloom.from_bytes(bytes(bloom_buf))
+            if isinstance(value, (int, np.integer)):
+                h = xxhash64_int64(np.array([value], dtype=np.int64))
+            else:
+                b = value.encode() if isinstance(value, str) else bytes(value)
+                mat = np.zeros((1, max(len(b), 1)), dtype="u1")
+                if b:
+                    mat[0, : len(b)] = np.frombuffer(b, dtype="u1")
+                h = xxhash64_matrix(mat, np.array([len(b)]))
+            return bool(bloom.might_contain(h)[0])
+        pos += blen
+    return True
+
+
 def decode_chunk_group(blob, pairs: list[list[str]]) -> pa.RecordBatch:
     mv = memoryview(blob)
     if bytes(mv[:4]) != GROUP_MAGIC:
         raise ValueError("bad chunk-group magic")
+    version = mv[4]
     pos = 5
     n_rows, pos = read_uvarint(mv, pos)
     n_cols, pos = read_uvarint(mv, pos)
@@ -222,6 +305,9 @@ def decode_chunk_group(blob, pairs: list[list[str]]) -> pa.RecordBatch:
         nlen, pos = read_uvarint(mv, pos)
         name = bytes(mv[pos : pos + nlen]).decode()
         pos += nlen
+        if version >= 2:
+            bloom_len, pos = read_uvarint(mv, pos)
+            pos += bloom_len  # pruning-only section; not needed to decode
         blen, pos = read_uvarint(mv, pos)
         colbuf = mv[pos : pos + blen]
         pos += blen
@@ -260,7 +346,8 @@ def _window_boundaries(weights: np.ndarray, max_rows: int, budget: int) -> list[
 
 def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                      token_budget: int = DEFAULT_TOKEN_BUDGET,
-                     compress: bool = True, partition_col: str | None = None):
+                     compress: bool = True, partition_col: str | None = None,
+                     bloom_columns: tuple[str, ...] = ()):
     """DataFrame -> encoded chunk-group DataFrame (one row per chunk).
 
     ``partition_col`` names an int column carrying a deterministic bucket
@@ -304,7 +391,8 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                 window = tbl.slice(s, e - s)
                 bytes_in = sum(c.nbytes for c in window.columns)
                 t0 = time.perf_counter()
-                blob, metas, pairs, n_tokens = encode_chunk_group(window, compress)
+                blob, metas, pairs, n_tokens = encode_chunk_group(
+                    window, compress, bloom_columns=bloom_columns)
                 encode_ms = (time.perf_counter() - t0) * 1000.0
                 row = {
                     "part_id": part_id,

@@ -35,8 +35,19 @@ def pack_bits_lsb(values: np.ndarray, bw: int) -> bytes:
         return b""
     if bw < 0 or bw > 64:
         raise ValueError(f"bit width out of range: {bw}")
+    # byte-aligned widths: a dtype cast IS the bit-packing (single pass --
+    # this is the hot path for token ids, which FOR-shift into 16 bits)
+    if bw == 8:
+        return np.ascontiguousarray(values, dtype="<u8").astype("u1").tobytes()
+    if bw == 16:
+        return np.ascontiguousarray(values, dtype="<u8").astype("<u2").tobytes()
+    if bw == 32:
+        return np.ascontiguousarray(values, dtype="<u8").astype("<u4").tobytes()
+    if bw == 64:
+        return np.ascontiguousarray(values, dtype="<u8").tobytes()
     v = np.ascontiguousarray(values, dtype="<u8").view("u1").reshape(n, 8)
-    bits = np.unpackbits(v, axis=1, bitorder="little")[:, :bw]
+    # count=bw keeps the bit matrix at n*bw instead of n*64
+    bits = np.unpackbits(v, axis=1, bitorder="little", count=bw)
     return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
 
 
@@ -51,8 +62,17 @@ def unpack_bits_lsb(buf: bytes | memoryview | np.ndarray, bw: int, n: int) -> np
     nbytes = (need + 7) // 8
     if raw.size < nbytes:
         raise ValueError(f"buffer too short: need {nbytes} bytes, have {raw.size}")
+    if bw == 8:
+        return raw[:n].astype(np.uint64)
+    if bw == 16:
+        return raw[: 2 * n].view("<u2").astype(np.uint64)
+    if bw == 32:
+        return raw[: 4 * n].view("<u4").astype(np.uint64)
+    if bw == 64:
+        return raw[: 8 * n].view("<u8").astype(np.uint64)
     bits = np.unpackbits(raw[:nbytes], bitorder="little")[:need].reshape(n, bw)
-    out = np.zeros((n, 64), dtype="u1")
-    out[:, :bw] = bits
-    packed = np.packbits(out, axis=1, bitorder="little")
-    return np.ascontiguousarray(packed).view("<u8").ravel()
+    # per-row packbits gives the low ceil(bw/8) bytes of each value
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    out = np.zeros((n, 8), dtype="u1")
+    out[:, : packed.shape[1]] = packed
+    return np.ascontiguousarray(out).view("<u8").ravel()

@@ -325,15 +325,19 @@ def _ragged_arange(lengths: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
 
 
-def fsst_sample_gain(offsets: np.ndarray, data: np.ndarray) -> float | None:
-    """Fractional size reduction of FSST on a sample (None if no strings)."""
+def fsst_sample_gain(offsets: np.ndarray, data: np.ndarray,
+                     return_table: bool = False):
+    """Fractional size reduction of FSST on a sample (None if no strings).
+    With ``return_table`` also returns the trained SymbolTable for reuse."""
     offsets = np.asarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
     if n == 0 or offsets[-1] == 0:
-        return None
-    cut = max(1, min(int(np.searchsorted(offsets, 8192, side="right")), n))
+        return (None, None) if return_table else None
+    cut = max(1, min(int(np.searchsorted(offsets, SAMPLE_BYTES, side="right")), n))
     s_off = offsets[: cut + 1]
     s_data = np.ascontiguousarray(data[: int(s_off[-1])], dtype="u1")
-    enc = fsst_encode(s_off, s_data)
+    table = train(s_off, s_data)
+    enc = fsst_encode(s_off, s_data, table=table)
     orig = int(s_off[-1]) + 2 * cut
-    return 1.0 - len(enc) / max(orig, 1)
+    gain = 1.0 - len(enc) / max(orig, 1)
+    return (gain, table) if return_table else gain

@@ -201,21 +201,23 @@ def _plain_single(value, phys: int) -> bytes:
     raise ValueError
 
 
-def _statistics(values: pa.Array, phys: int, n_logical: int) -> list:
-    """Statistics struct fields (3: null_count, 5: max_value, 6: min_value)."""
+def _stats_raw(values: pa.Array, phys: int, n_logical: int):
+    """(null_count, min_raw, max_raw, min_bytes, max_bytes)."""
     if phys == PT_BYTE_ARRAY:
         offsets, data = binary_buffers(values)
         st = binary_stats(offsets, data, n_logical)
-        mn = st.min_value if st.min_value is None else (
-            st.min_value if isinstance(st.min_value, bytes) else bytes(st.min_value))
-        mx = st.max_value
-        return [(3, CT_I64, st.null_count),
-                (5, CT_BINARY, mx), (6, CT_BINARY, mn)]
+        return st.null_count, st.min_value, st.max_value, st.min_value, st.max_value
     np_vals = _numeric_np(values, phys) if phys != PT_BOOLEAN else np.asarray(values)
     st = numeric_stats(np_vals, n_logical)
     mn = None if st.min_value is None else _plain_single(st.min_value, phys)
     mx = None if st.max_value is None else _plain_single(st.max_value, phys)
-    return [(3, CT_I64, st.null_count), (5, CT_BINARY, mx), (6, CT_BINARY, mn)]
+    return st.null_count, st.min_value, st.max_value, mn, mx
+
+
+def _statistics(values: pa.Array, phys: int, n_logical: int) -> list:
+    """Statistics struct fields (3: null_count, 5: max_value, 6: min_value)."""
+    null_count, _, _, mn, mx = _stats_raw(values, phys, n_logical)
+    return [(3, CT_I64, null_count), (5, CT_BINARY, mx), (6, CT_BINARY, mn)]
 
 
 def _pick_encoding(values: pa.Array, phys: int, use_dictionary: bool):
@@ -322,25 +324,109 @@ def write_parquet_bytes(table: pa.Table, *, row_group_rows: int = 1 << 20,
         rg = table.slice(rg_start, row_group_rows)
         if len(rg) == 0 and n_rows_total > 0:
             break
-        cols_meta = []
+        chunk_infos = []
         total_bytes = 0
         for i, leaf in enumerate(leaves):
             col = rg.column(i)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            meta, nbytes = _write_column_chunk(out, col, leaf, codec, use_dictionary,
-                                               page_bytes)
-            cols_meta.append(meta)
-            total_bytes += nbytes
-        row_groups.append((cols_meta, total_bytes, len(rg)))
+            info = _write_column_chunk(out, col, leaf, codec, use_dictionary,
+                                       page_bytes)
+            chunk_infos.append(info)
+            total_bytes += info["total_comp"]
+        row_groups.append((chunk_infos, total_bytes, len(rg)))
         if n_rows_total == 0:
             break
 
-    footer = _file_metadata(table.schema, leaves, row_groups, n_rows_total)
+    # page indexes: all ColumnIndexes, then all OffsetIndexes, after the row
+    # groups and before the footer (reference: src/indexes.js:15-22);
+    # skipped for single-page chunks (reference: src/indexes.js:31)
+    for chunk_infos, _, _ in row_groups:
+        for info in chunk_infos:
+            if len(info["pages"]) > 1:
+                ci = _column_index_bytes(info)
+                info["column_index_offset"] = len(out)
+                info["column_index_length"] = len(ci)
+                out.extend(ci)
+    for chunk_infos, _, _ in row_groups:
+        for info in chunk_infos:
+            if len(info["pages"]) > 1:
+                oi = _offset_index_bytes(info)
+                info["offset_index_offset"] = len(out)
+                info["offset_index_length"] = len(oi)
+                out.extend(oi)
+
+    rg_structs = []
+    for chunk_infos, total_bytes, nr in row_groups:
+        rg_structs.append(([_chunk_struct(info) for info in chunk_infos],
+                           total_bytes, nr))
+    footer = _file_metadata(table.schema, leaves, rg_structs, n_rows_total)
     out.extend(footer)
     out.extend(len(footer).to_bytes(4, "little"))
     out.extend(MAGIC)
     return bytes(out)
+
+
+def _boundary_order(pages: list[dict]) -> int:
+    mins = [p["min_raw"] for p in pages if p["min_raw"] is not None]
+    maxs = [p["max_raw"] for p in pages if p["max_raw"] is not None]
+    if len(mins) < 2:
+        return 0  # UNORDERED
+    try:
+        asc = all(mins[i] <= mins[i + 1] for i in range(len(mins) - 1)) and \
+            all(maxs[i] <= maxs[i + 1] for i in range(len(maxs) - 1))
+        desc = all(mins[i] >= mins[i + 1] for i in range(len(mins) - 1)) and \
+            all(maxs[i] >= maxs[i + 1] for i in range(len(maxs) - 1))
+    except TypeError:
+        return 0
+    if asc:
+        return 1
+    if desc:
+        return 2
+    return 0
+
+
+def _column_index_bytes(info: dict) -> bytes:
+    pages = info["pages"]
+    null_pages = [p["min_bytes"] is None for p in pages]
+    min_values = [p["min_bytes"] if p["min_bytes"] is not None else b"" for p in pages]
+    max_values = [p["max_bytes"] if p["max_bytes"] is not None else b"" for p in pages]
+    return serialize_struct([
+        (1, CT_LIST, ("bool", null_pages)),
+        (2, CT_LIST, ("binary", min_values)),
+        (3, CT_LIST, ("binary", max_values)),
+        (4, CT_I32, _boundary_order(pages)),
+        (5, CT_LIST, ("i64", [p["null_count"] for p in pages])),
+    ])
+
+
+def _offset_index_bytes(info: dict) -> bytes:
+    locs = [[(1, CT_I64, p["offset"]), (2, CT_I32, p["size"]),
+             (3, CT_I64, p["first_row"])] for p in info["pages"]]
+    return serialize_struct([(1, CT_LIST, ("struct", locs))])
+
+
+def _chunk_struct(info: dict):
+    col_meta = [
+        (1, CT_I32, info["phys"]),
+        (2, CT_LIST, ("i32", info["encodings"])),
+        (3, CT_LIST, ("binary", info["path"])),
+        (4, CT_I32, info["codec"]),
+        (5, CT_I64, info["n_slots"]),
+        (6, CT_I64, info["uncomp_total"]),
+        (7, CT_I64, info["total_comp"]),
+        (9, CT_I64, info["data_offset"]),
+        (11, CT_I64, info["dict_offset"]),
+        (12, CT_STRUCT, info["stats_all"]),
+    ]
+    return [
+        (2, CT_I64, info["chunk_start"]),
+        (3, CT_STRUCT, col_meta),
+        (4, CT_I64, info.get("offset_index_offset")),
+        (5, CT_I32, info.get("offset_index_length")),
+        (6, CT_I64, info.get("column_index_offset")),
+        (7, CT_I32, info.get("column_index_length")),
+    ]
 
 
 def _write_column_chunk(out: bytearray, arr: pa.Array, leaf: _Leaf, codec: int,
@@ -364,8 +450,9 @@ def _write_column_chunk(out: bytearray, arr: pa.Array, leaf: _Leaf, codec: int,
     data_offset = len(out)
     # single V2 page per chunk for <= page budget, else split on row bounds
     pages = _page_spans(arr, leaf, page_bytes)
-    pos = 0
     vpos = 0
+    first_row = 0
+    pages_info = []
     for (row_lo, row_hi) in pages:
         sub = arr.slice(row_lo, row_hi - row_lo)
         dd, rr, vv = _dremel_levels(sub, leaf)
@@ -380,46 +467,48 @@ def _write_column_chunk(out: bytearray, arr: pa.Array, leaf: _Leaf, codec: int,
             raw = _encode_values(vv, leaf.phys, encoding)
             enc_tag = encoding
         comp = _compress(raw, codec)
-        stats = _statistics(vv, leaf.phys, len(dd) if leaf.max_def else len(sub))
+        n_page_slots = len(dd) if leaf.max_def else len(sub)
+        null_count, mn_raw, mx_raw, mn_b, mx_b = _stats_raw(vv, leaf.phys, n_page_slots)
+        stats = [(3, CT_I64, null_count), (5, CT_BINARY, mx_b), (6, CT_BINARY, mn_b)]
         header = _page_header_v2(
-            num_values=len(dd) if leaf.max_def else len(sub),
+            num_values=n_page_slots,
             num_nulls=(len(dd) - len(vv)) if leaf.max_def else 0,
             num_rows=len(sub), encoding=enc_tag,
             def_len=len(def_bytes), rep_len=len(rep_bytes),
             comp_size=len(comp) + len(def_bytes) + len(rep_bytes),
             uncomp_size=len(raw) + len(def_bytes) + len(rep_bytes),
             stats_fields=stats)
+        page_offset = len(out)
         out.extend(header)
         out.extend(rep_bytes)
         out.extend(def_bytes)
         out.extend(comp)
         uncomp_total += len(header) + len(rep_bytes) + len(def_bytes) + len(raw)
+        pages_info.append({
+            "offset": page_offset, "size": len(out) - page_offset,
+            "first_row": first_row, "null_count": null_count,
+            "min_raw": mn_raw, "max_raw": mx_raw,
+            "min_bytes": mn_b, "max_bytes": mx_b,
+        })
+        first_row += len(sub)
         vpos += len(vv)
-        pos += 1
 
     total_comp = len(out) - chunk_start
-    if indexes is not None:
-        enc_final = ENC_RLE_DICT
-    else:
-        enc_final = encoding
-    stats_all = _statistics(values, leaf.phys, n_slots)
-    col_meta = [
-        (1, CT_I32, leaf.phys),
-        (2, CT_LIST, ("i32", sorted({ENC_RLE, enc_final} | set(encodings)))),
-        (3, CT_LIST, ("binary", leaf.path)),
-        (4, CT_I32, codec),
-        (5, CT_I64, n_slots),
-        (6, CT_I64, uncomp_total),
-        (7, CT_I64, total_comp),
-        (9, CT_I64, data_offset),
-        (11, CT_I64, dict_offset),
-        (12, CT_STRUCT, stats_all),
-    ]
-    chunk = [
-        (2, CT_I64, chunk_start),
-        (3, CT_STRUCT, col_meta),
-    ]
-    return chunk, total_comp
+    enc_final = ENC_RLE_DICT if indexes is not None else encoding
+    return {
+        "phys": leaf.phys,
+        "path": leaf.path,
+        "codec": codec,
+        "n_slots": n_slots,
+        "uncomp_total": uncomp_total,
+        "total_comp": total_comp,
+        "chunk_start": chunk_start,
+        "data_offset": data_offset,
+        "dict_offset": dict_offset,
+        "encodings": sorted({ENC_RLE, enc_final} | set(encodings)),
+        "stats_all": _statistics(values, leaf.phys, n_slots),
+        "pages": pages_info,
+    }
 
 
 def _page_spans(arr: pa.Array, leaf: _Leaf, page_bytes: int) -> list[tuple[int, int]]:

@@ -131,3 +131,21 @@ def test_mixed_type_table_roundtrip(spark):
     a = [tuple(r) for r in sdf.orderBy("k").collect()]
     b = [tuple(r) for r in dec.orderBy("k").collect()]
     assert a == b
+
+
+def test_bloom_chunk_pruning(spark, toks):
+    from sparkcodec.engine import group_may_contain
+
+    enc = encode_dataframe(range_repartition(toks, 4), chunk_rows=64,
+                           bloom_columns=("doc_id",)).collect()
+    assert len(enc) > 4
+    target = toks.select("doc_id").first()[0]
+    hits = [r for r in enc if group_may_contain(r["payload"], "doc_id", target)]
+    # no false negatives: the chunk holding the target must survive
+    dec_hits = decode_dataframe(
+        spark.createDataFrame(hits, schema=spark.createDataFrame(enc).schema))
+    assert dec_hits.filter(F.col("doc_id") == target).count() == 1
+    # pruning is real: most chunks are eliminated
+    assert len(hits) < len(enc) / 2, (len(hits), len(enc))
+    # column without a bloom always passes
+    assert group_may_contain(enc[0]["payload"], "source", "nope")

@@ -172,3 +172,41 @@ def test_spark_partitioned_parquet_sink(spark, tmp_path):
     assert a == b
     n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
     assert n == toks.count()
+
+
+def test_page_indexes_written_and_valid():
+    """ColumnIndex/OffsetIndex parity (SURVEY M3/M4): parse the structures
+    back with our generic thrift reader and validate them against the data."""
+    from sparkcodec.parquet.thrift_read import read_struct
+
+    n = 400000
+    t = pa.table({"x": pa.array(np.arange(n).astype(np.int64))})
+    buf = write_parquet_bytes(t, use_dictionary=False, page_bytes=1 << 18,
+                              compression="none")
+    mv = memoryview(buf)
+    flen = int.from_bytes(buf[-8:-4], "little")
+    footer, _ = read_struct(mv, len(buf) - 8 - flen)
+    chunk = footer[4][0][1][0]  # row_groups[0].columns[0]
+    ci_off, ci_len = chunk[6], chunk[7]
+    oi_off, oi_len = chunk[4], chunk[5]
+    assert ci_off and oi_off
+    ci, _ = read_struct(mv, ci_off)
+    oi, _ = read_struct(mv, oi_off)
+    pages = oi[1]
+    assert len(pages) > 1
+    # boundary order ascending for a sorted column
+    assert ci[4] == 1
+    assert all(v is False for v in ci[1])  # no null pages
+    mins = [int.from_bytes(b, "little", signed=True) for b in ci[2]]
+    maxs = [int.from_bytes(b, "little", signed=True) for b in ci[3]]
+    assert mins == sorted(mins) and maxs == sorted(maxs)
+    assert mins[0] == 0 and maxs[-1] == n - 1
+    # offset index: first_row_index increases, offsets point at page starts
+    first_rows = [p[3] for p in pages]
+    assert first_rows[0] == 0 and first_rows == sorted(first_rows)
+    sizes = [p[2] for p in pages]
+    offs = [p[1] for p in pages]
+    for i in range(len(pages) - 1):
+        assert offs[i] + sizes[i] == offs[i + 1]
+    # file still decodes everywhere
+    _assert_equal(buf, t)
