@@ -55,9 +55,15 @@ ENCODED_PA_SCHEMA = pa.schema([
 
 # ---------- type naming ----------
 
-def _type_name(t: pa.DataType) -> str:
+def _type_name(t: pa.DataType):
+    if pa.types.is_struct(t):
+        # nested spec kept as JSON structure, not a parsed string
+        return {"struct": [[f.name, _type_name(f.type)] for f in t]}
     if pa.types.is_list(t) or pa.types.is_large_list(t):
-        return f"list<{_type_name(t.value_type)}>"
+        inner = _type_name(t.value_type)
+        if isinstance(inner, dict):
+            return {"list": inner}
+        return f"list<{inner}>"
     if pa.types.is_timestamp(t):
         return f"timestamp[{t.unit};{t.tz or ''}]"
     if pa.types.is_date32(t):
@@ -79,7 +85,13 @@ _PRIMS = {
 }
 
 
-def _type_from_name(name: str) -> pa.DataType:
+def _type_from_name(name) -> pa.DataType:
+    if isinstance(name, dict):
+        if "struct" in name:
+            return pa.struct([pa.field(n, _type_from_name(t)) for n, t in name["struct"]])
+        if "list" in name:
+            return pa.list_(_type_from_name(name["list"]))
+        raise TypeError(f"bad type spec {name}")
     if name.startswith("list<"):
         return pa.list_(_type_from_name(name[5:-1]))
     if name.startswith("timestamp["):
@@ -103,6 +115,11 @@ def spark_schema_from_names(pairs: list[list[str]]):
     }
 
     def conv(name):
+        if isinstance(name, dict):
+            if "struct" in name:
+                return StructType([StructField(n, conv(t), True)
+                                   for n, t in name["struct"]])
+            return ArrayType(conv(name["list"]))
         if name.startswith("list<"):
             return ArrayType(prim[name[5:-1]])
         if name.startswith("timestamp["):
@@ -134,7 +151,7 @@ def _encode_list_column(arr: pa.Array, compress: bool) -> tuple[bytes, dict]:
         write_uvarint(out, len(vbuf))
         out.extend(vbuf)
     off_chunk, off_meta = encode_array(pa.array(offsets), compress=compress)
-    val_chunk, val_meta = encode_array(values, compress=compress)
+    val_chunk, val_meta = _encode_any_column(values, compress)
     write_uvarint(out, len(off_chunk))
     out.extend(off_chunk)
     write_uvarint(out, len(val_chunk))
@@ -164,9 +181,7 @@ def _decode_list_column(buf, value_type: pa.DataType) -> pa.Array:
     offsets = decode_array(mv[pos : pos + olen]).to_numpy(zero_copy_only=False).astype(np.int32)
     pos += olen
     vlen2, pos = read_uvarint(mv, pos)
-    values = decode_array(mv[pos : pos + vlen2])
-    if not values.type.equals(value_type):
-        values = values.cast(value_type)
+    values = _decode_any_column(mv[pos : pos + vlen2], value_type)
     if null_count == n:
         off_pa = pa.array(offsets, mask=np.concatenate([np.ones(n, bool), [False]]))
     elif validity is not None:
@@ -174,6 +189,91 @@ def _decode_list_column(buf, value_type: pa.DataType) -> pa.Array:
     else:
         off_pa = pa.array(offsets)
     return pa.ListArray.from_arrays(off_pa, values)
+
+
+def _encode_struct_column(arr: pa.Array, compress: bool) -> tuple[bytes, dict]:
+    """Struct column: per-field sub-blobs + struct validity.  The Dremel
+    generality of the reference (src/dremel.js:16-163) reduces, for
+    structs, to per-child encoding plus one definition level per ancestor,
+    which Arrow already materializes as validity bitmaps."""
+    n = len(arr)
+    null_count = arr.null_count
+    out = bytearray()
+    write_uvarint(out, n)
+    write_uvarint(out, null_count)
+    if 0 < null_count < n:
+        validity = np.asarray(arr.is_valid()).astype(np.uint64)
+        vbuf = rle_hybrid_encode(validity, 1)
+        write_uvarint(out, len(vbuf))
+        out.extend(vbuf)
+    t = arr.type
+    write_uvarint(out, t.num_fields)
+    metas = {}
+    for i in range(t.num_fields):
+        fname = t.field(i).name
+        blob, meta = _encode_any_column(arr.field(i), compress)
+        nb = fname.encode()
+        write_uvarint(out, len(nb))
+        out.extend(nb)
+        write_uvarint(out, len(blob))
+        out.extend(blob)
+        metas[fname] = meta
+    return bytes(out), {
+        "kind": "struct", "n_values": n, "null_count": null_count,
+        "codec": "|".join(f"{k}:{v['codec']}" for k, v in metas.items()),
+        "fields": metas, "bytes_out": len(out),
+    }
+
+
+def _decode_struct_column(buf, target: pa.DataType) -> pa.Array:
+    mv = memoryview(buf)
+    n, pos = read_uvarint(mv, 0)
+    null_count, pos = read_uvarint(mv, pos)
+    validity = None
+    if 0 < null_count < n:
+        vlen, pos = read_uvarint(mv, pos)
+        validity = rle_hybrid_decode(mv[pos : pos + vlen], 1, n).astype(bool)
+        pos += vlen
+    n_fields, pos = read_uvarint(mv, pos)
+    children = []
+    names = []
+    for _ in range(n_fields):
+        nlen, pos = read_uvarint(mv, pos)
+        fname = bytes(mv[pos : pos + nlen]).decode()
+        pos += nlen
+        blen, pos = read_uvarint(mv, pos)
+        ftype = target.field(fname).type
+        children.append(_decode_any_column(mv[pos : pos + blen], ftype))
+        names.append(fname)
+        pos += blen
+    mask = None
+    if null_count == n:
+        mask = pa.array(np.ones(n, dtype=bool))
+    elif validity is not None:
+        mask = pa.array(~validity)
+    return pa.StructArray.from_arrays(children, names=names, mask=mask)
+
+
+def _encode_any_column(col: pa.Array, compress: bool) -> tuple[bytes, dict]:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_struct(t):
+        return _encode_struct_column(col, compress)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _encode_list_column(col, compress)
+    return encode_array(col, compress=compress)
+
+
+def _decode_any_column(buf, target: pa.DataType) -> pa.Array:
+    if pa.types.is_struct(target):
+        return _decode_struct_column(buf, target)
+    if pa.types.is_list(target) or pa.types.is_large_list(target):
+        return _decode_list_column(buf, target.value_type)
+    arr = decode_array(buf)
+    if not arr.type.equals(target):
+        arr = arr.cast(target)
+    return arr
 
 
 def _column_hashes(col: pa.Array) -> np.ndarray | None:
@@ -226,13 +326,11 @@ def encode_chunk_group(batch: pa.Table | pa.RecordBatch, compress: bool = True,
             col = col.combine_chunks()
         tname = _type_name(col.type)
         pairs.append([name, tname])
-        if tname.startswith("list<"):
-            blob, meta = _encode_list_column(col, compress)
+        blob, meta = _encode_any_column(col, compress)
+        if meta.get("kind") == "list":
             n_tokens += int(meta["values"]["n_values"])
-        else:
-            blob, meta = encode_array(col, compress=compress)
         bloom_bytes = b""
-        if name in bloom_columns and not tname.startswith("list<"):
+        if name in bloom_columns and isinstance(tname, str) and not tname.startswith("list<"):
             hashes = _column_hashes(col)
             if hashes is not None and len(hashes):
                 bloom = build_bloom(hashes)
@@ -311,14 +409,8 @@ def decode_chunk_group(blob, pairs: list[list[str]]) -> pa.RecordBatch:
         blen, pos = read_uvarint(mv, pos)
         colbuf = mv[pos : pos + blen]
         pos += blen
-        tname = types[name]
-        target = _type_from_name(tname)
-        if tname.startswith("list<"):
-            arr = _decode_list_column(colbuf, target.value_type)
-        else:
-            arr = decode_array(colbuf)
-            if not arr.type.equals(target):
-                arr = arr.cast(target)
+        target = _type_from_name(types[name])
+        arr = _decode_any_column(colbuf, target)
         arrays.append(arr)
         names.append(name)
     return pa.RecordBatch.from_arrays(arrays, names=names)

@@ -1,0 +1,61 @@
+"""Structured Streaming encode sink.
+
+The reference's only streaming construct is a row-iterable adapter with
+one-row-group backpressure (reference: src/write-rows.js:36-178); the
+Spark-native equivalent is a streaming DataFrame encoded per micro-batch.
+``encode_stream`` wires readStream -> foreachBatch -> the chunk encoder,
+appending encoded chunk-group rows plus per-batch manifest rows; Spark's
+checkpointLocation provides exactly-once per micro-batch, which replaces
+the reference's manual backpressure.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def encode_stream(stream_df, output_dir: str, checkpoint_dir: str, *,
+                  chunk_rows: int | None = None, token_budget: int | None = None,
+                  trigger_once: bool = True):
+    """Attach an encode sink to a streaming DataFrame.  Returns the
+    StreamingQuery (caller awaits termination)."""
+    from pyspark.sql import functions as F
+
+    from .engine import DEFAULT_CHUNK_ROWS, DEFAULT_TOKEN_BUDGET, encode_dataframe
+
+    chunks_dir = f"{output_dir.rstrip('/')}/chunks"
+    manifest_dir = f"{output_dir.rstrip('/')}/manifest"
+
+    def sink(batch_df, batch_id: int):
+        t0 = time.time()
+        enc = encode_dataframe(
+            batch_df,
+            chunk_rows=chunk_rows or DEFAULT_CHUNK_ROWS,
+            token_budget=token_budget or DEFAULT_TOKEN_BUDGET,
+        ).withColumn("batch_id", F.lit(batch_id))
+        enc.write.mode("append").parquet(chunks_dir)
+        spark = batch_df.sparkSession
+        chunks = spark.read.parquet(chunks_dir).filter(F.col("batch_id") == batch_id)
+        (
+            chunks.agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum("bytes_in").alias("bytes_in"),
+                F.sum("bytes_out").alias("bytes_out"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .withColumn("completed_at", F.lit(time.time()))
+            .withColumn("wall_sec", F.lit(time.time() - t0))
+            .write.mode("append").parquet(manifest_dir)
+        )
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_stream_encoded(spark, output_dir: str):
+    return spark.read.parquet(f"{output_dir.rstrip('/')}/chunks")

@@ -1,0 +1,41 @@
+"""Structured Streaming encode sink: micro-batch encode, exactly-once via
+checkpoint, decode equality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcodec.engine import decode_dataframe
+from sparkcodec.streaming import encode_stream, read_stream_encoded
+from sparkcodec.tokens import tokens_table
+from tests.conftest import SF_DIR
+
+
+def test_streaming_encode_sink(spark, tmp_path):
+    # stage a file source the stream will pick up
+    src_dir = str(tmp_path / "src")
+    toks = tokens_table(spark, SF_DIR)
+    toks.write.parquet(src_dir)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(toks.schema).parquet(src_dir)
+    q = encode_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    enc = read_stream_encoded(spark, out)
+    dec = decode_dataframe(enc.drop("batch_id"))
+    a = sorted((r["doc_id"], tuple(r["tokens"])) for r in dec.collect())
+    b = sorted((r["doc_id"], tuple(r["tokens"])) for r in toks.collect())
+    assert a == b
+
+    man = spark.read.parquet(f"{out}/manifest").collect()
+    assert len(man) >= 1
+    assert sum(r["n_rows"] for r in man) == toks.count()
+
+    # restart with the same checkpoint: no new data -> no duplicate batches
+    q2 = encode_stream(spark.readStream.schema(toks.schema).parquet(src_dir), out, ckpt)
+    q2.awaitTermination(120)
+    dec2 = decode_dataframe(read_stream_encoded(spark, out).drop("batch_id"))
+    assert dec2.count() == toks.count()
