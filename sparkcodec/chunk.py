@@ -98,21 +98,23 @@ def _decompress(tag: int, payload) -> bytes:
 # type tags
 T_INT32, T_INT64, T_FLOAT32, T_FLOAT64, T_BOOL, T_BINARY, T_STRING = 1, 2, 3, 4, 5, 6, 7
 T_TIMESTAMP_US, T_TIMESTAMP_NS, T_DATE32 = 8, 9, 10  # lowered to int64/int32
+T_DECIMAL = 11  # precision <= 18: unscaled int64 (reference: src/unconvert.js:21-28)
 
 TYPE_NAMES = {
     T_INT32: "int32", T_INT64: "int64", T_FLOAT32: "float32",
     T_FLOAT64: "float64", T_BOOL: "bool", T_BINARY: "binary", T_STRING: "string",
     T_TIMESTAMP_US: "timestamp_us", T_TIMESTAMP_NS: "timestamp_ns",
-    T_DATE32: "date32",
+    T_DATE32: "date32", T_DECIMAL: "decimal",
 }
 _PHYS_NAMES = {
     T_INT32: "int32", T_INT64: "int64", T_FLOAT32: "float32",
     T_FLOAT64: "float64", T_TIMESTAMP_US: "int64", T_TIMESTAMP_NS: "int64",
-    T_DATE32: "int32",
+    T_DATE32: "int32", T_DECIMAL: "int64",
 }
 _NP_DTYPES = {
     T_INT32: "<i4", T_INT64: "<i8", T_FLOAT32: "<f4", T_FLOAT64: "<f8",
     T_TIMESTAMP_US: "<i8", T_TIMESTAMP_NS: "<i8", T_DATE32: "<i4",
+    T_DECIMAL: "<i8",
 }
 _PA_TYPES = {
     T_INT32: pa.int32(), T_INT64: pa.int64(), T_FLOAT32: pa.float32(),
@@ -143,6 +145,10 @@ def _type_tag_of(arr: pa.Array) -> int:
         return T_TIMESTAMP_NS if t.unit == "ns" else T_TIMESTAMP_US
     if pa.types.is_date32(t):
         return T_DATE32
+    if pa.types.is_decimal(t):
+        if t.precision > 18:
+            raise TypeError(f"decimal precision > 18 unsupported: {t}")
+        return T_DECIMAL
     raise TypeError(f"unsupported arrow type: {t}")
 
 
@@ -216,10 +222,14 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
     # temporal types are lowered to their physical ints (parquet-style:
     # TIMESTAMP -> INT64 epoch units, DATE -> INT32 days; reference analog
     # src/unconvert.js:29-48) and restored from the type tag on decode
+    dec_params = b""
     if type_tag in (T_TIMESTAMP_US, T_TIMESTAMP_NS):
         dense = dense.cast(pa.int64())
     elif type_tag == T_DATE32:
         dense = dense.cast(pa.int32())
+    elif type_tag == T_DECIMAL:
+        dec_params = bytes([arr.type.precision, arr.type.scale])
+        dense = _decimal_unscaled(dense)
 
     out = bytearray()
     out.extend(MAGIC)
@@ -306,6 +316,7 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
     ptag, payload = _compress(payload, compress)
     out.append(codec)
     out.append(ptag)
+    out.extend(dec_params)  # (precision, scale) iff T_DECIMAL
     out.extend(header_tail)
     if codec == S.DICT:
         dtag, dict_block = _compress(dict_block, compress)
@@ -358,6 +369,10 @@ def decode_array(buf) -> pa.Array:
     codec = mv[6]
     ptag = mv[7]
     pos = 8
+    dec_precision = dec_scale = None
+    if type_tag == T_DECIMAL:
+        dec_precision, dec_scale = mv[8], mv[9]
+        pos = 10
     n, pos = read_uvarint(mv, pos)
     null_count, pos = read_uvarint(mv, pos)
     validity = None
@@ -431,12 +446,17 @@ def decode_array(buf) -> pa.Array:
                 vals = _bits_back(ints, type_tag)
             else:
                 vals = ints.astype(_NP_DTYPES[type_tag])
-        dense = pa.array(vals, type=_PA_TYPES[type_tag])
+        if type_tag == T_DECIMAL:
+            dense = _decimal_from_unscaled(vals, dec_precision, dec_scale)
+        else:
+            dense = pa.array(vals, type=_PA_TYPES[type_tag])
 
+    out_type = (pa.decimal128(dec_precision, dec_scale) if type_tag == T_DECIMAL
+                else _PA_TYPES[type_tag])
     if null_count == 0:
         return dense
     if null_count == n:
-        return pa.nulls(n, type=_PA_TYPES[type_tag])
+        return pa.nulls(n, type=out_type)
     return _expand_with_nulls(dense, validity, n, type_tag)
 
 
@@ -445,7 +465,28 @@ def _expand_with_nulls(dense: pa.Array, validity: np.ndarray, n: int, type_tag: 
     idx[validity] = np.arange(len(dense))
     taken = dense.take(pa.array(idx))
     mask = pa.array(validity)
-    return pa.compute.if_else(mask, taken, pa.nulls(n, type=_PA_TYPES[type_tag]))
+    return pa.compute.if_else(mask, taken, pa.nulls(n, type=dense.type))
+
+
+def _decimal_unscaled(arr: pa.Array) -> pa.Array:
+    """decimal128(p<=18, s) -> unscaled int64 (two's complement low word)."""
+    n = len(arr)
+    if n == 0:
+        return pa.array(np.zeros(0, dtype=np.int64))
+    buf = arr.buffers()[1]
+    words = np.frombuffer(buf, dtype="<i8", count=2 * (arr.offset + n))
+    low = words.reshape(-1, 2)[arr.offset:, 0]
+    return pa.array(low.copy())
+
+
+def _decimal_from_unscaled(ints: np.ndarray, precision: int, scale: int) -> pa.Array:
+    v = np.ascontiguousarray(ints, dtype="<i8")
+    n = len(v)
+    out = np.empty((n, 2), dtype="<i8")
+    out[:, 0] = v
+    out[:, 1] = v >> 63  # sign extension to 128 bits
+    data = pa.py_buffer(out.tobytes())
+    return pa.Array.from_buffers(pa.decimal128(precision, scale), n, [None, data])
 
 
 def _gather_spans(data: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:

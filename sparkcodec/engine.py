@@ -68,6 +68,8 @@ def _type_name(t: pa.DataType):
         return f"timestamp[{t.unit};{t.tz or ''}]"
     if pa.types.is_date32(t):
         return "date32"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
     for name, typ in _PRIMS.items():
         if t.equals(typ):
             return name
@@ -97,6 +99,9 @@ def _type_from_name(name) -> pa.DataType:
     if name.startswith("timestamp["):
         unit, tz = name[10:-1].split(";")
         return pa.timestamp(unit, tz or None)
+    if name.startswith("decimal("):
+        p, s = name[8:-1].split(",")
+        return pa.decimal128(int(p), int(s))
     return _PRIMS[name]
 
 
@@ -124,6 +129,11 @@ def spark_schema_from_names(pairs: list[list[str]]):
             return ArrayType(prim[name[5:-1]])
         if name.startswith("timestamp["):
             return TimestampType()
+        if name.startswith("decimal("):
+            from pyspark.sql.types import DecimalType
+
+            p, s = name[8:-1].split(",")
+            return DecimalType(int(p), int(s))
         return prim[name]
 
     return StructType([StructField(n, conv(t), True) for n, t in pairs])
@@ -388,7 +398,11 @@ def group_may_contain(blob, column: str, value) -> bool:
     return True
 
 
-def decode_chunk_group(blob, pairs: list[list[str]]) -> pa.RecordBatch:
+def decode_chunk_group(blob, pairs: list[list[str]],
+                       columns: set[str] | None = None) -> pa.RecordBatch:
+    """Decode a chunk-group blob.  ``columns`` prunes decoding to the named
+    columns -- the payload bytes of other columns are skipped entirely
+    (column pruning inside the chunk, no wasted decompression)."""
     mv = memoryview(blob)
     if bytes(mv[:4]) != GROUP_MAGIC:
         raise ValueError("bad chunk-group magic")
@@ -409,6 +423,8 @@ def decode_chunk_group(blob, pairs: list[list[str]]) -> pa.RecordBatch:
         blen, pos = read_uvarint(mv, pos)
         colbuf = mv[pos : pos + blen]
         pos += blen
+        if columns is not None and name not in columns:
+            continue
         target = _type_from_name(types[name])
         arr = _decode_any_column(colbuf, target)
         arrays.append(arr)
@@ -543,10 +559,25 @@ def infer_decoded_schema(enc_df):
     return spark_schema_from_names(json.loads(row[0][0]))
 
 
-def decode_dataframe(enc_df, schema=None):
-    """Encoded chunk-group DataFrame -> original rows (exact values)."""
+def decode_dataframe(enc_df, schema=None, columns: list[str] | None = None):
+    """Encoded chunk-group DataFrame -> original rows (exact values).
+
+    ``columns`` selects a subset to decode: other columns' payloads are
+    never decompressed (chunk-internal column pruning).
+    """
     if schema is None:
         schema = infer_decoded_schema(enc_df)
+    if columns is not None:
+        from pyspark.sql.types import StructType
+
+        wanted = set(columns)
+        known = {f.name for f in schema.fields}
+        missing = wanted - known
+        if missing:
+            raise ValueError(f"unknown columns {sorted(missing)}; "
+                             f"encoded schema has {sorted(known)}")
+        schema = StructType([f for f in schema.fields if f.name in wanted])
+    col_set = set(columns) if columns is not None else None
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -554,7 +585,7 @@ def decode_dataframe(enc_df, schema=None):
             schemas = b.column(b.schema.get_field_index("schema_json"))
             for i in range(len(b)):
                 pairs = json.loads(schemas[i].as_py())
-                yield decode_chunk_group(payloads[i].as_py(), pairs)
+                yield decode_chunk_group(payloads[i].as_py(), pairs, col_set)
 
     return enc_df.mapInArrow(decode_partition, schema)
 

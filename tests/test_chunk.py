@@ -250,3 +250,21 @@ def test_compressed_at_most_pyarrow_parquet():
         pq.write_table(pa.table({"c": arr}), sink, compression="snappy", use_dictionary=True)
         ref = sink.getbuffer().nbytes
         assert len(buf) <= ref, (name, len(buf), ref, meta["codec"])
+
+
+def test_decimal_roundtrip():
+    import decimal
+
+    vals = [decimal.Decimal(f"{i}.{i % 100:02d}") * (1 if i % 2 else -1)
+            for i in range(3000)] + [None]
+    v = pa.array(vals, type=pa.decimal128(18, 2))
+    out, buf, meta = roundtrip(v)
+    assert out.cast(v.type).to_pylist() == v.to_pylist()
+
+
+def test_decimal_too_wide_raises():
+    import decimal
+
+    v = pa.array([decimal.Decimal("1")], type=pa.decimal128(38, 2))
+    with pytest.raises(TypeError, match="precision"):
+        encode_array(v)

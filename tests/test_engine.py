@@ -149,3 +149,27 @@ def test_bloom_chunk_pruning(spark, toks):
     assert len(hits) < len(enc) / 2, (len(hits), len(enc))
     # column without a bloom always passes
     assert group_may_contain(enc[0]["payload"], "source", "nope")
+
+
+def test_selective_column_decode(spark, toks):
+    import time
+
+    enc = encode_dataframe(range_repartition(toks, 4)).cache()
+    enc.count()
+    only = decode_dataframe(enc, columns=["doc_id", "n_tok"])
+    assert only.columns == ["doc_id", "n_tok"]
+    got = {r["doc_id"]: r["n_tok"] for r in only.collect()}
+    exp = {r["doc_id"]: r["n_tok"] for r in toks.collect()}
+    assert got == exp
+    enc.unpersist()
+
+
+def test_decimal_column_roundtrip_spark(spark):
+    sdf = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") / 7).cast("decimal(18,4)").alias("money"),
+    )
+    dec = decode_dataframe(encode_dataframe(sdf))
+    a = [(r["id"], r["money"]) for r in sdf.orderBy("id").collect()]
+    b = [(r["id"], r["money"]) for r in dec.orderBy("id").collect()]
+    assert a == b
