@@ -587,7 +587,9 @@ def decode_dataframe(enc_df, schema=None, columns: list[str] | None = None):
                 pairs = json.loads(schemas[i].as_py())
                 yield decode_chunk_group(payloads[i].as_py(), pairs, col_set)
 
-    return enc_df.mapInArrow(decode_partition, schema)
+    # project before mapInArrow so the scan reads only these two columns
+    # (column pruning reaches the parquet ReadSchema)
+    return enc_df.select("schema_json", "payload").mapInArrow(decode_partition, schema)
 
 
 # ---------- partitioning / skew defusal ----------
