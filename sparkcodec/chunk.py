@@ -64,36 +64,75 @@ VERSION = 1
 COMP_NONE = 0
 COMP_ZLIB = 1
 _COMP_KEEP_RATIO = 0.9  # keep compressed form only if it saves >=10%
-
-
 _COMP_SAMPLE = 1 << 16
 
 
-def _compress(payload: bytes, enable: bool) -> tuple[int, bytes]:
-    if not enable or len(payload) < 64:
-        return COMP_NONE, payload
+def _zlib_c(data: bytes) -> bytes:
     import zlib
 
+    return zlib.compress(data, 1)
+
+
+def _zlib_d(data) -> bytes:
+    import zlib
+
+    return zlib.decompress(data)
+
+
+# pluggable compressor registry, the reference's Compressors map analog
+# (reference: src/types.d.ts:3-4, src/parquet-writer.js:35): tag ->
+# (name, compress, decompress).  Register e.g. snappy/zstd via
+# register_compressor when the libs exist on the cluster.
+_COMPRESSORS: dict[int, tuple[str, object, object]] = {
+    COMP_ZLIB: ("zlib", _zlib_c, _zlib_d),
+}
+_COMP_BY_NAME = {"zlib": COMP_ZLIB}
+_DEFAULT_COMP = COMP_ZLIB
+
+
+def register_compressor(tag: int, name: str, compress_fn, decompress_fn,
+                        make_default: bool = False) -> None:
+    if tag in (COMP_NONE,):
+        raise ValueError("tag 0 is reserved for uncompressed")
+    global _DEFAULT_COMP
+    _COMPRESSORS[tag] = (name, compress_fn, decompress_fn)
+    _COMP_BY_NAME[name] = tag
+    if make_default:
+        _DEFAULT_COMP = tag
+
+
+def _compress(payload: bytes, enable) -> tuple[int, bytes]:
+    """``enable``: False/None -> store raw; True -> default compressor;
+    a registered name ("zlib") -> that compressor."""
+    if not enable or len(payload) < 64:
+        return COMP_NONE, payload
+    if enable is True:
+        tag = _DEFAULT_COMP
+    elif enable in _COMP_BY_NAME:
+        tag = _COMP_BY_NAME[enable]
+    else:
+        raise ValueError(f"unknown compressor {enable!r}; registered: "
+                         f"{sorted(_COMP_BY_NAME)} (register_compressor adds more)")
+    _, cfn, _ = _COMPRESSORS[tag]
     # bit-packed payloads are usually incompressible: probe a 64 KiB sample
     # first and skip the full pass unless the sample actually shrinks
     if len(payload) > 4 * _COMP_SAMPLE:
-        probe = zlib.compress(payload[:_COMP_SAMPLE], 1)
+        probe = cfn(payload[:_COMP_SAMPLE])
         if len(probe) > _COMP_SAMPLE * 0.85:
             return COMP_NONE, payload
-    comp = zlib.compress(payload, 1)
+    comp = cfn(payload)
     if len(comp) < len(payload) * _COMP_KEEP_RATIO:
-        return COMP_ZLIB, comp
+        return tag, comp
     return COMP_NONE, payload
 
 
 def _decompress(tag: int, payload) -> bytes:
     if tag == COMP_NONE:
         return payload
-    if tag == COMP_ZLIB:
-        import zlib
-
-        return zlib.decompress(payload)
-    raise ValueError(f"unknown compressor tag {tag}")
+    ent = _COMPRESSORS.get(tag)
+    if ent is None:
+        raise ValueError(f"unknown compressor tag {tag}")
+    return ent[2](payload)
 
 # type tags
 T_INT32, T_INT64, T_FLOAT32, T_FLOAT64, T_BOOL, T_BINARY, T_STRING = 1, 2, 3, 4, 5, 6, 7

@@ -131,3 +131,27 @@ def table_from_columns(column_data: dict[str, list],
             vals = [None if v is None else int(v) for v in vals]
         arrays.append(pa.array(vals, type=field.type))
     return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def rows_to_table(rows, overrides: dict[str, pa.DataType] | None = None,
+                  window: int = 100_000):
+    """Row-object iterable -> pyarrow Tables, one per window (the
+    reference's parquetWriteRows adapter analog, reference:
+    src/write-rows.js:36-178: windows are transposed to columns one row
+    group at a time with one-group backpressure; here each yielded Table
+    is one such window -- generators are never read ahead)."""
+    it = iter(rows)
+    schema = None
+    while True:
+        window_rows = []
+        for r in it:
+            window_rows.append(r)
+            if len(window_rows) >= window:
+                break
+        if not window_rows:
+            return
+        cols = {k: [r.get(k) for r in window_rows] for k in window_rows[0]}
+        if schema is None:
+            schema = infer_schema(cols, overrides)
+        arrays = [pa.array(cols[f.name], type=f.type) for f in schema]
+        yield pa.Table.from_arrays(arrays, schema=schema)

@@ -268,3 +268,26 @@ def test_decimal_too_wide_raises():
     v = pa.array([decimal.Decimal("1")], type=pa.decimal128(38, 2))
     with pytest.raises(TypeError, match="precision"):
         encode_array(v)
+
+
+def test_pluggable_compressor():
+    """Reference Compressors-map parity: register a custom codec and
+    round-trip through it."""
+    import bz2
+
+    from sparkcodec.chunk import register_compressor
+
+    register_compressor(7, "bz2", lambda d: bz2.compress(d, 1), bz2.decompress)
+    v = pa.array(["repetitive text block " * 4] * 20000)
+    buf, meta = encode_array(v, compress="bz2")
+    out = decode_array(buf)
+    assert_equal_arrays(out, v)
+    buf_raw, _ = encode_array(v, compress=False)
+    assert len(buf) < len(buf_raw)
+
+
+def test_compress_false_stores_raw():
+    v = pa.array(np.arange(50000, dtype=np.int64) % 977)
+    b1, m1 = encode_array(v, compress=False)
+    out = decode_array(b1)
+    assert_equal_arrays(out, v)

@@ -138,3 +138,25 @@ def test_list_of_struct_roundtrip():
     blob, metas, pairs, _ = encode_chunk_group(tbl)
     back = decode_chunk_group(blob, pairs)
     assert back.column(0).to_pylist() == tbl.column(0).to_pylist()
+
+
+def test_rows_to_table_windows():
+    from sparkcodec.schema import rows_to_table
+
+    def gen():
+        for i in range(2500):
+            yield {"id": i, "name": f"r{i}", "score": i / 3}
+
+    tables = list(rows_to_table(gen(), window=1000))
+    assert [len(t) for t in tables] == [1000, 1000, 500]
+    assert tables[0].schema == tables[2].schema
+    # windows concatenate back to the full data (byte-identical columnar
+    # equivalence, reference: test/write.rows.test.js:26-33)
+    all_ids = [v for t in tables for v in t.column("id").to_pylist()]
+    assert all_ids == list(range(2500))
+
+
+def test_rows_to_table_empty():
+    from sparkcodec.schema import rows_to_table
+
+    assert list(rows_to_table(iter([]))) == []
