@@ -28,7 +28,10 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # default local[8]: this host's aggregate memory bandwidth collapses
+    # beyond ~8 concurrent workers (see BENCH.md), so 32 threads REDUCE
+    # throughput; override with SPARK_GRAFT_CPUS
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "100000"))
 
     from pyspark.sql import SparkSession
