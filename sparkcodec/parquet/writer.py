@@ -307,64 +307,118 @@ def _dict_page(dict_values, phys: int, codec: int) -> tuple[bytes, int, int]:
     return header + comp, len(dict_values), len(header) + len(raw)
 
 
-def write_parquet_bytes(table: pa.Table, *, row_group_rows: int = 1 << 20,
+def _row_group_sizes(n_rows: int, spec) -> list[int]:
+    """Row-group sizes from an int or an array-of-sizes with the LAST entry
+    repeating (the reference's fast-preview shape [1000, 100000],
+    reference: src/parquet-writer.js:186-216, src/write.js:23)."""
+    sizes = [spec] if isinstance(spec, int) else list(spec)
+    out = []
+    remaining = n_rows
+    i = 0
+    while remaining > 0:
+        s = sizes[min(i, len(sizes) - 1)]
+        take = min(s, remaining)
+        out.append(take)
+        remaining -= take
+        i += 1
+    return out
+
+
+class ParquetWriter:
+    """Incremental multi-call parquet writer (the reference's ParquetWriter
+    class analog, reference: src/parquet-writer.js:18-176): each ``write``
+    encodes row groups immediately into the output buffer (bounded memory),
+    ``finish`` emits page indexes + footer + trailing magic."""
+
+    def __init__(self, schema: pa.Schema, *, row_group_rows=1 << 20,
+                 compression: str = "gzip", use_dictionary: bool = True,
+                 page_bytes: int = _PAGE_BYTES):
+        self.schema = schema
+        self.codec = {"gzip": COMP_GZIP, "none": COMP_UNCOMPRESSED}[compression]
+        self.row_group_rows = row_group_rows
+        self.use_dictionary = use_dictionary
+        self.page_bytes = page_bytes
+        self.leaves: list[_Leaf] | None = None
+        self.out = bytearray(MAGIC)
+        self.row_groups: list = []
+        self.n_rows = 0
+        self._finished = False
+
+    def write(self, table: pa.Table) -> None:
+        if self._finished:
+            raise RuntimeError("writer already finished")
+        table = table.combine_chunks()
+        if self.leaves is None:
+            self.leaves = [
+                _Leaf(f.name, table.column(i).combine_chunks()
+                      if isinstance(table.column(i), pa.ChunkedArray)
+                      else table.column(i))
+                for i, f in enumerate(table.schema)
+            ]
+        start = 0
+        for size in _row_group_sizes(len(table), self.row_group_rows):
+            rg = table.slice(start, size)
+            start += size
+            chunk_infos = []
+            total_bytes = 0
+            for i, leaf in enumerate(self.leaves):
+                col = rg.column(i)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                info = _write_column_chunk(self.out, col, leaf, self.codec,
+                                           self.use_dictionary, self.page_bytes)
+                chunk_infos.append(info)
+                total_bytes += info["total_comp"]
+            self.row_groups.append((chunk_infos, total_bytes, len(rg)))
+            self.n_rows += len(rg)
+
+    def finish(self) -> bytes:
+        if self._finished:
+            raise RuntimeError("writer already finished")
+        self._finished = True
+        if self.leaves is None:
+            self.leaves = [_Leaf(f.name, pa.array([], type=f.type))
+                           for f in self.schema]
+        out = self.out
+        # page indexes: all ColumnIndexes, then all OffsetIndexes, after the
+        # row groups and before the footer (reference: src/indexes.js:15-22);
+        # skipped for single-page chunks (reference: src/indexes.js:31)
+        for chunk_infos, _, _ in self.row_groups:
+            for info in chunk_infos:
+                if len(info["pages"]) > 1:
+                    ci = _column_index_bytes(info)
+                    info["column_index_offset"] = len(out)
+                    info["column_index_length"] = len(ci)
+                    out.extend(ci)
+        for chunk_infos, _, _ in self.row_groups:
+            for info in chunk_infos:
+                if len(info["pages"]) > 1:
+                    oi = _offset_index_bytes(info)
+                    info["offset_index_offset"] = len(out)
+                    info["offset_index_length"] = len(oi)
+                    out.extend(oi)
+        rg_structs = [([_chunk_struct(info) for info in chunk_infos], tb, nr)
+                      for chunk_infos, tb, nr in self.row_groups]
+        footer = _file_metadata(self.schema, self.leaves, rg_structs, self.n_rows)
+        out.extend(footer)
+        out.extend(len(footer).to_bytes(4, "little"))
+        out.extend(MAGIC)
+        return bytes(out)
+
+
+def write_parquet_bytes(table: pa.Table, *, row_group_rows=1 << 20,
                         compression: str = "gzip", use_dictionary: bool = True,
                         page_bytes: int = _PAGE_BYTES) -> bytes:
-    """Serialize a pyarrow Table to parquet bytes using our own encoders."""
-    codec = {"gzip": COMP_GZIP, "none": COMP_UNCOMPRESSED}[compression]
-    table = table.combine_chunks()
-    leaves = [_Leaf(f.name, table.column(i).combine_chunks()
-                    if isinstance(table.column(i), pa.ChunkedArray) else table.column(i))
-              for i, f in enumerate(table.schema)]
+    """Serialize a pyarrow Table to parquet bytes using our own encoders.
 
-    out = bytearray(MAGIC)
-    row_groups = []
-    n_rows_total = len(table)
-    for rg_start in range(0, max(n_rows_total, 1), row_group_rows):
-        rg = table.slice(rg_start, row_group_rows)
-        if len(rg) == 0 and n_rows_total > 0:
-            break
-        chunk_infos = []
-        total_bytes = 0
-        for i, leaf in enumerate(leaves):
-            col = rg.column(i)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            info = _write_column_chunk(out, col, leaf, codec, use_dictionary,
-                                       page_bytes)
-            chunk_infos.append(info)
-            total_bytes += info["total_comp"]
-        row_groups.append((chunk_infos, total_bytes, len(rg)))
-        if n_rows_total == 0:
-            break
-
-    # page indexes: all ColumnIndexes, then all OffsetIndexes, after the row
-    # groups and before the footer (reference: src/indexes.js:15-22);
-    # skipped for single-page chunks (reference: src/indexes.js:31)
-    for chunk_infos, _, _ in row_groups:
-        for info in chunk_infos:
-            if len(info["pages"]) > 1:
-                ci = _column_index_bytes(info)
-                info["column_index_offset"] = len(out)
-                info["column_index_length"] = len(ci)
-                out.extend(ci)
-    for chunk_infos, _, _ in row_groups:
-        for info in chunk_infos:
-            if len(info["pages"]) > 1:
-                oi = _offset_index_bytes(info)
-                info["offset_index_offset"] = len(out)
-                info["offset_index_length"] = len(oi)
-                out.extend(oi)
-
-    rg_structs = []
-    for chunk_infos, total_bytes, nr in row_groups:
-        rg_structs.append(([_chunk_struct(info) for info in chunk_infos],
-                           total_bytes, nr))
-    footer = _file_metadata(table.schema, leaves, rg_structs, n_rows_total)
-    out.extend(footer)
-    out.extend(len(footer).to_bytes(4, "little"))
-    out.extend(MAGIC)
-    return bytes(out)
+    ``row_group_rows`` may be an int or an array of sizes with the last
+    repeating (reference fast-preview shape, e.g. [1000, 100000])."""
+    w = ParquetWriter(table.schema, row_group_rows=row_group_rows,
+                      compression=compression, use_dictionary=use_dictionary,
+                      page_bytes=page_bytes)
+    if len(table):
+        w.write(table)
+    return w.finish()
 
 
 def _boundary_order(pages: list[dict]) -> int:

@@ -210,3 +210,39 @@ def test_page_indexes_written_and_valid():
         assert offs[i] + sizes[i] == offs[i + 1]
     # file still decodes everywhere
     _assert_equal(buf, t)
+
+
+def test_incremental_writer_multi_call():
+    """S5 parity: incremental multi-call writer, byte-level equivalence of
+    the decoded data with a one-shot write."""
+    from sparkcodec.parquet.writer import ParquetWriter
+
+    t1 = pa.table({"x": pa.array(np.arange(1000, dtype=np.int64)),
+                   "s": pa.array([f"a{i}" for i in range(1000)])})
+    t2 = pa.table({"x": pa.array(np.arange(1000, 3000, dtype=np.int64)),
+                   "s": pa.array([f"b{i}" for i in range(2000)])})
+    w = ParquetWriter(t1.schema)
+    w.write(t1)
+    w.write(t2)
+    buf = w.finish()
+    got = pq.read_table(io.BytesIO(buf))
+    full = pa.concat_tables([t1, t2])
+    assert got.num_rows == 3000
+    for c in full.column_names:
+        assert got.column(c).combine_chunks().cast(full.column(c).type)\
+            .equals(full.column(c).combine_chunks())
+    assert pq.ParquetFile(io.BytesIO(buf)).num_row_groups == 2
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="finished"):
+        w.write(t1)
+
+
+def test_row_group_size_array_fast_preview():
+    """S6 parity: rowGroupSize as array-of-sizes with the last repeating
+    (reference fast-preview default [1000, 100000])."""
+    t = pa.table({"x": pa.array(np.arange(250000, dtype=np.int32))})
+    buf = write_parquet_bytes(t, row_group_rows=[1000, 100000], use_dictionary=False)
+    f = pq.ParquetFile(io.BytesIO(buf))
+    sizes = [f.metadata.row_group(i).num_rows for i in range(f.num_row_groups)]
+    assert sizes == [1000, 100000, 100000, 49000]
+    _assert_equal(buf, t)
