@@ -213,6 +213,12 @@ def _ann_lsh_topk(spark, sf_dir):
     return lsh_topk(_emb(spark, sf_dir), k=5, n_queries=10)
 
 
+def _ann_ivf_topk(spark, sf_dir):
+    from sparkcodec.pipeline.simsearch import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), k=5, n_queries=10, n_centroids=16, nprobe=4)
+
+
 def _media_features(spark, sf_dir):
     from sparkcodec.pipeline.multimodal import extract_image_features, synth_media_table
 
@@ -300,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _fingerprint,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "media_image_features": _media_features,
         "roundtrip_parquet_file": _roundtrip_parquet_file,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
@@ -338,7 +345,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem"
         ),
         "dedup_embedding_cosine": _dedup_embedding_oracle(),
-        # ann_lsh_topk: approximate (bucketed) -> rows-only
+        # ann_lsh_topk / ann_ivf_topk: approximate (bucketed) -> rows-only
         # media_image_features: stubbed decoder, engine-internal -> rows-only
     }
 

@@ -101,6 +101,87 @@ def hyperplane_signatures(emb: DataFrame, n_planes: int = 16, seed: int = 42,
         sig_iter, f"{id_col} long, sig long")
 
 
+def train_ivf_centroids(emb: DataFrame, n_centroids: int = 16, iters: int = 5,
+                        sample_rows: int = 10000, seed: int = 42,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic k-means centroids from a bounded sample (driver-side
+    numpy Lloyd iterations -- the sample is small by construction, the
+    assignment over the full corpus stays distributed)."""
+    sample = np.stack(
+        emb.select(vec_col).limit(sample_rows).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                              replace=False)]
+    for _ in range(iters):
+        sims = sample @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-30)
+    return cents
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster) via a vectorized matmul against broadcast centroids."""
+
+    def assign(it):
+        for pdf in it:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            cl = (mat @ centroids.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "cluster": cl})
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, f"{id_col} long, cluster int")
+
+
+def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: corpus inverted by nearest centroid; each
+    query searches only its ``nprobe`` closest clusters, exact cosine
+    re-rank inside.  The 100TB shape: candidate generation is a cluster-id
+    equi-join over ~corpus/n_centroids*nprobe rows per query."""
+    cents = train_ivf_centroids(emb, n_centroids, seed=seed, vec_col=vec_col)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    emb_b = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+    # query -> its nprobe nearest clusters (tiny: n_queries rows, driver math)
+    qvecs = emb.filter(F.col(id_col) < n_queries).select(id_col, vec_col).toPandas()
+    qmat = np.stack(qvecs[vec_col].to_numpy()).astype(np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+    probes = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    probe_rows = [(int(q), int(c)) for q, row in zip(qvecs[id_col], probes)
+                  for c in row]
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, cluster int")
+
+    cands = (
+        F.broadcast(probe_df)
+        .join(assigned.withColumnRenamed(id_col, "neighbor_id"), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id").distinct()
+    )
+    scored = (
+        cands.join(emb_b.withColumnRenamed("_id", "query_id")
+                   .withColumnRenamed("_v", "qv"), "query_id")
+        .join(emb_b.withColumnRenamed("_id", "neighbor_id")
+              .withColumnRenamed("_v", "cv"), "neighbor_id")
+        .withColumn("cosine", F.expr(cosine_expr("qv", "cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 10, n_planes: int = 16,
              bands: int = 4, seed: int = 42, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

@@ -114,3 +114,25 @@ def test_media_strict_raises(spark, docs):
     media = synth_media_table(spark, docs.limit(5), kind="image")
     with pytest.raises(Exception, match="NotImplementedError|image/audio"):
         extract_image_features(media, strict=True).collect()
+
+
+def test_ivf_topk_recall(spark, emb):
+    from sparkcodec.pipeline.simsearch import cosine_topk_bruteforce, ivf_topk
+
+    exact = cosine_topk_bruteforce(emb, k=5, n_queries=8).toPandas()
+    approx = ivf_topk(emb, k=5, n_queries=8, n_centroids=8, nprobe=3).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+    # scores for found pairs agree exactly with brute force
+    m = exact.merge(approx, on=["query_id", "neighbor_id"], suffixes=("_e", "_a"))
+    assert (m["cosine_e"] == m["cosine_a"]).all()
+
+
+def test_ivf_deterministic(spark, emb):
+    from sparkcodec.pipeline.simsearch import train_ivf_centroids
+
+    c1 = train_ivf_centroids(emb, 8, seed=42)
+    c2 = train_ivf_centroids(emb, 8, seed=42)
+    np.testing.assert_array_equal(c1, c2)
