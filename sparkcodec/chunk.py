@@ -252,6 +252,8 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
     ``values`` may be a pyarrow Array/ChunkedArray, numpy array, pandas
     Series values, or list.  ``codec=None`` engages the auto-selector.
     ``compress`` enables the general-purpose post-codec stage.
+    ``stats=False`` skips min/max computation (the reference's
+    ``statistics: false`` option, reference: src/write.js:22).
     """
     arr = _to_arrow(values)
     type_tag = _type_tag_of(arr)
@@ -288,7 +290,7 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
     dict_block = b""
     if type_tag in (T_BINARY, T_STRING):
         offsets, data = binary_buffers(dense)
-        st = binary_stats(offsets, data, n)
+        st = binary_stats(offsets, data, n) if stats else ChunkStats(n, null_count)
         fsst_table = None
         if codec is None:
             samp = S.sample_binary(offsets, data)
@@ -315,7 +317,7 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
             raise ValueError(f"codec {codec} not valid for byte arrays")
     elif type_tag == T_BOOL:
         vals = np.asarray(dense).astype(bool)
-        st = numeric_stats(vals, n)
+        st = numeric_stats(vals, n) if stats else ChunkStats(n, null_count)
         if codec is None:
             samp = S.sample_numeric(vals.astype(np.int64))
             codec = S.pick(S.estimate_costs_numeric(samp, "b"))
@@ -327,7 +329,7 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
             raise ValueError(f"codec {codec} not valid for booleans")
     else:
         vals = np.asarray(dense)
-        st = numeric_stats(vals, n)
+        st = numeric_stats(vals, n) if stats else ChunkStats(n, null_count)
         kind = vals.dtype.kind
         ints = _bits_of(vals) if kind == "f" else vals.astype(np.int64)
         if codec is None:

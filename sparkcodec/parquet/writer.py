@@ -332,12 +332,14 @@ class ParquetWriter:
 
     def __init__(self, schema: pa.Schema, *, row_group_rows=1 << 20,
                  compression: str = "gzip", use_dictionary: bool = True,
-                 page_bytes: int = _PAGE_BYTES):
+                 page_bytes: int = _PAGE_BYTES,
+                 kv_metadata: dict[str, str] | None = None):
         self.schema = schema
         self.codec = {"gzip": COMP_GZIP, "none": COMP_UNCOMPRESSED}[compression]
         self.row_group_rows = row_group_rows
         self.use_dictionary = use_dictionary
         self.page_bytes = page_bytes
+        self.kv_metadata = kv_metadata
         self.leaves: list[_Leaf] | None = None
         self.out = bytearray(MAGIC)
         self.row_groups: list = []
@@ -399,7 +401,8 @@ class ParquetWriter:
                     out.extend(oi)
         rg_structs = [([_chunk_struct(info) for info in chunk_infos], tb, nr)
                       for chunk_infos, tb, nr in self.row_groups]
-        footer = _file_metadata(self.schema, self.leaves, rg_structs, self.n_rows)
+        footer = _file_metadata(self.schema, self.leaves, rg_structs, self.n_rows,
+                                self.kv_metadata)
         out.extend(footer)
         out.extend(len(footer).to_bytes(4, "little"))
         out.extend(MAGIC)
@@ -408,14 +411,15 @@ class ParquetWriter:
 
 def write_parquet_bytes(table: pa.Table, *, row_group_rows=1 << 20,
                         compression: str = "gzip", use_dictionary: bool = True,
-                        page_bytes: int = _PAGE_BYTES) -> bytes:
+                        page_bytes: int = _PAGE_BYTES,
+                        kv_metadata: dict[str, str] | None = None) -> bytes:
     """Serialize a pyarrow Table to parquet bytes using our own encoders.
 
     ``row_group_rows`` may be an int or an array of sizes with the last
     repeating (reference fast-preview shape, e.g. [1000, 100000])."""
     w = ParquetWriter(table.schema, row_group_rows=row_group_rows,
                       compression=compression, use_dictionary=use_dictionary,
-                      page_bytes=page_bytes)
+                      page_bytes=page_bytes, kv_metadata=kv_metadata)
     if len(table):
         w.write(table)
     return w.finish()
@@ -598,7 +602,8 @@ def _page_spans(arr: pa.Array, leaf: _Leaf, page_bytes: int) -> list[tuple[int, 
     return spans
 
 
-def _file_metadata(schema: pa.Schema, leaves: list[_Leaf], row_groups, n_rows: int) -> bytes:
+def _file_metadata(schema: pa.Schema, leaves: list[_Leaf], row_groups, n_rows: int,
+                   kv_metadata: dict[str, str] | None = None) -> bytes:
     elements = [_schema_element("root", None, None, len(leaves), None)]
     for leaf in leaves:
         if leaf.is_list:
@@ -617,11 +622,16 @@ def _file_metadata(schema: pa.Schema, leaves: list[_Leaf], row_groups, n_rows: i
     # column_orders (TypeDefinedOrder per leaf) -- required for readers to
     # trust min_value/max_value statistics
     orders = [[(1, CT_STRUCT, [])] for _ in leaves]
+    kvs = None
+    if kv_metadata:
+        kvs = ("struct", [[(1, CT_BINARY, k), (2, CT_BINARY, v)]
+                          for k, v in sorted(kv_metadata.items())])
     return serialize_struct([
         (1, CT_I32, 2),
         (2, CT_LIST, ("struct", elements)),
         (3, CT_I64, n_rows),
         (4, CT_LIST, ("struct", rgs)),
+        (5, CT_LIST, kvs),
         (6, CT_BINARY, "sparkcodec"),
         (7, CT_LIST, ("struct", orders)),
     ])

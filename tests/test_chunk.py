@@ -291,3 +291,10 @@ def test_compress_false_stores_raw():
     b1, m1 = encode_array(v, compress=False)
     out = decode_array(b1)
     assert_equal_arrays(out, v)
+
+
+def test_stats_false_skips_minmax():
+    v = pa.array(np.arange(1000, dtype=np.int64))
+    buf, meta = encode_array(v, stats=False)
+    assert meta["min"] is None and meta["max"] is None
+    assert_equal_arrays(decode_array(buf), v)

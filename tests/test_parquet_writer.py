@@ -246,3 +246,11 @@ def test_row_group_size_array_fast_preview():
     sizes = [f.metadata.row_group(i).num_rows for i in range(f.num_row_groups)]
     assert sizes == [1000, 100000, 100000, 49000]
     _assert_equal(buf, t)
+
+
+def test_kv_metadata_readable():
+    t = pa.table({"x": pa.array([1, 2, 3], type=pa.int32())})
+    buf = write_parquet_bytes(t, kv_metadata={"source": "unit", "snapshot": "v7"})
+    md = pq.ParquetFile(io.BytesIO(buf)).metadata.metadata
+    assert md[b"source"] == b"unit" and md[b"snapshot"] == b"v7"
+    _assert_equal(buf, t)
