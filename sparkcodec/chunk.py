@@ -230,6 +230,74 @@ def _rle_for_decode(buf, n: int) -> np.ndarray:
         return rle_hybrid_decode(mv[pos + 1 :], bw, n).view(np.int64) + ref
 
 
+def _rank_encode(ints: np.ndarray, compress) -> bytes | None:
+    """Frequency-ranked dictionary + byte-plane split (codec RANK).
+
+    Realizes the reference's open TODO "sort by frequency?"
+    (reference: src/dictionary.js:133): values remapped to their frequency
+    rank, so skewed distributions concentrate in the low byte; the high
+    plane(s) become low-entropy and compress hard.  O(n + span) via
+    bincount -- no sort over the data.  Returns None when inapplicable
+    (span too wide), so callers can fall back to FOR.
+    """
+    n = len(ints)
+    if n == 0:
+        return None
+    ref = int(ints.min())
+    with np.errstate(over="ignore"):
+        shifted = (ints - ref).astype(np.int64)
+    span = int(shifted.max()) + 1
+    if span > (1 << 22):
+        return None
+    counts = np.bincount(shifted, minlength=span)
+    nz = np.flatnonzero(counts)
+    order = np.argsort(-counts[nz], kind="stable")
+    dict_vals = nz[order]
+    ndv = len(dict_vals)
+    rank_of = np.empty(span, dtype=np.int64)
+    rank_of[dict_vals] = np.arange(ndv)
+    r = rank_of[shifted]
+    out = bytearray()
+    write_uvarint(out, n)
+    write_uvarint(out, zigzag_int(ref))
+    write_uvarint(out, ndv)
+    dblock = for_pack(dict_vals)
+    write_uvarint(out, len(dblock))
+    out.extend(dblock)
+    n_planes = max(1, (bit_widths(np.array([max(ndv - 1, 0)], dtype=np.uint64))[0] + 7) // 8)
+    out.append(int(n_planes))
+    for p in range(n_planes):
+        plane = ((r >> (8 * p)) & 0xFF).astype("u1").tobytes()
+        tag, comp = _compress(plane, compress)
+        out.append(tag)
+        write_uvarint(out, len(comp))
+        out.extend(comp)
+    return bytes(out)
+
+
+def _rank_decode(buf) -> np.ndarray:
+    mv = memoryview(buf)
+    n, pos = read_uvarint(mv, 0)
+    zz, pos = read_uvarint(mv, pos)
+    ref = unzigzag_int(zz)
+    ndv, pos = read_uvarint(mv, pos)
+    dlen, pos = read_uvarint(mv, pos)
+    dict_vals = for_unpack(mv[pos : pos + dlen])
+    pos += dlen
+    n_planes = mv[pos]
+    pos += 1
+    r = np.zeros(n, dtype=np.int64)
+    for p in range(n_planes):
+        tag = mv[pos]
+        pos += 1
+        clen, pos = read_uvarint(mv, pos)
+        plane = np.frombuffer(_decompress(tag, mv[pos : pos + clen]), dtype="u1")
+        pos += clen
+        r |= plane.astype(np.int64) << (8 * p)
+    with np.errstate(over="ignore"):
+        return dict_vals[r] + ref
+
+
 def _bits_of(values: np.ndarray) -> np.ndarray:
     """Reinterpret float bit patterns as int64 (exact, reversible)."""
     if values.dtype.itemsize == 4:
@@ -334,9 +402,14 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
         ints = _bits_of(vals) if kind == "f" else vals.astype(np.int64)
         if codec is None:
             samp = S.sample_numeric(vals)
-            codec = S.pick(S.estimate_costs_numeric(samp, kind))
+            codec = S.pick(S.estimate_costs_numeric(samp, kind, n_total=len(vals)))
         if codec == S.PLAIN:
             payload = plain_encode_numeric(vals, _PHYS_NAMES[type_tag])
+        elif codec == S.RANK:
+            payload = _rank_encode(ints, compress)
+            if payload is None:  # span too wide: fall back
+                codec = S.FOR
+                payload = for_pack(ints)
         elif codec == S.FOR:
             payload = for_pack(ints)
         elif codec == S.DELTA_FOR:
@@ -469,7 +542,9 @@ def decode_array(buf) -> pa.Array:
             itemsize = int(_NP_DTYPES[type_tag][-1])
             vals = byte_stream_split_decode(payload, itemsize, n_dense, _NP_DTYPES[type_tag])
         else:
-            if codec == S.FOR:
+            if codec == S.RANK:
+                ints = _rank_decode(payload)
+            elif codec == S.FOR:
                 ints = for_unpack(payload)
             elif codec == S.DELTA_FOR:
                 ints = delta_for_unpack(payload)

@@ -33,6 +33,8 @@ BSS = 6
 DELTA_LENGTH = 7
 DELTA_BA = 8
 FSST = 9
+RANK = 10  # frequency-ranked dictionary + byte-plane split (the reference's
+           # "TODO: sort by frequency?" at src/dictionary.js:133, realized)
 
 CODEC_NAMES = {
     PLAIN: "PLAIN",
@@ -45,6 +47,7 @@ CODEC_NAMES = {
     DELTA_LENGTH: "DELTA_LENGTH",
     DELTA_BA: "DELTA_BA",
     FSST: "FSST",
+    RANK: "RANK",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -59,6 +62,8 @@ class SampleStats:
     item_size: int
     avg_len: float = 0.0     # binary only
     avg_prefix: float = 0.0  # binary only
+    top256_mass: float = 0.0  # fraction of sampled values among the 256 most
+                              # frequent sampled values (skew probe for RANK)
 
 
 def _bw_of(x: int) -> int:
@@ -75,7 +80,10 @@ def sample_numeric(values: np.ndarray) -> SampleStats:
         as_int = s.view(np.int64 if s.dtype.itemsize == 8 else np.int32).astype(np.int64)
     else:
         as_int = s.astype(np.int64)
-    ndv = len(np.unique(as_int))
+    uniq, counts = np.unique(as_int, return_counts=True)
+    ndv = len(uniq)
+    top = np.sort(counts)[::-1][:256]
+    top256 = float(top.sum() / n)
     runs = 1 + int(np.count_nonzero(as_int[1:] != as_int[:-1]))
     with np.errstate(over="ignore"):
         span = int(as_int.max()) - int(as_int.min())
@@ -86,7 +94,8 @@ def sample_numeric(values: np.ndarray) -> SampleStats:
             delta_bw = int(bit_widths(np.array([zz.max()], dtype=np.uint64))[0])
         else:
             delta_bw = 0
-    return SampleStats(n, ndv / n, n / runs, for_bw, delta_bw, values.dtype.itemsize)
+    return SampleStats(n, ndv / n, n / runs, for_bw, delta_bw,
+                       values.dtype.itemsize, top256_mass=top256)
 
 
 def sample_binary(offsets: np.ndarray, data: np.ndarray) -> SampleStats:
@@ -121,15 +130,28 @@ def sample_binary(offsets: np.ndarray, data: np.ndarray) -> SampleStats:
     return SampleStats(n, ndv / n, n / runs, 0, 0, 0, avg_len, avg_prefix)
 
 
-def estimate_costs_numeric(st: SampleStats, dtype_kind: str) -> dict[int, float]:
-    """Estimated bytes per value for each candidate codec."""
+def estimate_costs_numeric(st: SampleStats, dtype_kind: str,
+                           n_total: int | None = None) -> dict[int, float]:
+    """Estimated bytes per value for each candidate codec.  ``n_total`` is
+    the true chunk length (one-time costs like dictionaries amortize over
+    it, not over the sample)."""
     costs: dict[int, float] = {PLAIN: float(st.item_size)}
     if st.n == 0:
         return costs
+    n_total = n_total or st.n
     if dtype_kind in ("i", "u"):
         costs[FOR] = st.for_bw / 8 + 16 / max(st.n, 1)
         costs[DELTA_FOR] = st.delta_bw / 8 + 16 / max(st.n, 1)
         costs[DELTA_BP] = st.delta_bw / 8 + 5 / 128  # block headers; widths adapt downward
+        if 8 < st.for_bw <= 22 and st.n >= SAMPLE_N and n_total >= 4 * SAMPLE_N:
+            # frequency-ranked dict: low byte ~raw, high plane shrinks with
+            # skew; dictionary stored once per chunk.  NDV extrapolated
+            # sqrt-sublinearly from the sample, capped by the value span.
+            ndv_sample = st.ndv_ratio * st.n
+            ndv_est = min(float(1 << st.for_bw),
+                          ndv_sample * (n_total / st.n) ** 0.5)
+            hi_cost = max(0.12, (1.0 - st.top256_mass) * 1.0)
+            costs[RANK] = 1.0 + hi_cost + ndv_est * 3.0 / n_total
         if st.mean_run >= 4:
             vbytes = max(1, (st.for_bw + 7) // 8)
             costs[RLE] = (2 + vbytes) / st.mean_run
