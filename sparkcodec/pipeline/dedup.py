@@ -146,8 +146,11 @@ def minhash_lsh_candidates(docs: DataFrame, num_perm: int = 64, bands: int = 16,
     an all-pairs product -- and emits (id_a < id_b, est_jaccard)."""
     num_rows = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, text_col, id_col, seed)
+    # band rows carry only (id, band, bucket): the 64-long signatures are
+    # NOT shuffled 16x through the explode+join -- they re-join once per
+    # side after candidate dedup (shuffle hygiene at 10^9 docs)
     banded = sigs.select(
-        id_col, "sig",
+        id_col,
         F.posexplode(
             F.array(*[
                 F.xxhash64(F.slice("sig", i * num_rows + 1, num_rows))
@@ -155,15 +158,19 @@ def minhash_lsh_candidates(docs: DataFrame, num_perm: int = 64, bands: int = 16,
             ])
         ).alias("band", "bucket"),
     )
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
-                      "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
-                      "band", "bucket")
-    pairs = (
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(sigs.select(F.col(id_col).alias("id_a"),
+                              F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col(id_col).alias("id_b"),
+                          F.col("sig").alias("sig_b")), "id_b")
     )
     est = pairs.withColumn(
         "est_jaccard",
