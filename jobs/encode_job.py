@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--chunk-rows", type=int, default=None)
     ap.add_argument("--token-budget", type=int, default=None)
+    ap.add_argument("--bloom-columns", default="",
+                    help="comma-separated columns to build bloom filters for")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,6 +64,7 @@ def main() -> None:
         id_col=args.id_col,
         chunk_rows=args.chunk_rows,
         token_budget=args.token_budget,
+        bloom_columns=tuple(c for c in args.bloom_columns.split(",") if c),
     )
     print(json.dumps(summary))
     spark.stop()

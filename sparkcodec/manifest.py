@@ -68,7 +68,8 @@ def run_encode_job(spark, df, output_dir: str, *, num_partitions: int = 64,
                    job_id: str = "encode", input_snapshot: str = "",
                    weight_col: str = "n_tok", source_col: str = "source",
                    id_col: str = "doc_id", chunk_rows: int | None = None,
-                   token_budget: int | None = None) -> dict:
+                   token_budget: int | None = None,
+                   bloom_columns: tuple[str, ...] = ()) -> dict:
     """Run (or resume) the encode job.  Returns a summary dict."""
     from pyspark.sql import functions as F
 
@@ -98,6 +99,7 @@ def run_encode_job(spark, df, output_dir: str, *, num_partitions: int = 64,
         chunk_rows=chunk_rows or DEFAULT_CHUNK_ROWS,
         token_budget=token_budget or DEFAULT_TOKEN_BUDGET,
         partition_col="_bucket",
+        bloom_columns=bloom_columns,
     )
     (
         enc.write.mode("overwrite")
