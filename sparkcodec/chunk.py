@@ -138,22 +138,25 @@ def _decompress(tag: int, payload) -> bytes:
 T_INT32, T_INT64, T_FLOAT32, T_FLOAT64, T_BOOL, T_BINARY, T_STRING = 1, 2, 3, 4, 5, 6, 7
 T_TIMESTAMP_US, T_TIMESTAMP_NS, T_DATE32 = 8, 9, 10  # lowered to int64/int32
 T_DECIMAL = 11  # precision <= 18: unscaled int64 (reference: src/unconvert.js:21-28)
+T_FLOAT16 = 12  # IEEE half, stored as uint16 bit patterns (reference: src/unconvert.js:313-367)
+T_FIXED = 13    # fixed-size binary, e.g. UUID=16 (reference: src/schema.js:157-159)
 
 TYPE_NAMES = {
     T_INT32: "int32", T_INT64: "int64", T_FLOAT32: "float32",
     T_FLOAT64: "float64", T_BOOL: "bool", T_BINARY: "binary", T_STRING: "string",
     T_TIMESTAMP_US: "timestamp_us", T_TIMESTAMP_NS: "timestamp_ns",
-    T_DATE32: "date32", T_DECIMAL: "decimal",
+    T_DATE32: "date32", T_DECIMAL: "decimal", T_FLOAT16: "float16",
+    T_FIXED: "fixed",
 }
 _PHYS_NAMES = {
     T_INT32: "int32", T_INT64: "int64", T_FLOAT32: "float32",
     T_FLOAT64: "float64", T_TIMESTAMP_US: "int64", T_TIMESTAMP_NS: "int64",
-    T_DATE32: "int32", T_DECIMAL: "int64",
+    T_DATE32: "int32", T_DECIMAL: "int64", T_FLOAT16: "int32",
 }
 _NP_DTYPES = {
     T_INT32: "<i4", T_INT64: "<i8", T_FLOAT32: "<f4", T_FLOAT64: "<f8",
     T_TIMESTAMP_US: "<i8", T_TIMESTAMP_NS: "<i8", T_DATE32: "<i4",
-    T_DECIMAL: "<i8",
+    T_DECIMAL: "<i8", T_FLOAT16: "<i4",
 }
 _PA_TYPES = {
     T_INT32: pa.int32(), T_INT64: pa.int64(), T_FLOAT32: pa.float32(),
@@ -188,6 +191,12 @@ def _type_tag_of(arr: pa.Array) -> int:
         if t.precision > 18:
             raise TypeError(f"decimal precision > 18 unsupported: {t}")
         return T_DECIMAL
+    if pa.types.is_float16(t):
+        return T_FLOAT16
+    if pa.types.is_fixed_size_binary(t):
+        if t.byte_width > 255:
+            raise TypeError(f"fixed width > 255 unsupported: {t}")
+        return T_FIXED
     raise TypeError(f"unsupported arrow type: {t}")
 
 
@@ -339,6 +348,13 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
     elif type_tag == T_DECIMAL:
         dec_params = bytes([arr.type.precision, arr.type.scale])
         dense = _decimal_unscaled(dense)
+    elif type_tag == T_FLOAT16:
+        # half-float bit patterns as small ints (FOR packs them at <=16 bits)
+        bits16 = np.asarray(dense).view("<u2").astype(np.int32)
+        dense = pa.array(bits16, type=pa.int32())
+    elif type_tag == T_FIXED:
+        dec_params = bytes([arr.type.byte_width])
+        dense = dense.cast(pa.large_binary())
 
     out = bytearray()
     out.extend(MAGIC)
@@ -356,7 +372,7 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
 
     st: ChunkStats
     dict_block = b""
-    if type_tag in (T_BINARY, T_STRING):
+    if type_tag in (T_BINARY, T_STRING, T_FIXED):
         offsets, data = binary_buffers(dense)
         st = binary_stats(offsets, data, n) if stats else ChunkStats(n, null_count)
         fsst_table = None
@@ -483,10 +499,13 @@ def decode_array(buf) -> pa.Array:
     codec = mv[6]
     ptag = mv[7]
     pos = 8
-    dec_precision = dec_scale = None
+    dec_precision = dec_scale = fixed_width = None
     if type_tag == T_DECIMAL:
         dec_precision, dec_scale = mv[8], mv[9]
         pos = 10
+    elif type_tag == T_FIXED:
+        fixed_width = mv[8]
+        pos = 9
     n, pos = read_uvarint(mv, pos)
     null_count, pos = read_uvarint(mv, pos)
     validity = None
@@ -502,7 +521,7 @@ def decode_array(buf) -> pa.Array:
     payload = _decompress(ptag, mv[pos:])
     n_dense = n - null_count
 
-    if type_tag in (T_BINARY, T_STRING):
+    if type_tag in (T_BINARY, T_STRING, T_FIXED):
         as_string = type_tag == T_STRING
         if codec == S.PLAIN:
             offsets, data = plain_decode_binary(payload, n_dense)
@@ -564,11 +583,20 @@ def decode_array(buf) -> pa.Array:
                 vals = ints.astype(_NP_DTYPES[type_tag])
         if type_tag == T_DECIMAL:
             dense = _decimal_from_unscaled(vals, dec_precision, dec_scale)
+        elif type_tag == T_FLOAT16:
+            dense = pa.array(vals.astype("<u2").view("<f2"), type=pa.float16())
         else:
             dense = pa.array(vals, type=_PA_TYPES[type_tag])
 
-    out_type = (pa.decimal128(dec_precision, dec_scale) if type_tag == T_DECIMAL
-                else _PA_TYPES[type_tag])
+    if type_tag == T_DECIMAL:
+        out_type = pa.decimal128(dec_precision, dec_scale)
+    elif type_tag == T_FIXED:
+        out_type = pa.binary(fixed_width)
+        dense = dense.cast(out_type)
+    elif type_tag == T_FLOAT16:
+        out_type = pa.float16()
+    else:
+        out_type = _PA_TYPES[type_tag]
     if null_count == 0:
         return dense
     if null_count == n:
@@ -577,11 +605,11 @@ def decode_array(buf) -> pa.Array:
 
 
 def _expand_with_nulls(dense: pa.Array, validity: np.ndarray, n: int, type_tag: int) -> pa.Array:
+    # take() with a null index yields a null output -- works for every type
+    # (if_else lacks kernels for e.g. halffloat)
     idx = np.zeros(n, dtype=np.int64)
     idx[validity] = np.arange(len(dense))
-    taken = dense.take(pa.array(idx))
-    mask = pa.array(validity)
-    return pa.compute.if_else(mask, taken, pa.nulls(n, type=dense.type))
+    return dense.take(pa.array(idx, mask=~validity))
 
 
 def _decimal_unscaled(arr: pa.Array) -> pa.Array:

@@ -329,3 +329,26 @@ def test_rank_selected_for_skewed_tokens():
     vals = ((RNG.zipf(1.2, 200_000) % 50257) * 2654435761 % 50257).astype(np.int32)
     buf, meta = encode_array(pa.array(vals))
     assert meta["codec"] in ("RANK", "FOR")  # RANK when skew probe fires
+
+
+def test_float16_and_fixed_binary():
+    """§1.2 BasicType parity: FLOAT16 (half bit patterns) and UUID-style
+    FIXED_LEN_BYTE_ARRAY."""
+    import uuid
+
+    h = pa.array(np.arange(4000, dtype=np.float16) / 7, type=pa.float16())
+    out, buf, meta = roundtrip(h)
+    assert np.array_equal(out.to_numpy(zero_copy_only=False).view("<u2"),
+                          h.to_numpy(zero_copy_only=False).view("<u2"))
+    hn = pa.array([None if i % 5 == 0 else np.float16(i / 3) for i in range(500)],
+                  type=pa.float16())
+    out, _, _ = roundtrip(hn)
+    assert out.to_pylist() == hn.to_pylist()
+
+    vals = [uuid.UUID(int=i * 2654435761 % (1 << 128)).bytes for i in range(2000)]
+    u = pa.array(vals, type=pa.binary(16))
+    out, buf, meta = roundtrip(u)
+    assert out.equals(u) and out.type == pa.binary(16)
+    un = pa.array([vals[0], None, vals[2]], type=pa.binary(16))
+    out, _, _ = roundtrip(un)
+    assert out.to_pylist() == un.to_pylist()
