@@ -44,11 +44,17 @@ _PAGE_BYTES = 1 << 20  # estimated-uncompressed split budget (reference: src/col
 
 
 class _Leaf:
-    """One leaf column of the (possibly one-level-nested) schema."""
+    """One leaf of the schema tree.  A top-level column yields one leaf for
+    primitives and lists, and one leaf PER nested primitive for structs
+    (``field_indices`` walks from the column to the leaf)."""
 
-    def __init__(self, name: str, arr: pa.Array):
+    def __init__(self, name: str, arr_type: pa.DataType, col_index: int,
+                 field_indices: tuple[int, ...] = (),
+                 path: list[str] | None = None):
         self.name = name
-        t = arr.type
+        self.col_index = col_index
+        self.field_indices = field_indices
+        t = arr_type
         self.is_list = pa.types.is_list(t) or pa.types.is_large_list(t)
         if self.is_list:
             self.path = [name, "list", "element"]
@@ -56,11 +62,36 @@ class _Leaf:
             self.max_rep = 1
             self.value_type = t.value_type
         else:
-            self.path = [name]
-            self.max_def = 1  # optional leaf
+            self.path = path or [name]
+            # every level on the path is OPTIONAL: column + each struct field
+            self.max_def = 1 + len(field_indices)
             self.max_rep = 0
             self.value_type = t
         self.phys, self.conv = _physical_of(self.value_type)
+
+
+def _build_leaves(schema: pa.Schema) -> list[_Leaf]:
+    """Flatten the (struct-nested) schema into leaves, preorder."""
+    leaves: list[_Leaf] = []
+
+    def walk(t: pa.DataType, col_index: int, path: list[str],
+             indices: tuple[int, ...]) -> None:
+        if pa.types.is_struct(t):
+            for i in range(t.num_fields):
+                f = t.field(i)
+                walk(f.type, col_index, path + [f.name], indices + (i,))
+            return
+        if (pa.types.is_list(t) or pa.types.is_large_list(t)) and indices:
+            raise TypeError("lists nested inside structs are not supported by "
+                            "the parquet file writer (the engine chunk format "
+                            "handles them)")
+        leaves.append(_Leaf(path[0] if not indices else path[0],
+                            t, col_index,
+                            field_indices=indices, path=path))
+
+    for i, f in enumerate(schema):
+        walk(f.type, i, [f.name], ())
+    return leaves
 
 
 def _physical_of(t: pa.DataType) -> tuple[int, int | None]:
@@ -95,6 +126,22 @@ def _dremel_levels(arr: pa.Array, leaf: _Leaf) -> tuple[np.ndarray, np.ndarray, 
     1 for empty lists, 0 for null lists.
     """
     n = len(arr)
+    if leaf.field_indices:
+        # struct path: def level counts live ancestors until the first null
+        # (physical child validity under a dead parent is masked by `alive`)
+        alive = (np.asarray(arr.is_valid()) if arr.null_count
+                 else np.ones(n, dtype=bool))
+        d = alive.astype(np.uint64)
+        cur = arr
+        for idx in leaf.field_indices:
+            cur = cur.field(idx)
+            v = (np.asarray(cur.is_valid()) if cur.null_count
+                 else np.ones(n, dtype=bool))
+            step = alive & v
+            d += step.astype(np.uint64)
+            alive = step
+        values = cur.filter(pa.array(alive)) if not alive.all() else cur
+        return d, np.zeros(0, dtype=np.uint64), values
     if not leaf.is_list:
         if arr.null_count == 0:
             return np.ones(n, dtype=np.uint64), np.zeros(0, dtype=np.uint64), arr
@@ -351,20 +398,15 @@ class ParquetWriter:
             raise RuntimeError("writer already finished")
         table = table.combine_chunks()
         if self.leaves is None:
-            self.leaves = [
-                _Leaf(f.name, table.column(i).combine_chunks()
-                      if isinstance(table.column(i), pa.ChunkedArray)
-                      else table.column(i))
-                for i, f in enumerate(table.schema)
-            ]
+            self.leaves = _build_leaves(table.schema)
         start = 0
         for size in _row_group_sizes(len(table), self.row_group_rows):
             rg = table.slice(start, size)
             start += size
             chunk_infos = []
             total_bytes = 0
-            for i, leaf in enumerate(self.leaves):
-                col = rg.column(i)
+            for leaf in self.leaves:
+                col = rg.column(leaf.col_index)
                 if isinstance(col, pa.ChunkedArray):
                     col = col.combine_chunks()
                 info = _write_column_chunk(self.out, col, leaf, self.codec,
@@ -379,8 +421,7 @@ class ParquetWriter:
             raise RuntimeError("writer already finished")
         self._finished = True
         if self.leaves is None:
-            self.leaves = [_Leaf(f.name, pa.array([], type=f.type))
-                           for f in self.schema]
+            self.leaves = _build_leaves(self.schema)
         out = self.out
         # page indexes: all ColumnIndexes, then all OffsetIndexes, after the
         # row groups and before the footer (reference: src/indexes.js:15-22);
@@ -575,6 +616,9 @@ def _page_spans(arr: pa.Array, leaf: _Leaf, page_bytes: int) -> list[tuple[int, 
     n = len(arr)
     if n == 0:
         return [(0, 0)]
+    if leaf.field_indices:
+        for idx in leaf.field_indices:
+            arr = arr.field(idx)  # size estimate only; dead-parent slots ok
     if leaf.is_list:
         lens = arr.value_lengths().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
         width = 4 if leaf.phys in (PT_INT32, PT_FLOAT) else 8
@@ -604,14 +648,27 @@ def _page_spans(arr: pa.Array, leaf: _Leaf, page_bytes: int) -> list[tuple[int, 
 
 def _file_metadata(schema: pa.Schema, leaves: list[_Leaf], row_groups, n_rows: int,
                    kv_metadata: dict[str, str] | None = None) -> bytes:
-    elements = [_schema_element("root", None, None, len(leaves), None)]
-    for leaf in leaves:
-        if leaf.is_list:
-            elements.append(_schema_element(leaf.name, None, REP_OPTIONAL, 1, CONV_LIST))
+    # preorder schema tree; struct columns emit nested groups
+    elements = [_schema_element("root", None, None, len(schema), None)]
+
+    def emit(name: str, t: pa.DataType) -> None:
+        if pa.types.is_struct(t):
+            elements.append(_schema_element(name, None, REP_OPTIONAL, t.num_fields, None))
+            for i in range(t.num_fields):
+                f = t.field(i)
+                emit(f.name, f.type)
+            return
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            elements.append(_schema_element(name, None, REP_OPTIONAL, 1, CONV_LIST))
             elements.append(_schema_element("list", None, REP_REPEATED, 1, None))
-            elements.append(_schema_element("element", leaf.phys, REP_OPTIONAL, None, leaf.conv))
-        else:
-            elements.append(_schema_element(leaf.name, leaf.phys, REP_OPTIONAL, None, leaf.conv))
+            phys, conv = _physical_of(t.value_type)
+            elements.append(_schema_element("element", phys, REP_OPTIONAL, None, conv))
+            return
+        phys, conv = _physical_of(t)
+        elements.append(_schema_element(name, phys, REP_OPTIONAL, None, conv))
+
+    for f in schema:
+        emit(f.name, f.type)
     rgs = []
     for cols_meta, total_bytes, nr in row_groups:
         rgs.append([

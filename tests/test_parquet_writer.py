@@ -254,3 +254,30 @@ def test_kv_metadata_readable():
     md = pq.ParquetFile(io.BytesIO(buf)).metadata.metadata
     assert md[b"source"] == b"unit" and md[b"snapshot"] == b"v7"
     _assert_equal(buf, t)
+
+
+def test_struct_columns_in_parquet_file():
+    """E11 full parity: nested structs written to real parquet files
+    (reference: test/write.struct.test.js, 3-level structs)."""
+    t3 = pa.struct([("deep", pa.int64())])
+    t2 = pa.struct([("y", pa.string()), ("inner", t3)])
+    vals = [
+        {"x": 1, "s": {"y": "a", "inner": {"deep": 10}}},
+        {"x": 2, "s": None},
+        {"x": 3, "s": {"y": None, "inner": {"deep": 30}}},
+        {"x": 4, "s": {"y": "d", "inner": None}},
+        {"x": None, "s": {"y": "e", "inner": {"deep": None}}},
+    ] * 200
+    t = pa.table({
+        "x": pa.array([v["x"] for v in vals], type=pa.int64()),
+        "s": pa.array([v["s"] for v in vals], type=pa.struct([("y", pa.string()), ("inner", t3)])),
+    })
+    buf = write_parquet_bytes(t)
+    _assert_equal(buf, t)
+
+
+def test_struct_list_mix_unsupported_raises():
+    t = pa.table({"s": pa.array([{"l": [1, 2]}],
+                                type=pa.struct([("l", pa.list_(pa.int32()))]))})
+    with pytest.raises(TypeError, match="nested inside structs"):
+        write_parquet_bytes(t)
