@@ -92,3 +92,54 @@ def test_chunk_float_bitexact_any(vals):
 def test_bit_widths_matches_python(vals):
     arr = np.array(vals, dtype=np.uint64)
     np.testing.assert_array_equal(bit_widths(arr), [v.bit_length() for v in vals])
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_chunk_group_random_mixed_tables(data):
+    """Random mixed-schema tables (every supported type, random nulls)
+    through the chunk-group encode/decode."""
+    import datetime
+    import decimal as dec
+
+    from sparkcodec.engine import decode_chunk_group, encode_chunk_group
+
+    n = data.draw(st.integers(min_value=0, max_value=120))
+
+    def maybe_null(gen):
+        return st.one_of(st.none(), gen)
+
+    pools = {
+        pa.int32(): maybe_null(st.integers(-(2**31), 2**31 - 1)),
+        pa.int64(): maybe_null(st.integers(-(2**63), 2**63 - 1)),
+        pa.float64(): maybe_null(st.floats(allow_nan=False, width=64)),
+        pa.bool_(): maybe_null(st.booleans()),
+        pa.string(): maybe_null(st.text(max_size=20)),
+        pa.large_binary(): maybe_null(st.binary(max_size=20)),
+        pa.timestamp("us"): maybe_null(st.datetimes(
+            min_value=datetime.datetime(1980, 1, 1),
+            max_value=datetime.datetime(2100, 1, 1))),
+        pa.date32(): maybe_null(st.dates(min_value=datetime.date(1980, 1, 1),
+                                         max_value=datetime.date(2100, 1, 1))),
+        pa.decimal128(12, 3): maybe_null(st.decimals(
+            min_value=dec.Decimal("-999999.999"),
+            max_value=dec.Decimal("999999.999"), places=3)),
+        pa.list_(pa.int32()): maybe_null(st.lists(
+            st.integers(-(2**31), 2**31 - 1), max_size=8)),
+    }
+    types = data.draw(st.lists(st.sampled_from(list(pools)), min_size=1,
+                               max_size=4))
+    arrays = {}
+    for i, t in enumerate(types):
+        vals = data.draw(st.lists(pools[t], min_size=n, max_size=n))
+        arrays[f"c{i}"] = pa.array(vals, type=t)
+    tbl = pa.table(arrays)
+    blob, metas, pairs, _ = encode_chunk_group(tbl)
+    back = decode_chunk_group(blob, pairs)
+    got = pa.Table.from_batches([back])
+    for name in tbl.column_names:
+        e = tbl.column(name).combine_chunks()
+        g = got.column(name).combine_chunks()
+        if not g.type.equals(e.type):
+            g = g.cast(e.type)
+        assert g.to_pylist() == e.to_pylist(), name
