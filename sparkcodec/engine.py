@@ -56,6 +56,8 @@ ENCODED_PA_SCHEMA = pa.schema([
 # ---------- type naming ----------
 
 def _type_name(t: pa.DataType):
+    if pa.types.is_map(t):
+        return {"map": [_type_name(t.key_type), _type_name(t.item_type)]}
     if pa.types.is_struct(t):
         # nested spec kept as JSON structure, not a parsed string
         return {"struct": [[f.name, _type_name(f.type)] for f in t]}
@@ -93,6 +95,9 @@ def _type_from_name(name) -> pa.DataType:
             return pa.struct([pa.field(n, _type_from_name(t)) for n, t in name["struct"]])
         if "list" in name:
             return pa.list_(_type_from_name(name["list"]))
+        if "map" in name:
+            k, v = name["map"]
+            return pa.map_(_type_from_name(k), _type_from_name(v))
         raise TypeError(f"bad type spec {name}")
     if name.startswith("list<"):
         return pa.list_(_type_from_name(name[5:-1]))
@@ -124,6 +129,10 @@ def spark_schema_from_names(pairs: list[list[str]]):
             if "struct" in name:
                 return StructType([StructField(n, conv(t), True)
                                    for n, t in name["struct"]])
+            if "map" in name:
+                from pyspark.sql.types import MapType
+
+                return MapType(conv(name["map"][0]), conv(name["map"][1]), True)
             return ArrayType(conv(name["list"]))
         if name.startswith("list<"):
             return ArrayType(prim[name[5:-1]])
@@ -201,6 +210,67 @@ def _decode_list_column(buf, value_type: pa.DataType) -> pa.Array:
     return pa.ListArray.from_arrays(off_pa, values)
 
 
+def _encode_map_column(arr: pa.Array, compress: bool) -> tuple[bytes, dict]:
+    """Map column: rebased offsets + key/value sub-chunks (a map is
+    physically list<struct<key,value>>; reference normalizes Map/object
+    entries the same way, reference: src/dremel.js:173-192)."""
+    n = len(arr)
+    null_count = arr.null_count
+    off_abs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(off_abs[0]), int(off_abs[-1])
+    # .keys/.items are NOT slice-adjusted in pyarrow: window them manually
+    keys = arr.keys.slice(lo, hi - lo)
+    items = arr.items.slice(lo, hi - lo)
+    out = bytearray()
+    write_uvarint(out, n)
+    write_uvarint(out, null_count)
+    if 0 < null_count < n:
+        validity = np.asarray(arr.is_valid()).astype(np.uint64)
+        vbuf = rle_hybrid_encode(validity, 1)
+        write_uvarint(out, len(vbuf))
+        out.extend(vbuf)
+    off_chunk, off_meta = encode_array(pa.array(off_abs - lo), compress=compress)
+    key_chunk, key_meta = _encode_any_column(keys, compress)
+    item_chunk, item_meta = _encode_any_column(items, compress)
+    for blob in (off_chunk, key_chunk, item_chunk):
+        write_uvarint(out, len(blob))
+        out.extend(blob)
+    return bytes(out), {
+        "kind": "map", "n_values": n, "null_count": null_count,
+        "codec": (f"offsets:{off_meta['codec']}|keys:{key_meta['codec']}"
+                  f"|values:{item_meta['codec']}"),
+        "offsets": off_meta, "keys": key_meta, "values": item_meta,
+        "bytes_out": len(out),
+    }
+
+
+def _decode_map_column(buf, target: pa.DataType) -> pa.Array:
+    mv = memoryview(buf)
+    n, pos = read_uvarint(mv, 0)
+    null_count, pos = read_uvarint(mv, pos)
+    validity = None
+    if 0 < null_count < n:
+        vlen, pos = read_uvarint(mv, pos)
+        validity = rle_hybrid_decode(mv[pos : pos + vlen], 1, n).astype(bool)
+        pos += vlen
+    parts = []
+    for _ in range(3):
+        blen, pos = read_uvarint(mv, pos)
+        parts.append(mv[pos : pos + blen])
+        pos += blen
+    offsets = decode_array(parts[0]).to_numpy(zero_copy_only=False).astype(np.int32)
+    keys = _decode_any_column(parts[1], target.key_type)
+    items = _decode_any_column(parts[2], target.item_type)
+    dense = pa.MapArray.from_arrays(pa.array(offsets), keys, items)
+    if null_count == n:
+        validity = np.zeros(n, dtype=bool)
+    if validity is not None:
+        # dense covers every slot (null maps encoded as empty); identity
+        # take with a mask re-nulls them
+        return dense.take(pa.array(np.arange(n), mask=~validity))
+    return dense
+
+
 def _encode_struct_column(arr: pa.Array, compress: bool) -> tuple[bytes, dict]:
     """Struct column: per-field sub-blobs + struct validity.  The Dremel
     generality of the reference (src/dremel.js:16-163) reduces, for
@@ -268,6 +338,8 @@ def _encode_any_column(col: pa.Array, compress: bool) -> tuple[bytes, dict]:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     t = col.type
+    if pa.types.is_map(t):
+        return _encode_map_column(col, compress)
     if pa.types.is_struct(t):
         return _encode_struct_column(col, compress)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
@@ -276,6 +348,8 @@ def _encode_any_column(col: pa.Array, compress: bool) -> tuple[bytes, dict]:
 
 
 def _decode_any_column(buf, target: pa.DataType) -> pa.Array:
+    if pa.types.is_map(target):
+        return _decode_map_column(buf, target)
     if pa.types.is_struct(target):
         return _decode_struct_column(buf, target)
     if pa.types.is_list(target) or pa.types.is_large_list(target):

@@ -160,3 +160,36 @@ def test_rows_to_table_empty():
     from sparkcodec.schema import rows_to_table
 
     assert list(rows_to_table(iter([]))) == []
+
+
+def test_map_column_roundtrip_spark(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_dataframe, encode_dataframe
+
+    sdf = spark.range(1500).select(
+        "id",
+        F.when(F.col("id") % 7 == 0, None).otherwise(
+            F.create_map(F.lit("k1"), F.col("id"),
+                         F.lit("k2"), F.col("id") * 2)).alias("props"),
+    )
+    dec = decode_dataframe(encode_dataframe(sdf))
+    a = {r["id"]: (dict(r["props"]) if r["props"] is not None else None)
+         for r in sdf.collect()}
+    b = {r["id"]: (dict(r["props"]) if r["props"] is not None else None)
+         for r in dec.collect()}
+    assert a == b
+
+
+def test_map_column_local_edges():
+    import pyarrow as pa
+
+    from sparkcodec.engine import decode_chunk_group, encode_chunk_group
+
+    m = pa.array([{"a": 1}, None, {}, {"x": None}, {"y": 5, "z": 6}],
+                 type=pa.map_(pa.string(), pa.int32()))
+    tbl = pa.table({"m": m})
+    blob, metas, pairs, _ = encode_chunk_group(tbl)
+    back = decode_chunk_group(blob, pairs)
+    assert back.column(0).to_pylist() == m.to_pylist()
+    assert metas["m"]["kind"] == "map"
