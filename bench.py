@@ -52,7 +52,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from sparkcodec.datagen import synth_tokens
-    from sparkcodec.engine import decode_dataframe, encode_dataframe
+    from sparkcodec.engine import (
+        decode_dataframe,
+        encode_dataframe,
+        encode_parquet_dataset,
+    )
     from sparkcodec.tokens import tokens_table
 
     tmp = tempfile.mkdtemp(prefix="sparkcodec_bench_")
@@ -67,19 +71,28 @@ def main() -> None:
         toks.write.mode("overwrite").parquet(src_path)
         inp = spark.read.parquet(src_path)
 
-        # q1: encode (the headline) -- compute throughput, disk write
-        # excluded (measured separately as encode_write); best of 2 runs so
-        # the input scan is page-cache warm
+        # q1: encode (the headline) -- the scan-side fast path: pyarrow
+        # reads the parquet splits inside the Python tasks, so token arrays
+        # never cross the JVM->Python Arrow bridge.  Best of 3 runs: run 1
+        # absorbs Python-worker spawn + page-cache warmup (the JVM parquet
+        # baseline below is equally warm by then).
         times = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
-            encode_dataframe(inp).agg(F.sum("bytes_out")).collect()
+            encode_parquet_dataset(spark, src_path).agg(F.sum("bytes_out")).collect()
             times.append(time.perf_counter() - t0)
         queries["encode"] = min(times)
+        extras["encode_runs"] = [round(x, 3) for x in times]
+
+        # q1b: the generic DataFrame-input path (any upstream plan, pays the
+        # JVM Arrow bridge for list columns) -- kept visible, not headline
+        t0 = time.perf_counter()
+        encode_dataframe(inp).agg(F.sum("bytes_out")).collect()
+        queries["encode_mapinarrow"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         enc_path = f"{tmp}/encoded.parquet"
-        encode_dataframe(inp).write.mode("overwrite").parquet(enc_path)
+        encode_parquet_dataset(spark, src_path).write.mode("overwrite").parquet(enc_path)
         queries["encode_write"] = time.perf_counter() - t0
 
         enc = spark.read.parquet(enc_path)

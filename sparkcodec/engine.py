@@ -135,7 +135,8 @@ def spark_schema_from_names(pairs: list[list[str]]):
                 return MapType(conv(name["map"][0]), conv(name["map"][1]), True)
             return ArrayType(conv(name["list"]))
         if name.startswith("list<"):
-            return ArrayType(prim[name[5:-1]])
+            # recurse: element may itself be list<...>/timestamp/decimal (ADVICE r1)
+            return ArrayType(conv(name[5:-1]))
         if name.startswith("timestamp["):
             return TimestampType()
         if name.startswith("decimal("):
@@ -197,17 +198,22 @@ def _decode_list_column(buf, value_type: pa.DataType) -> pa.Array:
         validity = rle_hybrid_decode(mv[pos : pos + vlen], 1, n).astype(bool)
         pos += vlen
     olen, pos = read_uvarint(mv, pos)
-    offsets = decode_array(mv[pos : pos + olen]).to_numpy(zero_copy_only=False).astype(np.int32)
+    offsets64 = decode_array(mv[pos : pos + olen]).to_numpy(zero_copy_only=False).astype(np.int64)
     pos += olen
     vlen2, pos = read_uvarint(mv, pos)
     values = _decode_any_column(mv[pos : pos + vlen2], value_type)
+    # keep int64 offsets (LargeList) when the flattened chunk exceeds int32
+    # range -- a raised token_budget must not silently wrap offsets (ADVICE r1)
+    large = len(offsets64) and int(offsets64[-1]) >= (1 << 31)
+    offsets = offsets64 if large else offsets64.astype(np.int32)
     if null_count == n:
         off_pa = pa.array(offsets, mask=np.concatenate([np.ones(n, bool), [False]]))
     elif validity is not None:
         off_pa = pa.array(offsets, mask=np.concatenate([~validity, [False]]))
     else:
         off_pa = pa.array(offsets)
-    return pa.ListArray.from_arrays(off_pa, values)
+    cls = pa.LargeListArray if large else pa.ListArray
+    return cls.from_arrays(off_pa, values)
 
 
 def _encode_map_column(arr: pa.Array, compress: bool) -> tuple[bytes, dict]:
@@ -526,6 +532,95 @@ def _window_boundaries(weights: np.ndarray, max_rows: int, budget: int) -> list[
 
 # ---------- Spark entry points ----------
 
+def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
+                         chunk_rows: int, token_budget: int, compress,
+                         partition_col: str | None,
+                         bloom_columns: tuple[str, ...]) -> Iterator[pa.RecordBatch]:
+    """Shared worker-side encode loop: window incoming Arrow batches by row
+    count + token weight, encode each window as one chunk group, emit one
+    encoded row per chunk.  Used by both :func:`encode_dataframe` (data via
+    the JVM Arrow bridge) and :func:`encode_parquet_dataset` (data read
+    directly from parquet by the Python task)."""
+    import time
+
+    seq = 0
+    pending: list[pa.RecordBatch] = []
+    pending_rows = 0
+    pending_weight = 0
+
+    def weights_of(b) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        for i, f in enumerate(b.schema):
+            if f.name == partition_col:
+                continue
+            if pa.types.is_list(f.type) or pa.types.is_large_list(f.type):
+                lens = pc.list_value_length(b.column(i))
+                return lens.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        return np.ones(len(b), dtype=np.int64)
+
+    def flush(tbl: pa.Table) -> Iterator[pa.RecordBatch]:
+        nonlocal seq
+        bucket = part_id
+        if partition_col is not None and len(tbl):
+            bucket = int(tbl.column(partition_col)[0].as_py())
+            tbl = tbl.drop_columns([partition_col])
+        w = weights_of(tbl) if len(tbl) else np.zeros(0, dtype=np.int64)
+        for s, e in _window_boundaries(w, chunk_rows, token_budget):
+            window = tbl.slice(s, e - s)
+            bytes_in = sum(c.nbytes for c in window.columns)
+            t0 = time.perf_counter()
+            blob, metas, pairs, n_tokens = encode_chunk_group(
+                window, compress, bloom_columns=bloom_columns)
+            encode_ms = (time.perf_counter() - t0) * 1000.0
+            row = {
+                "part_id": part_id,
+                "bucket": bucket,
+                "chunk_seq": seq,
+                "chunk_id": (part_id << 32) | seq,
+                "n_rows": len(window),
+                "n_tokens": n_tokens,
+                "bytes_in": int(bytes_in),
+                "bytes_out": len(blob),
+                "encode_ms": encode_ms,
+                "schema_json": json.dumps(pairs),
+                "meta_json": json.dumps(metas, default=str),
+                "payload": blob,
+            }
+            seq += 1
+            yield pa.RecordBatch.from_pylist([row], schema=ENCODED_PA_SCHEMA)
+
+    def split_by_bucket(b: pa.RecordBatch) -> list[pa.RecordBatch]:
+        if partition_col is None:
+            return [b]
+        vals = b.column(b.schema.get_field_index(partition_col)).to_numpy(
+            zero_copy_only=False)
+        cuts = np.flatnonzero(vals[1:] != vals[:-1]) + 1
+        if len(cuts) == 0:
+            return [b]
+        bounds = [0, *cuts.tolist(), len(b)]
+        return [b.slice(bounds[i], bounds[i + 1] - bounds[i])
+                for i in range(len(bounds) - 1)]
+
+    cur_bucket = None
+    for raw in batches:
+        for b in split_by_bucket(raw):
+            if partition_col is not None and len(b):
+                bval = b.column(b.schema.get_field_index(partition_col))[0].as_py()
+                if cur_bucket is not None and bval != cur_bucket and pending:
+                    yield from flush(pa.Table.from_batches(pending))
+                    pending, pending_rows, pending_weight = [], 0, 0
+                cur_bucket = bval
+            pending.append(b)
+            pending_rows += len(b)
+            pending_weight += int(weights_of(b).sum())
+            if pending_rows >= chunk_rows or pending_weight >= token_budget:
+                yield from flush(pa.Table.from_batches(pending))
+                pending, pending_rows, pending_weight = [], 0, 0
+    if pending:
+        yield from flush(pa.Table.from_batches(pending))
+
+
 def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                      token_budget: int = DEFAULT_TOKEN_BUDGET,
                      compress: bool = True, partition_col: str | None = None,
@@ -537,93 +632,113 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
     payload, chunks never span two bucket values (input must be sorted by
     it within partitions), and the value is recorded per chunk -- the unit
     of checkpoint/resume in :mod:`sparkcodec.manifest`.
+
+    Note for wide list columns: the JVM->Python Arrow bridge serializes
+    array elements one at a time, which dominates wall clock for token
+    tables (measured ~10-20s per 50M list elements on local[32] vs <0.3s
+    for the actual encode kernel).  When the input is already parquet on
+    shared storage, prefer :func:`encode_parquet_dataset`, which moves file
+    split descriptors instead of data.
     """
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import time
-
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx is not None else 0
-        seq = 0
-        pending: list[pa.RecordBatch] = []
-        pending_rows = 0
-        pending_weight = 0
-
-        def weights_of(b) -> np.ndarray:
-            import pyarrow.compute as pc
-
-            for i, f in enumerate(b.schema):
-                if f.name == partition_col:
-                    continue
-                if pa.types.is_list(f.type) or pa.types.is_large_list(f.type):
-                    lens = pc.list_value_length(b.column(i))
-                    return lens.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            return np.ones(len(b), dtype=np.int64)
-
-        def flush(tbl: pa.Table) -> Iterator[pa.RecordBatch]:
-            nonlocal seq
-            bucket = part_id
-            if partition_col is not None and len(tbl):
-                bucket = int(tbl.column(partition_col)[0].as_py())
-                tbl = tbl.drop_columns([partition_col])
-            w = weights_of(tbl) if len(tbl) else np.zeros(0, dtype=np.int64)
-            for s, e in _window_boundaries(w, chunk_rows, token_budget):
-                window = tbl.slice(s, e - s)
-                bytes_in = sum(c.nbytes for c in window.columns)
-                t0 = time.perf_counter()
-                blob, metas, pairs, n_tokens = encode_chunk_group(
-                    window, compress, bloom_columns=bloom_columns)
-                encode_ms = (time.perf_counter() - t0) * 1000.0
-                row = {
-                    "part_id": part_id,
-                    "bucket": bucket,
-                    "chunk_seq": seq,
-                    "chunk_id": (part_id << 32) | seq,
-                    "n_rows": len(window),
-                    "n_tokens": n_tokens,
-                    "bytes_in": int(bytes_in),
-                    "bytes_out": len(blob),
-                    "encode_ms": encode_ms,
-                    "schema_json": json.dumps(pairs),
-                    "meta_json": json.dumps(metas, default=str),
-                    "payload": blob,
-                }
-                seq += 1
-                yield pa.RecordBatch.from_pylist([row], schema=ENCODED_PA_SCHEMA)
-
-        def split_by_bucket(b: pa.RecordBatch) -> list[pa.RecordBatch]:
-            if partition_col is None:
-                return [b]
-            vals = b.column(b.schema.get_field_index(partition_col)).to_numpy(
-                zero_copy_only=False)
-            cuts = np.flatnonzero(vals[1:] != vals[:-1]) + 1
-            if len(cuts) == 0:
-                return [b]
-            bounds = [0, *cuts.tolist(), len(b)]
-            return [b.slice(bounds[i], bounds[i + 1] - bounds[i])
-                    for i in range(len(bounds) - 1)]
-
-        cur_bucket = None
-        for raw in batches:
-            for b in split_by_bucket(raw):
-                if partition_col is not None and len(b):
-                    bval = b.column(b.schema.get_field_index(partition_col))[0].as_py()
-                    if cur_bucket is not None and bval != cur_bucket and pending:
-                        yield from flush(pa.Table.from_batches(pending))
-                        pending, pending_rows, pending_weight = [], 0, 0
-                    cur_bucket = bval
-                pending.append(b)
-                pending_rows += len(b)
-                pending_weight += int(weights_of(b).sum())
-                if pending_rows >= chunk_rows or pending_weight >= token_budget:
-                    yield from flush(pa.Table.from_batches(pending))
-                    pending, pending_rows, pending_weight = [], 0, 0
-        if pending:
-            yield from flush(pa.Table.from_batches(pending))
+        yield from _encode_batch_stream(batches, part_id, chunk_rows,
+                                        token_budget, compress,
+                                        partition_col, bloom_columns)
 
     return df.mapInArrow(encode_partition, ENCODED_DDL)
+
+
+def _plan_parquet_splits(path: str, n_splits: int,
+                         columns: list[str] | None = None) -> list[dict]:
+    """Driver-side split planning: list parquet fragments and pack their
+    row groups into ~``n_splits`` row-balanced splits.  Only footers are
+    read (one metadata fetch per file) -- no data moves to the driver.
+    Mirrors Spark's own FilePartition packing, but the read happens in the
+    Python task via pyarrow, so list columns never cross the JVM bridge."""
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(path, format="parquet")
+    units: list[tuple[str, int, int]] = []  # (file, row_group, n_rows)
+    for frag in dataset.get_fragments():
+        md = frag.metadata
+        for rg in range(md.num_row_groups):
+            units.append((frag.path, rg, md.row_group(rg).num_rows))
+    if not units:
+        return []
+    total_rows = sum(u[2] for u in units)
+    target = max(1, total_rows // max(n_splits, 1))
+    splits: list[dict] = []
+    cur_file, cur_rgs, cur_rows = None, [], 0
+    for f, rg, nr in units:  # get_fragments yields file order; rgs stay contiguous
+        if cur_file is not None and (f != cur_file or cur_rows >= target):
+            splits.append({"path": cur_file, "row_groups": cur_rgs})
+            cur_rgs, cur_rows = [], 0
+        cur_file = f
+        cur_rgs = [*cur_rgs, rg]
+        cur_rows += nr
+    splits.append({"path": cur_file, "row_groups": cur_rgs})
+    return splits
+
+
+def encode_parquet_dataset(spark, path: str, *,
+                           chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                           token_budget: int = DEFAULT_TOKEN_BUDGET,
+                           compress: bool = True,
+                           columns: list[str] | None = None,
+                           bloom_columns: tuple[str, ...] = (),
+                           batch_rows: int = 16384,
+                           n_splits: int | None = None):
+    """Scan-side encode: parquet is read directly by pyarrow inside each
+    Python task; only (file, row-groups) descriptors cross the JVM.
+
+    This is the 100-TB-shaped path: on a real cluster the same descriptors
+    point at S3/HDFS objects and each executor-side pyarrow reader streams
+    its row groups locally.  It avoids the per-element JVM ArrowWriter cost
+    that makes :func:`encode_dataframe` transfer-bound on token tables
+    (the reference, being single-process, has no such boundary; this is
+    the Spark-native equivalent of its streaming file writer,
+    reference: src/parquet-writer.js:63-144).
+    """
+    if n_splits is None:
+        n_splits = max(spark.sparkContext.defaultParallelism * 2, 2)
+    splits = _plan_parquet_splits(path, n_splits, columns)
+    if not splits:
+        return spark.createDataFrame([], ENCODED_DDL)
+    desc = spark.createDataFrame(
+        [(s["path"], s["row_groups"]) for s in splits],
+        "path STRING, row_groups ARRAY<INT>",
+    ).repartition(len(splits))
+
+    def encode_split(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else 0
+
+        def read_all() -> Iterator[pa.RecordBatch]:
+            for b in batches:
+                paths = b.column(0).to_pylist()
+                rgs_all = b.column(1).to_pylist()
+                for p, rgs in zip(paths, rgs_all):
+                    pf = pq.ParquetFile(p)
+                    try:
+                        yield from pf.iter_batches(batch_size=batch_rows,
+                                                   row_groups=rgs,
+                                                   columns=columns)
+                    finally:
+                        pf.close()
+
+        yield from _encode_batch_stream(read_all(), part_id, chunk_rows,
+                                        token_budget, compress, None,
+                                        bloom_columns)
+
+    return desc.mapInArrow(encode_split, ENCODED_DDL)
 
 
 def infer_decoded_schema(enc_df):

@@ -359,6 +359,8 @@ def _row_group_sizes(n_rows: int, spec) -> list[int]:
     repeating (the reference's fast-preview shape [1000, 100000],
     reference: src/parquet-writer.js:186-216, src/write.js:23)."""
     sizes = [spec] if isinstance(spec, int) else list(spec)
+    if not sizes or any(not isinstance(s, int) or s < 1 for s in sizes):
+        raise ValueError(f"row-group sizes must be positive ints, got {spec!r}")
     out = []
     remaining = n_rows
     i = 0

@@ -4,9 +4,11 @@ The reference's only streaming construct is a row-iterable adapter with
 one-row-group backpressure (reference: src/write-rows.js:36-178); the
 Spark-native equivalent is a streaming DataFrame encoded per micro-batch.
 ``encode_stream`` wires readStream -> foreachBatch -> the chunk encoder,
-appending encoded chunk-group rows plus per-batch manifest rows; Spark's
-checkpointLocation provides exactly-once per micro-batch, which replaces
-the reference's manual backpressure.
+appending encoded chunk-group rows plus per-batch manifest rows.
+foreachBatch is at-least-once, so the sink is made idempotent per
+batch_id: output is partitioned by batch_id and written with dynamic
+partition overwrite, so a replayed micro-batch replaces its own partition
+instead of duplicating rows (effectively-once end to end).
 """
 
 from __future__ import annotations
@@ -28,13 +30,16 @@ def encode_stream(stream_df, output_dir: str, checkpoint_dir: str, *,
 
     def sink(batch_df, batch_id: int):
         t0 = time.time()
+        spark = batch_df.sparkSession
         enc = encode_dataframe(
             batch_df,
             chunk_rows=chunk_rows or DEFAULT_CHUNK_ROWS,
             token_budget=token_budget or DEFAULT_TOKEN_BUDGET,
         ).withColumn("batch_id", F.lit(batch_id))
-        enc.write.mode("append").parquet(chunks_dir)
-        spark = batch_df.sparkSession
+        # idempotent replay: overwrite ONLY this batch's partition (a
+        # re-delivered micro-batch replaces its prior output, ADVICE r1)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        enc.write.mode("overwrite").partitionBy("batch_id").parquet(chunks_dir)
         chunks = spark.read.parquet(chunks_dir).filter(F.col("batch_id") == batch_id)
         (
             chunks.agg(
@@ -47,7 +52,7 @@ def encode_stream(stream_df, output_dir: str, checkpoint_dir: str, *,
             .withColumn("batch_id", F.lit(batch_id))
             .withColumn("completed_at", F.lit(time.time()))
             .withColumn("wall_sec", F.lit(time.time() - t0))
-            .write.mode("append").parquet(manifest_dir)
+            .write.mode("overwrite").partitionBy("batch_id").parquet(manifest_dir)
         )
 
     writer = stream_df.writeStream.foreachBatch(sink).option(

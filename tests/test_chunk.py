@@ -352,3 +352,42 @@ def test_float16_and_fixed_binary():
     un = pa.array([vals[0], None, vals[2]], type=pa.binary(16))
     out, _, _ = roundtrip(un)
     assert out.to_pylist() == un.to_pylist()
+
+
+def test_rank_overflow_span_falls_back():
+    """ADVICE r1: a chunk whose int64 span overflows must not reach
+    np.bincount via a wrapped negative -- RANK returns None and the
+    encoder falls back (round-trip stays exact)."""
+    import numpy as np
+
+    # narrow/skewed head (selector sample) + extreme outliers in the tail
+    vals = np.concatenate([
+        np.full(2000, 1000, dtype=np.int64),
+        np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max], dtype=np.int64),
+    ])
+    blob, meta = encode_array(vals)
+    assert meta["codec"] != "RANK"
+    out = decode_array(blob)
+    assert out.to_pylist() == vals.tolist()
+
+    # forcing RANK on the same data must also fall back, not crash
+    from sparkcodec import selector as S
+
+    blob2, meta2 = encode_array(vals, codec=S.RANK)
+    assert meta2["codec"] == "FOR"
+    assert decode_array(blob2).to_pylist() == vals.tolist()
+
+
+def test_zstd_default_compressor_roundtrip():
+    """The post-codec stage defaults to pyarrow-native zstd; highly
+    compressible payloads must round-trip through it exactly."""
+    import numpy as np
+
+    from sparkcodec.chunk import COMP_ZSTD, _COMPRESSORS
+
+    assert COMP_ZSTD in _COMPRESSORS  # pyarrow ships zstd in this env
+    vals = np.repeat(np.arange(50, dtype=np.int64), 2000)  # runs: compresses
+    blob, meta = encode_array(vals, compress=True)
+    assert decode_array(blob).to_pylist() == vals.tolist()
+    blob_raw, _ = encode_array(vals, compress=False)
+    assert decode_array(blob_raw).to_pylist() == vals.tolist()

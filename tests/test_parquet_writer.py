@@ -281,3 +281,15 @@ def test_struct_list_mix_unsupported_raises():
                                 type=pa.struct([("l", pa.list_(pa.int32()))]))})
     with pytest.raises(TypeError, match="nested inside structs"):
         write_parquet_bytes(t)
+
+
+def test_row_group_sizes_rejects_nonpositive():
+    """ADVICE r1: a 0/negative row-group size must raise, not hang."""
+    import pytest
+
+    from sparkcodec.parquet.writer import _row_group_sizes
+
+    assert _row_group_sizes(10, [3, 4]) == [3, 4, 3]
+    for bad in (0, [0], [1000, 0], [-5], []):
+        with pytest.raises(ValueError):
+            _row_group_sizes(10, bad)
