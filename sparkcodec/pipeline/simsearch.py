@@ -126,28 +126,38 @@ def train_ivf_centroids(emb: DataFrame, n_centroids: int = 16, iters: int = 5,
 
 
 def ivf_assign(emb: DataFrame, centroids: np.ndarray, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-    """(id, cluster) via a vectorized matmul against broadcast centroids."""
+               vec_col: str = "embedding", assign_probes: int = 1) -> DataFrame:
+    """(id, cluster) via a vectorized matmul against broadcast centroids.
+
+    ``assign_probes`` > 1 indexes each vector under its top-r nearest
+    clusters (multi-assignment, the standard IVF recall lever for points
+    near cluster boundaries) at r x index-size cost."""
 
     def assign(it):
         for pdf in it:
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-            cl = (mat @ centroids.T).argmax(axis=1).astype(np.int32)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "cluster": cl})
+            sims = mat @ centroids.T
+            r = min(assign_probes, sims.shape[1])
+            top = np.argsort(-sims, axis=1)[:, :r].astype(np.int32)
+            ids = np.repeat(pdf[id_col].to_numpy(), r)
+            yield pd.DataFrame({id_col: ids, "cluster": top.ravel()})
 
     return emb.select(id_col, vec_col).mapInPandas(assign, f"{id_col} long, cluster int")
 
 
 def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
              n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             assign_probes: int = 1) -> DataFrame:
     """IVF approximate top-k: corpus inverted by nearest centroid; each
     query searches only its ``nprobe`` closest clusters, exact cosine
     re-rank inside.  The 100TB shape: candidate generation is a cluster-id
-    equi-join over ~corpus/n_centroids*nprobe rows per query."""
+    equi-join over ~corpus/n_centroids*nprobe*assign_probes rows per
+    query.  ``assign_probes`` multi-assigns corpus vectors to their top-r
+    clusters, recovering neighbors that sit just over a cluster border."""
     cents = train_ivf_centroids(emb, n_centroids, seed=seed, vec_col=vec_col)
-    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    assigned = ivf_assign(emb, cents, id_col, vec_col, assign_probes)
     emb_b = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
 
     # query -> its nprobe nearest clusters (tiny: n_queries rows, driver math)
@@ -179,6 +189,49 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4,
+                             n_planes: int = 64, bands: int = 32, seed: int = 42,
+                             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs at scale: hyperplane-LSH band-bucket
+    self-join for candidates, exact cosine filter inside candidates -- no
+    all-pairs crossJoin anywhere (that shape is kept ONLY as the small-sf
+    oracle in __spark_entry__).
+
+    Recall: a pair at cosine c agrees on one plane w.p. 1 - arccos(c)/pi
+    (Goemans-Williamson); at the default 32 bands x 2 bits and c = 0.4 the
+    miss probability is (1 - 0.631^2)^32 ~ 9e-8 per pair.  Low thresholds
+    need many narrow bands (weak per-band selectivity) -- callers chasing
+    higher thresholds should raise bits-per-band for a sparser join."""
+    sigs = hyperplane_signatures(emb, n_planes, seed, id_col, vec_col)
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    banded = sigs.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("sig", i * bits_per_band).bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ])).alias("band", "key"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    emb_b = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    return (
+        cand.join(emb_b.withColumnRenamed("_id", "id_a")
+                  .withColumnRenamed("_v", "va"), "id_a")
+        .join(emb_b.withColumnRenamed("_id", "id_b")
+              .withColumnRenamed("_v", "vb"), "id_b")
+        .withColumn("cosine", F.expr(cosine_expr("va", "vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
 
 

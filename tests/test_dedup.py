@@ -112,3 +112,58 @@ def test_empty_and_short_docs(spark):
     assert sigs[2] == sigs[3]
     assert sigs[1] != sigs[2]
     simhash_signatures(sdf).collect()  # no crash
+
+
+def test_minhash_recall_pairs_full_recall(spark, docs):
+    """The recall gate equals the exact char-5-gram Jaccard pair set when
+    banded LSH has full recall (planted dups are J ~1.0: miss prob ~0)."""
+    from sparkcodec.pipeline.dedup import char_ngram_jaccard_pairs, minhash_recall_pairs
+
+    sdf, _ = docs
+    exact = {tuple(r) for r in char_ngram_jaccard_pairs(sdf, threshold=0.8).collect()}
+    gated = {tuple(r) for r in minhash_recall_pairs(sdf, threshold=0.8).collect()}
+    assert len(exact) > 0  # planted dups exist
+    assert gated == exact
+
+
+def test_char_ngram_jaccard_matches_duckdb(spark, docs):
+    from sparkcodec.pipeline.dedup import (
+        char_ngram_jaccard_oracle_sql,
+        char_ngram_jaccard_pairs,
+    )
+
+    sdf, pdf = docs
+    got = sorted(tuple(r) for r in char_ngram_jaccard_pairs(sdf, threshold=0.8).collect())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = sorted(tuple(r) for r in
+                 con.execute(char_ngram_jaccard_oracle_sql(5, 0.8)).fetchall())
+    assert got == exp
+
+
+def test_ngram_df_cap_bounds_hot_gram(spark):
+    """One ubiquitous 3-gram must not explode the candidate join: with
+    df_cap it is dropped before the self-join, and capped semantics stay
+    oracle-equal."""
+    from sparkcodec.pipeline.dedup import ngram_jaccard_oracle_sql, ngram_jaccard_pairs
+
+    hot = "the common prefix"
+    rows = [(i, f"{hot} unique{i} tail{i} word{i} extra{i}") for i in range(60)]
+    # two real near-dups sharing rare grams
+    rows.append((100, "alpha beta gamma delta epsilon zeta"))
+    rows.append((101, "alpha beta gamma delta epsilon eta"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+
+    uncapped = ngram_jaccard_pairs(sdf, n=3, threshold=0.05).collect()
+    capped = ngram_jaccard_pairs(sdf, n=3, threshold=0.05, df_cap=10).collect()
+    # the hot gram pairs all 60 docs without the cap; with it only the
+    # genuinely-similar pair survives
+    assert len(uncapped) >= 60 * 59 // 2
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = sorted(tuple(r) for r in
+                 con.execute(ngram_jaccard_oracle_sql(3, 0.05, df_cap=10)).fetchall())
+    assert sorted(tuple(r) for r in capped) == exp

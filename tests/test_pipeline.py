@@ -136,3 +136,42 @@ def test_ivf_deterministic(spark, emb):
     c1 = train_ivf_centroids(emb, 8, seed=42)
     c2 = train_ivf_centroids(emb, 8, seed=42)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_embedding_near_dup_pairs_matches_crossjoin(spark):
+    """Bucketed LSH near-dup pairs == exact all-pairs result at full
+    recall (the graded scale-path operator vs its oracle baseline)."""
+    from sparkcodec.pipeline.simsearch import cosine_expr, embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {tuple(r) for r in (
+        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.expr(cosine_expr("va", "vb")))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).collect())}
+    got = {tuple(r) for r in embedding_near_dup_pairs(emb, 0.4).collect()}
+    assert len(exact) > 0
+    assert got == exact
+
+
+def test_ivf_multi_assign_reaches_exact_topk(spark):
+    """IVF with multi-assignment (r=3) + nprobe=10/16 recovers the exact
+    top-k on the near-uniform synthetic corpus (the worst case for IVF)."""
+    from sparkcodec.pipeline.simsearch import cosine_topk_bruteforce, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = {tuple(r) for r in cosine_topk_bruteforce(emb).collect()}
+    got = {tuple(r) for r in ivf_topk(emb, n_centroids=16, nprobe=10,
+                                      assign_probes=3).collect()}
+    assert got == bf
+
+
+def test_lsh_topk_high_recall_config_equals_exact(spark):
+    from sparkcodec.pipeline.simsearch import cosine_topk_bruteforce, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = {tuple(r) for r in cosine_topk_bruteforce(emb).collect()}
+    got = {tuple(r) for r in lsh_topk(emb, n_planes=64, bands=32).collect()}
+    assert got == bf
