@@ -277,6 +277,41 @@ def _roundtrip_parquet_file(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _roundtrip_parquet_nested(spark, sf_dir):
+    """Nested-type parquet emitter check: MAP + list<list<double>> +
+    struct-with-list columns derived from events, written as REAL parquet
+    by OUR writer (general Dremel levels, SBBF blooms on event_id), read
+    back by Spark's builtin reader, flattened so DuckDB can recompute the
+    exact values from the source table."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.parquet.writer import write_partitioned_parquet
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nested = ev.select(
+        "event_id",
+        F.create_map(F.lit("type"), F.col("event_type"),
+                     F.lit("uid"), F.col("user_id").cast("string")).alias("props_map"),
+        F.array(F.array("value"), F.array("value", "value")).alias("vv"),
+        F.struct(F.col("event_type").alias("t"),
+                 F.array(F.col("user_id")).alias("ids")).alias("st"),
+    )
+    out = tempfile.mkdtemp(prefix="sc_pq_nested_") + "/files"
+    write_partitioned_parquet(nested.repartition(4), out,
+                              bloom_columns=("event_id",)).collect()
+    back = spark.read.parquet(out)
+    return back.select(
+        "event_id",
+        F.col("props_map")["type"].alias("m_type"),
+        F.col("props_map")["uid"].alias("m_uid"),
+        F.col("vv")[1][0].alias("v10"),
+        F.col("st.t").alias("st_t"),
+        F.col("st.ids")[0].alias("st_id0"),
+    )
+
+
 def _dedup_embedding_lsh(spark, sf_dir):
     """THE graded embedding-dedup component: hyperplane-LSH band-bucket
     candidates + exact cosine filter -- no crossJoin.  Full recall at the
@@ -349,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "media_image_features": _media_features,
         "roundtrip_parquet_file": _roundtrip_parquet_file,
+        "roundtrip_parquet_nested": _roundtrip_parquet_nested,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
     }
@@ -391,6 +427,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_oracle(),
         "roundtrip_parquet_file": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem"
+        ),
+        "roundtrip_parquet_nested": (
+            "SELECT event_id, event_type AS m_type, CAST(user_id AS VARCHAR) AS m_uid, "
+            "value AS v10, event_type AS st_t, user_id AS st_id0 FROM events"
         ),
         "dedup_embedding_lsh": _dedup_embedding_oracle(),
         "dedup_embedding_cosine": _dedup_embedding_oracle(),

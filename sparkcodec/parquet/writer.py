@@ -34,148 +34,191 @@ MAGIC = b"PAR1"
 
 # parquet enums
 PT_BOOLEAN, PT_INT32, PT_INT64, PT_INT96, PT_FLOAT, PT_DOUBLE, PT_BYTE_ARRAY = 0, 1, 2, 3, 4, 5, 6
+PT_FLBA = 7
 ENC_PLAIN, ENC_RLE, ENC_DELTA_BP, ENC_DELTA_LBA, ENC_DELTA_BA, ENC_RLE_DICT, ENC_BSS = 0, 3, 5, 6, 7, 8, 9
 COMP_UNCOMPRESSED, COMP_GZIP = 0, 2
 PAGE_DATA_V2, PAGE_DICT = 3, 2
 REP_REQUIRED, REP_OPTIONAL, REP_REPEATED = 0, 1, 2
-CONV_UTF8, CONV_LIST, CONV_DATE, CONV_TS_MICROS = 0, 3, 6, 10
+CONV_UTF8, CONV_MAP, CONV_LIST, CONV_DECIMAL, CONV_DATE, CONV_TS_MICROS = 0, 1, 3, 5, 6, 10
+# LogicalType union field ids (parquet.thrift)
+LT_DECIMAL, LT_UUID, LT_FLOAT16 = 5, 14, 15
 
 _PAGE_BYTES = 1 << 20  # estimated-uncompressed split budget (reference: src/column.js:211-239)
 
 
 class _Leaf:
-    """One leaf of the schema tree.  A top-level column yields one leaf for
-    primitives and lists, and one leaf PER nested primitive for structs
-    (``field_indices`` walks from the column to the leaf)."""
+    """One leaf of the (arbitrarily nested) schema tree.
 
-    def __init__(self, name: str, arr_type: pa.DataType, col_index: int,
-                 field_indices: tuple[int, ...] = (),
-                 path: list[str] | None = None):
-        self.name = name
+    ``ops`` is the column-root-to-leaf chain of level transformations that
+    :func:`_compute_levels` replays over the Arrow array -- the vectorized
+    equivalent of the reference's recursive Dremel walk
+    (reference: src/dremel.js:16-163, maps at src/dremel.js:173-192):
+
+      ("opt",)            optional node: def+1 where non-null
+      ("field", i)        descend into struct/entries child i
+      ("list", rep, map)  repeated expansion (map=True converts a MapArray
+                          to its list<struct<key,value>> view first)
+    """
+
+    def __init__(self, path: list[str], value_type: pa.DataType, col_index: int,
+                 ops: list[tuple], max_def: int, max_rep: int):
+        self.path = path
         self.col_index = col_index
-        self.field_indices = field_indices
-        t = arr_type
-        self.is_list = pa.types.is_list(t) or pa.types.is_large_list(t)
-        if self.is_list:
-            self.path = [name, "list", "element"]
-            self.max_def = 3  # optional list, repeated, optional element
-            self.max_rep = 1
-            self.value_type = t.value_type
-        else:
-            self.path = path or [name]
-            # every level on the path is OPTIONAL: column + each struct field
-            self.max_def = 1 + len(field_indices)
-            self.max_rep = 0
-            self.value_type = t
-        self.phys, self.conv = _physical_of(self.value_type)
+        self.ops = ops
+        self.max_def = max_def
+        self.max_rep = max_rep
+        self.value_type = value_type
+        (self.phys, self.conv, self.type_length,
+         self.logical, self.dec_ps) = _physical_of(value_type)
 
 
 def _build_leaves(schema: pa.Schema) -> list[_Leaf]:
-    """Flatten the (struct-nested) schema into leaves, preorder."""
+    """Flatten an arbitrarily nested schema (struct/list/map in any
+    combination) into leaves, preorder."""
     leaves: list[_Leaf] = []
 
     def walk(t: pa.DataType, col_index: int, path: list[str],
-             indices: tuple[int, ...]) -> None:
+             ops: list[tuple], max_def: int, max_rep: int) -> None:
         if pa.types.is_struct(t):
+            ops = ops + [("opt",)]
             for i in range(t.num_fields):
                 f = t.field(i)
-                walk(f.type, col_index, path + [f.name], indices + (i,))
+                walk(f.type, col_index, path + [f.name],
+                     ops + [("field", i)], max_def + 1, max_rep)
             return
-        if (pa.types.is_list(t) or pa.types.is_large_list(t)) and indices:
-            raise TypeError("lists nested inside structs are not supported by "
-                            "the parquet file writer (the engine chunk format "
-                            "handles them)")
-        leaves.append(_Leaf(path[0] if not indices else path[0],
-                            t, col_index,
-                            field_indices=indices, path=path))
+        if pa.types.is_map(t):
+            kv_ops = ops + [("opt",), ("list", max_rep + 1, True)]
+            base = max_def + 2  # optional map + repeated key_value
+            if not _is_primitive_leaf(t.key_type):
+                raise TypeError(f"map keys must be primitive, got {t.key_type}")
+            # key is REQUIRED by the parquet spec (arrow maps never have
+            # null keys) -- no ("opt",) step, no def increment
+            leaves.append(_Leaf(path + ["key_value", "key"], t.key_type,
+                                col_index, kv_ops + [("field", 0)],
+                                base, max_rep + 1))
+            walk(t.item_type, col_index, path + ["key_value", "value"],
+                 kv_ops + [("field", 1)], base, max_rep + 1)
+            return
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            walk(t.value_type, col_index, path + ["list", "element"],
+                 ops + [("opt",), ("list", max_rep + 1, False)],
+                 max_def + 2, max_rep + 1)
+            return
+        leaves.append(_Leaf(path, t, col_index, ops + [("opt",)],
+                            max_def + 1, max_rep))
 
     for i, f in enumerate(schema):
-        walk(f.type, i, [f.name], ())
+        walk(f.type, i, [f.name], [], 0, 0)
     return leaves
 
 
-def _physical_of(t: pa.DataType) -> tuple[int, int | None]:
+def _is_primitive_leaf(t: pa.DataType) -> bool:
+    try:
+        _physical_of(t)
+        return True
+    except TypeError:
+        return False
+
+
+def _physical_of(t: pa.DataType):
+    """(physical type, converted type, type_length, logical fields,
+    (precision, scale) | None) for a leaf type."""
     if pa.types.is_boolean(t):
-        return PT_BOOLEAN, None
+        return PT_BOOLEAN, None, None, None, None
     if pa.types.is_int32(t):
-        return PT_INT32, None
+        return PT_INT32, None, None, None, None
     if pa.types.is_int64(t):
-        return PT_INT64, None
+        return PT_INT64, None, None, None, None
     if pa.types.is_float32(t):
-        return PT_FLOAT, None
+        return PT_FLOAT, None, None, None, None
     if pa.types.is_float64(t):
-        return PT_DOUBLE, None
+        return PT_DOUBLE, None, None, None, None
     if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return PT_BYTE_ARRAY, CONV_UTF8
+        return PT_BYTE_ARRAY, CONV_UTF8, None, None, None
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        return PT_BYTE_ARRAY, None
+        return PT_BYTE_ARRAY, None, None, None, None
     if pa.types.is_timestamp(t):
-        return PT_INT64, CONV_TS_MICROS
+        return PT_INT64, CONV_TS_MICROS, None, None, None
     if pa.types.is_date32(t):
-        return PT_INT32, CONV_DATE
+        return PT_INT32, CONV_DATE, None, None, None
+    if pa.types.is_decimal(t):
+        # precision <= 9 -> INT32, <= 18 -> INT64 unscaled (reference:
+        # src/schema.js:146-156, src/unconvert.js:21-28)
+        if t.precision > 18:
+            raise TypeError(f"decimal precision > 18 unsupported: {t}")
+        phys = PT_INT32 if t.precision <= 9 else PT_INT64
+        logical = (LT_DECIMAL, [(1, CT_I32, t.scale), (2, CT_I32, t.precision)])
+        return phys, CONV_DECIMAL, None, logical, (t.precision, t.scale)
+    if pa.types.is_float16(t):
+        # IEEE half as FLBA(2) + FLOAT16 logical type (reference:
+        # src/unconvert.js:313-367 lowers Float16Array the same way)
+        return PT_FLBA, None, 2, (LT_FLOAT16, []), None
+    if pa.types.is_fixed_size_binary(t):
+        # FLBA(w); 16-byte values cover the reference's UUID lowering
+        # (reference: src/schema.js:157-159)
+        logical = (LT_UUID, []) if t.byte_width == 16 else None
+        return PT_FLBA, None, t.byte_width, logical, None
     raise TypeError(f"unsupported parquet leaf type {t}")
 
 
-def _dremel_levels(arr: pa.Array, leaf: _Leaf) -> tuple[np.ndarray, np.ndarray, pa.Array]:
-    """(def_levels, rep_levels, dense leaf values) for one column.
+def _map_as_list(arr: pa.Array) -> pa.ListArray:
+    """View a (non-null) MapArray window as list<struct<key,value>>.
+    pyarrow's .keys/.items are not slice-adjusted; window them manually
+    (same workaround as engine._encode_map_column)."""
+    off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(off[0]), int(off[-1])
+    entries = pa.StructArray.from_arrays(
+        [arr.keys.slice(lo, hi - lo), arr.items.slice(lo, hi - lo)],
+        names=["key", "value"])
+    return pa.ListArray.from_arrays(pa.array((off - lo).astype(np.int32)), entries)
 
-    For flat optional columns: def in {0,1}, no rep (reference fast path
-    src/dremel.js:32-37).  For one-level lists the full Dremel recursion
-    collapses to offset arithmetic (SURVEY.md §1.4): per row, the first
-    slot has rep 0 and later slots rep 1; def is 3 for present elements,
-    1 for empty lists, 0 for null lists.
-    """
+
+def _compute_levels(arr: pa.Array, leaf: _Leaf) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """(def_levels, rep_levels, dense non-null leaf values) by replaying
+    the leaf's op chain.  Slot arrays d/r/alive grow at list expansions;
+    ``vals`` stays dense over alive slots (vals[i] is the value of the
+    i-th alive slot)."""
     n = len(arr)
-    if leaf.field_indices:
-        # struct path: def level counts live ancestors until the first null
-        # (physical child validity under a dead parent is masked by `alive`)
-        alive = (np.asarray(arr.is_valid()) if arr.null_count
-                 else np.ones(n, dtype=bool))
-        d = alive.astype(np.uint64)
-        cur = arr
-        for idx in leaf.field_indices:
-            cur = cur.field(idx)
-            v = (np.asarray(cur.is_valid()) if cur.null_count
-                 else np.ones(n, dtype=bool))
-            step = alive & v
-            d += step.astype(np.uint64)
-            alive = step
-        values = cur.filter(pa.array(alive)) if not alive.all() else cur
-        return d, np.zeros(0, dtype=np.uint64), values
-    if not leaf.is_list:
-        if arr.null_count == 0:
-            return np.ones(n, dtype=np.uint64), np.zeros(0, dtype=np.uint64), arr
-        valid = np.asarray(arr.is_valid())
-        return valid.astype(np.uint64), np.zeros(0, dtype=np.uint64), arr.drop_null()
-    lens = arr.value_lengths().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-    valid = np.asarray(arr.is_valid()) if arr.null_count else np.ones(n, dtype=bool)
-    slots = np.maximum(lens, 1)  # empty/null lists still occupy one level slot
-    total = int(slots.sum())
-    rep = np.ones(total, dtype=np.uint64)
-    starts = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(slots, out=starts[1:])
-    rep[starts[:-1]] = 0
-    d = np.full(total, 3, dtype=np.uint64)
-    empty_rows = np.flatnonzero((lens == 0) & valid)
-    null_rows = np.flatnonzero(~valid)
-    d[starts[:-1][empty_rows]] = 1
-    d[starts[:-1][null_rows]] = 0
-    values = arr.flatten()
-    if values.null_count:
-        # def 2 marks a present-but-null element
-        elem_valid = np.asarray(values.is_valid())
-        has_elems = np.flatnonzero(lens > 0)
-        elem_slots = np.repeat(starts[:-1][has_elems], lens[has_elems]) + _ragged(lens[has_elems])
-        d[elem_slots[~elem_valid]] = 2
-        values = values.drop_null()
-    return d, rep, values
-
-
-def _ragged(lengths: np.ndarray) -> np.ndarray:
-    total = int(lengths.sum())
-    starts = np.zeros(len(lengths), dtype=np.int64)
-    np.cumsum(lengths[:-1], out=starts[1:])
-    return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+    d = np.zeros(n, dtype=np.uint64)
+    r = np.zeros(n, dtype=np.uint64)
+    alive = np.ones(n, dtype=bool)
+    vals: pa.Array = arr
+    for op in leaf.ops:
+        if op[0] == "opt":
+            if len(vals) and vals.null_count:
+                v = np.asarray(vals.is_valid())
+                idx = np.flatnonzero(alive)
+                d[idx[v]] += 1
+                alive[idx[~v]] = False
+                vals = vals.drop_null()
+            else:
+                d[alive] += 1
+        elif op[0] == "field":
+            vals = vals.field(op[1])
+        else:  # ("list", this_rep, is_map)
+            _, this_rep, is_map = op
+            if is_map:
+                vals = _map_as_list(vals) if len(vals) else pa.array(
+                    [], type=pa.list_(pa.struct([("key", vals.type.key_type),
+                                                 ("value", vals.type.item_type)])))
+            lens = (vals.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+                    if len(vals) else np.zeros(0, dtype=np.int64))
+            counts = np.ones(len(alive), dtype=np.int64)
+            idx = np.flatnonzero(alive)
+            counts[idx] = np.maximum(lens, 1)
+            has = np.zeros(len(alive), dtype=bool)
+            has[idx] = lens > 0
+            total = int(counts.sum())
+            new_d = np.repeat(d, counts)
+            new_d[np.repeat(has, counts)] += 1
+            new_r = np.full(total, this_rep, dtype=np.uint64)
+            starts = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            new_r[starts[:-1]] = r
+            d, r = new_d, new_r
+            alive = np.repeat(has, counts)
+            vals = vals.flatten()
+    return d, r, vals
 
 
 def _rle_levels(levels: np.ndarray, max_level: int) -> bytes:
@@ -184,9 +227,31 @@ def _rle_levels(levels: np.ndarray, max_level: int) -> bytes:
     return rle_hybrid_encode(levels, bit_width(max_level))
 
 
-def _encode_values(values: pa.Array, phys: int, encoding: int) -> bytes:
+def _flba_bytes(values: pa.Array, width: int) -> bytes:
+    """Raw fixed-width bytes of an FLBA-lowered leaf (PLAIN encoding)."""
+    t = values.type
+    if pa.types.is_float16(t):
+        return np.asarray(values, dtype="<f2").tobytes()
+    n = len(values)
+    if n == 0:
+        return b""
+    buf = values.buffers()[1]
+    raw = np.frombuffer(buf, dtype="u1", count=(values.offset + n) * width)
+    return raw[values.offset * width:].tobytes()
+
+
+def _encode_values(values: pa.Array, phys: int, encoding: int,
+                   type_length: int | None = None) -> bytes:
     if phys == PT_BOOLEAN:
+        if encoding == ENC_RLE:
+            # RLE used for DATA (not levels) carries a u32 length prefix
+            # (reference auto rule: src/column.js:71, src/datapage.js:41-46)
+            bits = np.asarray(values).astype(np.uint64)
+            payload = rle_hybrid_encode(bits, 1)
+            return len(payload).to_bytes(4, "little") + payload
         return plain_encode_bool(np.asarray(values))
+    if phys == PT_FLBA:
+        return _flba_bytes(values, type_length)
     if phys == PT_BYTE_ARRAY:
         offsets, data = binary_buffers(values)
         if encoding == ENC_PLAIN:
@@ -226,6 +291,11 @@ def _encode_values(values: pa.Array, phys: int, encoding: int) -> bytes:
 
 def _numeric_np(values: pa.Array, phys: int) -> np.ndarray:
     t = values.type
+    if pa.types.is_decimal(t):
+        from ..chunk import _decimal_unscaled
+
+        low = _decimal_unscaled(values).to_numpy(zero_copy_only=False)
+        return low.astype(np.int32) if phys == PT_INT32 else low
     if pa.types.is_timestamp(t):
         values = values.cast(pa.int64())
     elif pa.types.is_date32(t):
@@ -248,8 +318,21 @@ def _plain_single(value, phys: int) -> bytes:
     raise ValueError
 
 
-def _stats_raw(values: pa.Array, phys: int, n_logical: int):
+def _stats_raw(values: pa.Array, phys: int, n_logical: int,
+               type_length: int | None = None):
     """(null_count, min_raw, max_raw, min_bytes, max_bytes)."""
+    if phys == PT_FLBA:
+        null_count = n_logical - len(values)
+        if pa.types.is_float16(values.type) or len(values) == 0:
+            # float16 has its own total order in the spec; omit min/max
+            # rather than emit byte-lexicographic values readers mistrust
+            return null_count, None, None, None, None
+        mat = np.frombuffer(_flba_bytes(values, type_length), dtype="u1")
+        mat = mat.reshape(-1, type_length)
+        order = np.lexsort(mat[:, ::-1].T)
+        mn = mat[order[0]].tobytes()
+        mx = mat[order[-1]].tobytes()
+        return null_count, mn, mx, mn, mx
     if phys == PT_BYTE_ARRAY:
         offsets, data = binary_buffers(values)
         st = binary_stats(offsets, data, n_logical)
@@ -261,9 +344,10 @@ def _stats_raw(values: pa.Array, phys: int, n_logical: int):
     return st.null_count, st.min_value, st.max_value, mn, mx
 
 
-def _statistics(values: pa.Array, phys: int, n_logical: int) -> list:
+def _statistics(values: pa.Array, phys: int, n_logical: int,
+                type_length: int | None = None) -> list:
     """Statistics struct fields (3: null_count, 5: max_value, 6: min_value)."""
-    null_count, _, _, mn, mx = _stats_raw(values, phys, n_logical)
+    null_count, _, _, mn, mx = _stats_raw(values, phys, n_logical, type_length)
     return [(3, CT_I64, null_count), (5, CT_BINARY, mx), (6, CT_BINARY, mn)]
 
 
@@ -273,6 +357,12 @@ def _pick_encoding(values: pa.Array, phys: int, use_dictionary: bool):
     if n == 0:
         return ENC_PLAIN, None, None
     if phys == PT_BOOLEAN:
+        # boolean auto rule (reference: src/column.js:71): RLE pages when
+        # the sample is run-heavy, PLAIN bit-packing otherwise
+        bits = np.asarray(values).astype(np.int64)
+        samp = S.sample_numeric(bits)
+        return (ENC_RLE if samp.mean_run >= 16 else ENC_PLAIN), None, None
+    if phys == PT_FLBA:
         return ENC_PLAIN, None, None
     if phys == PT_BYTE_ARRAY:
         offsets, data = binary_buffers(values)
@@ -382,13 +472,15 @@ class ParquetWriter:
     def __init__(self, schema: pa.Schema, *, row_group_rows=1 << 20,
                  compression: str = "gzip", use_dictionary: bool = True,
                  page_bytes: int = _PAGE_BYTES,
-                 kv_metadata: dict[str, str] | None = None):
+                 kv_metadata: dict[str, str] | None = None,
+                 bloom_columns: tuple[str, ...] = ()):
         self.schema = schema
         self.codec = {"gzip": COMP_GZIP, "none": COMP_UNCOMPRESSED}[compression]
         self.row_group_rows = row_group_rows
         self.use_dictionary = use_dictionary
         self.page_bytes = page_bytes
         self.kv_metadata = kv_metadata
+        self.bloom_columns = tuple(bloom_columns)
         self.leaves: list[_Leaf] | None = None
         self.out = bytearray(MAGIC)
         self.row_groups: list = []
@@ -411,8 +503,11 @@ class ParquetWriter:
                 col = rg.column(leaf.col_index)
                 if isinstance(col, pa.ChunkedArray):
                     col = col.combine_chunks()
+                want_bloom = ("*" in self.bloom_columns
+                              or leaf.path[0] in self.bloom_columns)
                 info = _write_column_chunk(self.out, col, leaf, self.codec,
-                                           self.use_dictionary, self.page_bytes)
+                                           self.use_dictionary, self.page_bytes,
+                                           bloom=want_bloom)
                 chunk_infos.append(info)
                 total_bytes += info["total_comp"]
             self.row_groups.append((chunk_infos, total_bytes, len(rg)))
@@ -442,6 +537,23 @@ class ParquetWriter:
                     info["offset_index_offset"] = len(out)
                     info["offset_index_length"] = len(oi)
                     out.extend(oi)
+        # bloom filters clustered after the indexes, offsets patched into
+        # chunk metadata (reference: src/bloom.js:205-213,
+        # src/parquet-writer.js:153-155)
+        for chunk_infos, _, _ in self.row_groups:
+            for info in chunk_infos:
+                blob = info.pop("bloom_bytes", None)
+                if blob is not None:
+                    info["bloom_offset"] = len(out)
+                    header = serialize_struct([
+                        (1, CT_I32, len(blob)),
+                        (2, CT_STRUCT, [(1, CT_STRUCT, [])]),  # BLOCK (SBBF)
+                        (3, CT_STRUCT, [(1, CT_STRUCT, [])]),  # XXHASH
+                        (4, CT_STRUCT, [(1, CT_STRUCT, [])]),  # UNCOMPRESSED
+                    ])
+                    out.extend(header)
+                    out.extend(blob)
+                    info["bloom_length"] = len(header) + len(blob)
         rg_structs = [([_chunk_struct(info) for info in chunk_infos], tb, nr)
                       for chunk_infos, tb, nr in self.row_groups]
         footer = _file_metadata(self.schema, self.leaves, rg_structs, self.n_rows,
@@ -455,14 +567,18 @@ class ParquetWriter:
 def write_parquet_bytes(table: pa.Table, *, row_group_rows=1 << 20,
                         compression: str = "gzip", use_dictionary: bool = True,
                         page_bytes: int = _PAGE_BYTES,
-                        kv_metadata: dict[str, str] | None = None) -> bytes:
+                        kv_metadata: dict[str, str] | None = None,
+                        bloom_columns: tuple[str, ...] = ()) -> bytes:
     """Serialize a pyarrow Table to parquet bytes using our own encoders.
 
     ``row_group_rows`` may be an int or an array of sizes with the last
-    repeating (reference fast-preview shape, e.g. [1000, 100000])."""
+    repeating (reference fast-preview shape, e.g. [1000, 100000]).
+    ``bloom_columns`` opts top-level columns into per-chunk SBBF bloom
+    filters ("*" for all eligible leaves)."""
     w = ParquetWriter(table.schema, row_group_rows=row_group_rows,
                       compression=compression, use_dictionary=use_dictionary,
-                      page_bytes=page_bytes, kv_metadata=kv_metadata)
+                      page_bytes=page_bytes, kv_metadata=kv_metadata,
+                      bloom_columns=bloom_columns)
     if len(table):
         w.write(table)
     return w.finish()
@@ -519,6 +635,8 @@ def _chunk_struct(info: dict):
         (9, CT_I64, info["data_offset"]),
         (11, CT_I64, info["dict_offset"]),
         (12, CT_STRUCT, info["stats_all"]),
+        (14, CT_I64, info.get("bloom_offset")),
+        (15, CT_I32, info.get("bloom_length")),
     ]
     return [
         (2, CT_I64, info["chunk_start"]),
@@ -531,10 +649,10 @@ def _chunk_struct(info: dict):
 
 
 def _write_column_chunk(out: bytearray, arr: pa.Array, leaf: _Leaf, codec: int,
-                        use_dictionary: bool, page_bytes: int):
-    d, r, values = _dremel_levels(arr, leaf)
-    n_slots = len(d) if leaf.max_def else len(arr)
-    num_nulls = n_slots - len(values)
+                        use_dictionary: bool, page_bytes: int,
+                        bloom: bool = False):
+    d, r, values = _compute_levels(arr, leaf)
+    n_slots = len(d)
     encoding, dict_vals, indexes = _pick_encoding(values, leaf.phys, use_dictionary)
 
     chunk_start = len(out)
@@ -549,32 +667,34 @@ def _write_column_chunk(out: bytearray, arr: pa.Array, leaf: _Leaf, codec: int,
         encodings = [ENC_PLAIN, ENC_RLE_DICT]
 
     data_offset = len(out)
-    # single V2 page per chunk for <= page budget, else split on row bounds
-    pages = _page_spans(arr, leaf, page_bytes)
-    vpos = 0
+    # greedy page split on estimated uncompressed bytes (reference E13:
+    # src/column.js:211-239); levels computed once, pages slice the level
+    # and dense-value arrays directly (no re-walk per page)
+    spans = _page_spans_from_levels(d, r, values, leaf, page_bytes)
     first_row = 0
     pages_info = []
-    for (row_lo, row_hi) in pages:
-        sub = arr.slice(row_lo, row_hi - row_lo)
-        dd, rr, vv = _dremel_levels(sub, leaf)
+    for (slot_lo, slot_hi, val_lo, val_hi, page_rows) in spans:
+        dd = d[slot_lo:slot_hi]
+        rr = r[slot_lo:slot_hi] if leaf.max_rep else r[:0]
+        vv = values.slice(val_lo, val_hi - val_lo)
         def_bytes = _rle_levels(dd, leaf.max_def)
         rep_bytes = _rle_levels(rr, leaf.max_rep)
         if indexes is not None:
-            idx = indexes[vpos:vpos + len(vv)]
+            idx = indexes[val_lo:val_hi]
             bw = max(1, bit_width(max(len(dict_vals) - 1, 0)))
             raw = bytes([bw]) + rle_hybrid_encode(idx.astype(np.uint64), bw)
             enc_tag = ENC_RLE_DICT
         else:
-            raw = _encode_values(vv, leaf.phys, encoding)
+            raw = _encode_values(vv, leaf.phys, encoding, leaf.type_length)
             enc_tag = encoding
         comp = _compress(raw, codec)
-        n_page_slots = len(dd) if leaf.max_def else len(sub)
-        null_count, mn_raw, mx_raw, mn_b, mx_b = _stats_raw(vv, leaf.phys, n_page_slots)
+        null_count, mn_raw, mx_raw, mn_b, mx_b = _stats_raw(
+            vv, leaf.phys, len(dd), leaf.type_length)
         stats = [(3, CT_I64, null_count), (5, CT_BINARY, mx_b), (6, CT_BINARY, mn_b)]
         header = _page_header_v2(
-            num_values=n_page_slots,
-            num_nulls=(len(dd) - len(vv)) if leaf.max_def else 0,
-            num_rows=len(sub), encoding=enc_tag,
+            num_values=len(dd),
+            num_nulls=len(dd) - len(vv),
+            num_rows=page_rows, encoding=enc_tag,
             def_len=len(def_bytes), rep_len=len(rep_bytes),
             comp_size=len(comp) + len(def_bytes) + len(rep_bytes),
             uncomp_size=len(raw) + len(def_bytes) + len(rep_bytes),
@@ -591,12 +711,11 @@ def _write_column_chunk(out: bytearray, arr: pa.Array, leaf: _Leaf, codec: int,
             "min_raw": mn_raw, "max_raw": mx_raw,
             "min_bytes": mn_b, "max_bytes": mx_b,
         })
-        first_row += len(sub)
-        vpos += len(vv)
+        first_row += page_rows
 
     total_comp = len(out) - chunk_start
     enc_final = ENC_RLE_DICT if indexes is not None else encoding
-    return {
+    info = {
         "phys": leaf.phys,
         "path": leaf.path,
         "codec": codec,
@@ -607,67 +726,123 @@ def _write_column_chunk(out: bytearray, arr: pa.Array, leaf: _Leaf, codec: int,
         "data_offset": data_offset,
         "dict_offset": dict_offset,
         "encodings": sorted({ENC_RLE, enc_final} | set(encodings)),
-        "stats_all": _statistics(values, leaf.phys, n_slots),
+        "stats_all": _statistics(values, leaf.phys, n_slots, leaf.type_length),
         "pages": pages_info,
     }
+    if bloom:
+        hashes = _leaf_hashes(values, leaf)
+        if hashes is not None and len(hashes):
+            from ..kernels.bloom import build_bloom
+
+            filt = build_bloom(hashes)
+            if filt is not None:
+                info["bloom_bytes"] = filt.to_bytes()
+    return info
 
 
-def _page_spans(arr: pa.Array, leaf: _Leaf, page_bytes: int) -> list[tuple[int, int]]:
-    """Greedy page split on estimated uncompressed bytes (reference E13:
-    src/column.js:211-239), on row boundaries."""
-    n = len(arr)
-    if n == 0:
-        return [(0, 0)]
-    if leaf.field_indices:
-        for idx in leaf.field_indices:
-            arr = arr.field(idx)  # size estimate only; dead-parent slots ok
-    if leaf.is_list:
-        lens = arr.value_lengths().fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-        width = 4 if leaf.phys in (PT_INT32, PT_FLOAT) else 8
-        sizes = lens * width + 1
-    elif leaf.phys == PT_BYTE_ARRAY:
+def _leaf_hashes(values: pa.Array, leaf: _Leaf) -> np.ndarray | None:
+    """xxhash64 (seed 0) of each dense value's PLAIN encoding -- the
+    parquet SBBF hash contract (reference: src/bloom.js:14-34)."""
+    from ..kernels.bloom import xxhash64_int64, xxhash64_matrix
+
+    phys = leaf.phys
+    if phys == PT_BOOLEAN or len(values) == 0:
+        return None
+    if phys == PT_BYTE_ARRAY:
+        offsets, data = binary_buffers(values)
+        lens = np.diff(offsets).astype(np.int64)
+        width = max(int(lens.max(initial=1)), 1)
+        mat = np.zeros((len(lens), width), dtype="u1")
+        valid = np.arange(width)[None, :] < lens[:, None]
+        if data.size:
+            gather = offsets[:-1, None] + np.arange(width)
+            mat[valid] = data[np.minimum(gather, len(data) - 1)][valid]
+        return xxhash64_matrix(mat, lens)
+    if phys == PT_FLBA:
+        raw = np.frombuffer(_flba_bytes(values, leaf.type_length), dtype="u1")
+        mat = raw.reshape(-1, leaf.type_length)
+        return xxhash64_matrix(mat, np.full(len(mat), leaf.type_length, dtype=np.int64))
+    np_vals = _numeric_np(values, phys)
+    if phys in (PT_INT32, PT_FLOAT):
+        dt = "<i4" if phys == PT_INT32 else "<f4"
+        mat = np.ascontiguousarray(np_vals, dtype=dt).view("u1").reshape(-1, 4)
+        return xxhash64_matrix(mat, np.full(len(mat), 4, dtype=np.int64))
+    dt = "<i8" if phys == PT_INT64 else "<f8"
+    v = np.ascontiguousarray(np_vals, dtype=dt).view("<i8")
+    return xxhash64_int64(v)
+
+
+def _page_spans_from_levels(d: np.ndarray, r: np.ndarray, values: pa.Array,
+                            leaf: _Leaf, page_bytes: int
+                            ) -> list[tuple[int, int, int, int, int]]:
+    """Page spans as (slot_lo, slot_hi, val_lo, val_hi, n_rows), split on
+    row boundaries by estimated uncompressed bytes."""
+    n_slots = len(d)
+    if n_slots == 0:
+        return [(0, 0, 0, 0, 0)]
+    row_starts = (np.flatnonzero(np.asarray(r) == 0) if leaf.max_rep
+                  else np.arange(n_slots, dtype=np.int64))
+    n_rows = len(row_starts)
+    valued = d == leaf.max_def
+    slot_size = np.ones(n_slots, dtype=np.int64)
+    if leaf.phys == PT_BYTE_ARRAY:
         import pyarrow.compute as pc
 
-        sizes = pc.binary_length(arr.cast(pa.large_binary()) if not (
-            pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type))
-            else arr).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64) + 4
+        vlens = pc.binary_length(values).to_numpy(zero_copy_only=False).astype(np.int64) + 4
+        slot_size[valued] += vlens
     elif leaf.phys == PT_BOOLEAN:
-        sizes = np.full(n, 1, dtype=np.int64)
+        slot_size[valued] += 1
+    elif leaf.phys == PT_FLBA:
+        slot_size[valued] += leaf.type_length
     else:
-        width = 4 if leaf.phys in (PT_INT32, PT_FLOAT) else 8
-        sizes = np.full(n, width, dtype=np.int64)
-    cum = np.cumsum(sizes)
+        slot_size[valued] += 4 if leaf.phys in (PT_INT32, PT_FLOAT) else 8
+    cum_slot = np.cumsum(slot_size)
+    row_end_slots = np.concatenate([row_starts[1:], [n_slots]])
+    row_cum = cum_slot[row_end_slots - 1]
+    val_cum = np.cumsum(valued)  # values in slots [0, i]
     spans = []
     start = 0
-    while start < n:
-        target = (cum[start - 1] if start else 0) + page_bytes
-        end = int(np.searchsorted(cum, target, side="left")) + 1
-        end = max(start + 1, min(end, n))
-        spans.append((start, end))
+    while start < n_rows:
+        target = (row_cum[start - 1] if start else 0) + page_bytes
+        end = int(np.searchsorted(row_cum, target, side="left")) + 1
+        end = max(start + 1, min(end, n_rows))
+        slot_lo = int(row_starts[start])
+        slot_hi = int(row_end_slots[end - 1])
+        val_lo = int(val_cum[slot_lo - 1]) if slot_lo else 0
+        val_hi = int(val_cum[slot_hi - 1])
+        spans.append((slot_lo, slot_hi, val_lo, val_hi, end - start))
         start = end
     return spans
 
 
 def _file_metadata(schema: pa.Schema, leaves: list[_Leaf], row_groups, n_rows: int,
                    kv_metadata: dict[str, str] | None = None) -> bytes:
-    # preorder schema tree; struct columns emit nested groups
+    # preorder schema tree; struct/list/map columns emit nested groups
+    # mirroring _build_leaves' walk exactly
     elements = [_schema_element("root", None, None, len(schema), None)]
 
-    def emit(name: str, t: pa.DataType) -> None:
+    def emit(name: str, t: pa.DataType, rep: int = REP_OPTIONAL) -> None:
         if pa.types.is_struct(t):
-            elements.append(_schema_element(name, None, REP_OPTIONAL, t.num_fields, None))
+            elements.append(_schema_element(name, None, rep, t.num_fields, None))
             for i in range(t.num_fields):
                 f = t.field(i)
                 emit(f.name, f.type)
             return
-        if pa.types.is_list(t) or pa.types.is_large_list(t):
-            elements.append(_schema_element(name, None, REP_OPTIONAL, 1, CONV_LIST))
-            elements.append(_schema_element("list", None, REP_REPEATED, 1, None))
-            phys, conv = _physical_of(t.value_type)
-            elements.append(_schema_element("element", phys, REP_OPTIONAL, None, conv))
+        if pa.types.is_map(t):
+            elements.append(_schema_element(name, None, rep, 1, CONV_MAP))
+            elements.append(_schema_element("key_value", None, REP_REPEATED, 2, None))
+            emit("key", t.key_type, REP_REQUIRED)
+            emit("value", t.item_type)
             return
-        phys, conv = _physical_of(t)
-        elements.append(_schema_element(name, phys, REP_OPTIONAL, None, conv))
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            elements.append(_schema_element(name, None, rep, 1, CONV_LIST))
+            elements.append(_schema_element("list", None, REP_REPEATED, 1, None))
+            emit("element", t.value_type)
+            return
+        phys, conv, tlen, logical, dec_ps = _physical_of(t)
+        elements.append(_schema_element(name, phys, rep, None, conv,
+                                        type_length=tlen, dec_ps=dec_ps,
+                                        logical=logical))
 
     for f in schema:
         emit(f.name, f.type)
@@ -698,7 +873,8 @@ def _file_metadata(schema: pa.Schema, leaves: list[_Leaf], row_groups, n_rows: i
 
 def write_partitioned_parquet(df, out_dir: str, *, compression: str = "gzip",
                               use_dictionary: bool = True,
-                              row_group_rows: int = 1 << 20):
+                              row_group_rows: int = 1 << 20,
+                              bloom_columns: tuple[str, ...] = ()):
     """Spark sink: each partition writes one parquet file produced by OUR
     encoders (the reference's file-sink analog, reference: src/node.js:16-70).
     Returns a DataFrame of (path, n_rows, n_bytes) manifest rows."""
@@ -720,7 +896,8 @@ def write_partitioned_parquet(df, out_dir: str, *, compression: str = "gzip",
         table = pa.Table.from_batches(tbls)
         buf = write_parquet_bytes(table, compression=compression,
                                   use_dictionary=use_dictionary,
-                                  row_group_rows=row_group_rows)
+                                  row_group_rows=row_group_rows,
+                                  bloom_columns=bloom_columns)
         path = os.path.join(out_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -735,11 +912,22 @@ def write_partitioned_parquet(df, out_dir: str, *, compression: str = "gzip",
 
 
 def _schema_element(name: str, phys: int | None, rep: int | None,
-                    num_children: int | None, conv: int | None):
-    return [
+                    num_children: int | None, conv: int | None,
+                    type_length: int | None = None,
+                    dec_ps: tuple[int, int] | None = None,
+                    logical: tuple[int, list] | None = None):
+    fields = [
         (1, CT_I32, phys),
+        (2, CT_I32, type_length),
         (3, CT_I32, rep),
         (4, CT_BINARY, name),
         (5, CT_I32, num_children),
         (6, CT_I32, conv),
     ]
+    if dec_ps is not None:
+        fields.append((7, CT_I32, dec_ps[1]))  # scale
+        fields.append((8, CT_I32, dec_ps[0]))  # precision
+    if logical is not None:
+        # LogicalType is a thrift union: one field set, id = the variant
+        fields.append((10, CT_STRUCT, [(logical[0], CT_STRUCT, logical[1])]))
+    return fields
