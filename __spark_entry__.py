@@ -248,10 +248,13 @@ def _ann_ivf_topk(spark, sf_dir):
 
 
 def _media_features(spark, sf_dir):
+    """Image features from REAL decoded pixels: the fixture payloads are
+    PPM images (pure-numpy decoder, no image lib), strict mode on -- any
+    stub fallback would raise."""
     from sparkcodec.pipeline.multimodal import extract_image_features, synth_media_table
 
     media = synth_media_table(spark, _docs(spark, sf_dir), kind="image")
-    feats = extract_image_features(media, feat_dim=16)
+    feats = extract_image_features(media, feat_dim=16, strict=True)
     from pyspark.sql import functions as F
 
     return feats.select(

@@ -160,6 +160,23 @@ def _compress(payload: bytes, enable) -> tuple[int, bytes]:
     return COMP_NONE, payload
 
 
+def _sample_comp_ratio(raw_sample: bytes, enable) -> float:
+    """Compressibility of the chunk's sample bytes under the active
+    general-purpose compressor (selector cost-model input).  Deterministic:
+    a pure function of the sample prefix.  1.0 = incompressible/disabled."""
+    if not enable or len(raw_sample) < 256:
+        return 1.0
+    if enable is True:
+        tag = _DEFAULT_COMP
+    else:
+        tag = _COMP_BY_NAME.get(enable)
+        if tag is None:
+            return 1.0
+    _, cfn, _ = _COMPRESSORS[tag]
+    probe = raw_sample[:_COMP_SAMPLE]
+    return min(1.0, len(cfn(probe)) / len(probe))
+
+
 def _decompress(tag: int, payload) -> bytes:
     if tag == COMP_NONE:
         return payload
@@ -456,7 +473,9 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
         ints = _bits_of(vals) if kind == "f" else vals.astype(np.int64)
         if codec is None:
             samp = S.sample_numeric(vals)
-            codec = S.pick(S.estimate_costs_numeric(samp, kind, n_total=len(vals)))
+            ratio = _sample_comp_ratio(vals[: S.SAMPLE_N].tobytes(), compress)
+            codec = S.pick(S.estimate_costs_numeric(samp, kind, n_total=len(vals),
+                                                    comp_ratio=ratio))
         if codec == S.PLAIN:
             payload = plain_encode_numeric(vals, _PHYS_NAMES[type_tag])
         elif codec == S.RANK:

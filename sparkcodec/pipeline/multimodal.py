@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The Spark-side plumbing is real and tested -- schemas, Arrow batch shapes,
-partitioning, mapInPandas signatures.  The actual media decode is STUBBED
-(the container ships no image/audio libraries): ``decode_image`` and
-friends produce a deterministic fake derived from the payload bytes, and
-raise ``NotImplementedError`` when ``strict=True``.  Swapping in a real
-decoder (PIL / torchaudio / pyav) changes only the marked function body.
+Images are REALLY decoded: a pure-numpy parser handles PPM (P6) / PGM (P5)
+and uncompressed 24/32-bit BMP -- no external image library needed.  The
+fixtures and the driver query generate real PPM payloads, so
+``extract_image_features`` computes features from actual pixels and
+``strict=True`` passes end to end.  Payloads in other containers (JPEG,
+PNG, ...) fall back to a deterministic byte-derived fake unless
+``strict=True``, which raises -- swapping in PIL/pyav changes only
+:func:`decode_image`'s fallback branch.  Video frame EXTRACTION stays
+stubbed (no container parser in this environment); the frame-sampling
+plumbing (explode + batch kernel) is real.
 """
 
 from __future__ import annotations
@@ -22,43 +26,151 @@ MEDIA_DDL = (
 )
 
 
+# ---------- pure-numpy image codecs ----------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM (P6)."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        pixels, dtype=np.uint8).tobytes()
+
+
+def _ppm_header(buf: bytes) -> tuple[bytes, list[int], int]:
+    """(magic, [w, h, maxval], body offset); '#' comments allowed."""
+    magic = buf[:2]
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3 and pos < len(buf):
+        c = buf[pos:pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == b"#":
+            nl = buf.find(b"\n", pos)
+            pos = len(buf) if nl < 0 else nl + 1
+        elif c.isdigit():
+            end = pos
+            while end < len(buf) and buf[end:end + 1].isdigit():
+                end += 1
+            vals.append(int(buf[pos:end]))
+            pos = end
+        else:
+            raise ValueError(f"bad PPM header byte {c!r}")
+    return magic, vals, pos + 1  # single whitespace after maxval
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) -> (H, W, 3) uint8."""
+    magic, (w, h, maxval), off = _ppm_header(buf)
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    ch = 3 if magic == b"P6" else 1
+    body = np.frombuffer(buf, dtype="u1", count=w * h * ch, offset=off)
+    img = body.reshape(h, w, ch)
+    return np.repeat(img, 3, axis=2) if ch == 1 else img
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP (BI_RGB) -> (H, W, 3) uint8."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    nb = bpp // 8
+    stride = (w * nb + 3) // 4 * 4
+    rows = np.frombuffer(buf, dtype="u1", count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    px = rows[:, : w * nb].reshape(h, w, nb)
+    rgb = px[:, :, 2::-1]  # BGR(A) -> RGB
+    return np.ascontiguousarray(rgb[::-1] if bottom_up else rgb)
+
+
+def decode_image(payload: bytes, strict: bool = False) -> np.ndarray | None:
+    """payload -> (H, W, 3) uint8 pixels.  Real decode for PPM/PGM/BMP;
+    None (or raise, if strict) for containers this environment can't parse
+    without an image library."""
+    head = bytes(payload[:2]) if payload else b""
+    if head in (b"P6", b"P5"):
+        return decode_ppm(bytes(payload))
+    if head == b"BM":
+        return decode_bmp(bytes(payload))
+    if strict:
+        raise NotImplementedError(
+            f"container {head!r} needs an image library (PIL/pyav) not "
+            "present here; PPM/PGM/BMP decode natively")
+    return None
+
+
+def _fake_features(payload: bytes, out_elems: int) -> np.ndarray:
+    """Deterministic byte-derived fallback for undecodable payloads."""
+    raw = np.frombuffer(payload or b"\x00", dtype="u1")
+    reps = int(np.ceil(out_elems / max(len(raw), 1)))
+    return np.tile(raw, reps)[:out_elems].astype(np.float32) / 256.0
+
+
+def image_features(pixels: np.ndarray, feat_dim: int) -> np.ndarray:
+    """Pixels -> fixed-dim features: normalized grayscale histogram
+    (feat_dim - 4 bins) + [mean_r, mean_g, mean_b, std_gray] / 255."""
+    gray = pixels.astype(np.float32).mean(axis=2)
+    bins = max(feat_dim - 4, 1)
+    hist, _ = np.histogram(gray, bins=bins, range=(0.0, 256.0))
+    hist = hist.astype(np.float32) / max(gray.size, 1)
+    tail = np.array([pixels[:, :, 0].mean(), pixels[:, :, 1].mean(),
+                     pixels[:, :, 2].mean(), gray.std()], dtype=np.float32) / 255.0
+    return np.concatenate([hist, tail])[:feat_dim].astype(np.float32)
+
+
 def synth_media_table(spark, docs: DataFrame, kind: str = "image") -> DataFrame:
-    """Deterministic fake media table: payload bytes derived from document
-    text (stands in for real image/audio blobs; schema is the real one)."""
-    return docs.select(
+    """Deterministic media table with REAL (decodable) PPM payloads whose
+    pixels are a pure function of doc_id -- the image-pipeline fixture."""
+    meta = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit(kind).alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-        (F.pmod(F.xxhash64("doc_id"), F.lit(512)) + 32).cast("int").alias("width"),
-        (F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(512)) + 32).cast("int").alias("height"),
+        (F.pmod(F.xxhash64("doc_id"), F.lit(48)) + 16).cast("int").alias("width"),
+        (F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(48)) + 16).cast("int").alias("height"),
         F.lit(16000).cast("int").alias("sample_rate"),
         (F.pmod(F.xxhash64("doc_id", F.lit(2)), F.lit(240)) + 1).cast("int").alias("n_frames"),
     )
 
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for mid, w, h in zip(pdf["media_id"], pdf["width"], pdf["height"]):
+                yy, xx = np.mgrid[0:h, 0:w].astype(np.int64)
+                base = np.int64(mid)
+                px = np.stack([
+                    (xx * 3 + base) % 256,
+                    (yy * 5 + base * 7) % 256,
+                    (xx + yy + base * 13) % 256,
+                ], axis=2).astype(np.uint8)
+                payloads.append(encode_ppm(px))
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out[["media_id", "kind", "payload", "width", "height",
+                       "sample_rate", "n_frames"]]
 
-def _stub_decode(payload: bytes, out_elems: int, strict: bool) -> np.ndarray:
-    """STUB: a real implementation would decode the media container here.
-    Deterministic fake: repeatable bytes -> float features in [0, 1)."""
-    if strict:
-        raise NotImplementedError(
-            "media decoding requires an image/audio library not present in "
-            "this container; wire PIL/pyav here")
-    raw = np.frombuffer(payload or b"\x00", dtype="u1")
-    reps = int(np.ceil(out_elems / max(len(raw), 1)))
-    tiled = np.tile(raw, reps)[:out_elems].astype(np.float32)
-    return tiled / 256.0
+    return meta.mapInPandas(gen, MEDIA_DDL)
 
 
 def extract_image_features(media: DataFrame, feat_dim: int = 64,
                            strict: bool = False) -> DataFrame:
-    """payload -> fixed-dim float feature vector (Arrow-batched kernel).
-    Real shape: (batch, feat_dim) float32; decode step stubbed."""
+    """payload -> fixed-dim float feature vector (Arrow-batched kernel)
+    from REAL decoded pixels (PPM/PGM/BMP); non-decodable payloads use the
+    deterministic byte fallback unless ``strict``."""
 
     def feats(it):
         for pdf in it:
-            mats = [
-                _stub_decode(p, feat_dim, strict) for p in pdf["payload"]
-            ]
+            mats = []
+            for p in pdf["payload"]:
+                px = decode_image(p, strict)
+                mats.append(image_features(px, feat_dim) if px is not None
+                            else _fake_features(p, feat_dim))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].to_numpy(),
                 "features": [m.tolist() for m in mats],
@@ -70,17 +182,25 @@ def extract_image_features(media: DataFrame, feat_dim: int = 64,
 
 def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
                   strict: bool = False) -> DataFrame:
-    """Declarative resize: new payload + updated typed metadata.  The pixel
-    resample is stubbed (payload passes through); the metadata contract and
-    batch plumbing are real."""
+    """Real nearest-neighbor resample for decodable payloads: new PPM
+    payload + updated typed metadata.  Undecodable payloads pass through
+    (or raise under ``strict``)."""
 
     def rs(it):
         for pdf in it:
-            if strict:
-                raise NotImplementedError("real resample needs an image lib")
+            payloads = []
+            for p in pdf["payload"]:
+                px = decode_image(p, strict)
+                if px is None:
+                    payloads.append(p)
+                    continue
+                h, w = px.shape[:2]
+                yi = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+                xi = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+                payloads.append(encode_ppm(px[yi][:, xi]))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].to_numpy(),
-                "payload": pdf["payload"],
+                "payload": payloads,
                 "width": np.full(len(pdf), target_w, dtype=np.int32),
                 "height": np.full(len(pdf), target_h, dtype=np.int32),
             })
@@ -93,7 +213,9 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
 def sample_frames(media: DataFrame, every_n: int = 10,
                   strict: bool = False) -> DataFrame:
     """Frame sampling for video rows: one output row per kept frame index
-    (explode is JVM-side; the frame extraction itself is stubbed)."""
+    (explode is JVM-side).  Frame EXTRACTION is stubbed -- no video
+    container parser ships here -- so per-frame features use the
+    deterministic byte fallback (strict raises)."""
     frames = media.filter(F.col("kind") == "video").select(
         "media_id", "payload", "n_frames",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)))
@@ -102,9 +224,10 @@ def sample_frames(media: DataFrame, every_n: int = 10,
 
     def fr(it):
         for pdf in it:
-            feats = [
-                _stub_decode(p, 16, strict) for p in pdf["payload"]
-            ]
+            if strict:
+                raise NotImplementedError(
+                    "video frame extraction needs a container parser (pyav)")
+            feats = [_fake_features(p, 16) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].to_numpy(),
                 "frame_idx": pdf["frame_idx"].to_numpy(),

@@ -131,11 +131,19 @@ def sample_binary(offsets: np.ndarray, data: np.ndarray) -> SampleStats:
 
 
 def estimate_costs_numeric(st: SampleStats, dtype_kind: str,
-                           n_total: int | None = None) -> dict[int, float]:
+                           n_total: int | None = None,
+                           comp_ratio: float = 1.0) -> dict[int, float]:
     """Estimated bytes per value for each candidate codec.  ``n_total`` is
     the true chunk length (one-time costs like dictionaries amortize over
-    it, not over the sample)."""
-    costs: dict[int, float] = {PLAIN: float(st.item_size)}
+    it, not over the sample).
+
+    ``comp_ratio`` makes the model aware of the post-codec general
+    compression stage (measured by probing the sample bytes with the
+    default compressor): byte-aligned payloads (PLAIN, BSS) shrink by it,
+    while bit-packed payloads (FOR/DELTA) are usually incompressible and
+    keep their raw cost.  Without it the model systematically over-prices
+    PLAIN+zstd against bit-packed codecs."""
+    costs: dict[int, float] = {PLAIN: float(st.item_size) * comp_ratio}
     if st.n == 0:
         return costs
     n_total = n_total or st.n
@@ -156,7 +164,10 @@ def estimate_costs_numeric(st: SampleStats, dtype_kind: str,
             vbytes = max(1, (st.for_bw + 7) // 8)
             costs[RLE] = (2 + vbytes) / st.mean_run
     if dtype_kind == "f":
-        costs[BSS] = float(st.item_size)  # only wins under general compression
+        # BSS exists to help the general compressor (exponent/mantissa
+        # byte planes compress better than interleaved floats): credit it
+        # slightly beyond the measured raw-byte ratio
+        costs[BSS] = float(st.item_size) * min(comp_ratio * 0.9, 1.0)
         if st.mean_run >= 4:
             costs[RLE] = (2 + st.item_size) / st.mean_run
     if dtype_kind == "b":

@@ -391,3 +391,28 @@ def test_zstd_default_compressor_roundtrip():
     assert decode_array(blob).to_pylist() == vals.tolist()
     blob_raw, _ = encode_array(vals, compress=False)
     assert decode_array(blob_raw).to_pylist() == vals.tolist()
+
+
+def test_selector_compression_aware():
+    """The cost model sees the post-codec compressor: highly-compressible
+    wide values (text-like bytes in int64) should not be forced into a
+    bit-packed codec when PLAIN+zstd is smaller; and the pick stays
+    deterministic (pure function of the sample prefix)."""
+    import numpy as np
+
+    from sparkcodec import selector as S
+    from sparkcodec.chunk import _sample_comp_ratio
+
+    rng = np.random.default_rng(7)
+    # compressible: repeated structure, wide span (FOR needs ~40 bits)
+    base = rng.integers(0, 1 << 40, 50, dtype=np.int64)
+    vals = np.tile(base, 200)  # runs of structure zstd crushes
+    ratio = _sample_comp_ratio(vals[:1000].tobytes(), True)
+    assert ratio < 0.6
+    costs = S.estimate_costs_numeric(S.sample_numeric(vals), "i",
+                                     n_total=len(vals), comp_ratio=ratio)
+    assert costs[S.PLAIN] < 8.0  # the model credits the compressor
+    blob, meta = encode_array(vals)
+    assert decode_array(blob).to_pylist() == vals.tolist()
+    blob2, meta2 = encode_array(vals)
+    assert meta2["codec"] == meta["codec"]  # deterministic

@@ -110,10 +110,67 @@ def test_media_resize_and_frames(spark, docs):
         assert c == (meta[mid] + 15) // 16
 
 
-def test_media_strict_raises(spark, docs):
+def test_media_strict_passes_on_real_ppm(spark, docs):
+    """The fixture payloads are real PPMs now: strict mode decodes actual
+    pixels end to end (no stub fallback on this path)."""
     media = synth_media_table(spark, docs.limit(5), kind="image")
-    with pytest.raises(Exception, match="NotImplementedError|image/audio"):
+    feats = extract_image_features(media, feat_dim=16, strict=True).toPandas()
+    assert len(feats) == 5 and all(len(f) == 16 for f in feats["features"])
+
+
+def test_media_strict_raises_on_unknown_container(spark):
+    """Containers with no stdlib parser (e.g. JPEG) still raise in strict
+    mode instead of silently faking features."""
+    import pandas as pd
+
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "kind": ["image"],
+                      "payload": [b"\xff\xd8\xff\xe0 not ppm"]}))
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
         extract_image_features(media, strict=True).collect()
+
+
+def test_image_decoders_golden():
+    """Pure-numpy PPM and BMP decode against hand-built golden bytes."""
+    import numpy as np
+
+    from sparkcodec.pipeline.multimodal import decode_bmp, decode_ppm, encode_ppm
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    # comments + multi-whitespace header
+    buf = b"P6 # c\n# full line\n3\t2\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(buf), px)
+    # 24-bit bottom-up BMP, 3x2, stride padded to 12
+    rows = []
+    for y in (1, 0):  # bottom-up
+        row = bytearray()
+        for x in range(3):
+            r, g, b = px[y, x]
+            row += bytes([b, g, r])
+        row += b"\x00" * (12 - len(row) % 12 if len(row) % 12 else 0)
+        rows.append(bytes(row[:12]))
+    body = b"".join(rows)
+    header = (b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + (3).to_bytes(4, "little", signed=True)
+              + (2).to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + b"\x00" * 20)
+    assert np.array_equal(decode_bmp(header + body), px)
+
+
+def test_resize_produces_decodable_payload(spark, docs):
+    import numpy as np
+
+    from sparkcodec.pipeline.multimodal import decode_ppm, resize_images
+
+    media = synth_media_table(spark, docs.limit(3), kind="image")
+    rs = resize_images(media, 32, 24, strict=True).toPandas()
+    for p in rs["payload"]:
+        img = decode_ppm(bytes(p))
+        assert img.shape == (24, 32, 3)
 
 
 def test_ivf_topk_recall(spark, emb):
