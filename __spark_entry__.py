@@ -280,6 +280,18 @@ def _roundtrip_parquet_file(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _variant_roundtrip(spark, sf_dir):
+    """From-scratch Parquet Variant binary codec (reference src/variant.js):
+    events.props JSON -> variant (metadata, value) bytes -> decode back to
+    JSON; the oracle is the original column (bytes also cross-validated
+    against Spark's native VariantVal in tests/test_variant.py)."""
+    from sparkcodec.variant import json_to_variant_column, variant_to_json_column
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "props")
+    enc = json_to_variant_column(ev, "props", "event_id")
+    return variant_to_json_column(enc, "event_id")
+
+
 def _roundtrip_parquet_nested(spark, sf_dir):
     """Nested-type parquet emitter check: MAP + list<list<double>> +
     struct-with-list columns derived from events, written as REAL parquet
@@ -388,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": _media_features,
         "roundtrip_parquet_file": _roundtrip_parquet_file,
         "roundtrip_parquet_nested": _roundtrip_parquet_nested,
+        "variant_roundtrip": _variant_roundtrip,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
     }
@@ -435,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type AS m_type, CAST(user_id AS VARCHAR) AS m_uid, "
             "value AS v10, event_type AS st_t, user_id AS st_id0 FROM events"
         ),
+        "variant_roundtrip": "SELECT event_id, props AS json FROM events",
         "dedup_embedding_lsh": _dedup_embedding_oracle(),
         "dedup_embedding_cosine": _dedup_embedding_oracle(),
         # media_image_features: stubbed decoder, engine-internal -> rows-only

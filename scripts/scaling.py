@@ -41,12 +41,11 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 sys.path.insert(0, %(repo)r)
-from sparkcodec.engine import encode_dataframe
-inp = spark.read.parquet(path)
+from sparkcodec.engine import encode_parquet_dataset
 times = []
 for i in range(reps + 1):
     t0 = time.perf_counter()
-    encode_dataframe(inp).agg(F.sum("bytes_out")).collect()
+    encode_parquet_dataset(spark, path).agg(F.sum("bytes_out")).collect()
     times.append(time.perf_counter() - t0)
 print(json.dumps(times[1:]))  # drop warmup
 spark.stop()

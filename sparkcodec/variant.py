@@ -1,0 +1,320 @@
+"""Parquet Variant binary codec, from scratch per the public Variant spec
+(the reference's largest component, reference: src/variant.js:23-633).
+
+Layout (Variant binary encoding spec):
+
+  metadata  = header(version=1 | sorted<<4 | (offset_size-1)<<6)
+              + dict_size + offsets[n+1] + utf8 key bytes
+  value     = tagged tree:
+              basic type in low 2 bits of the first byte
+                0 primitive (type id in bits 2..7)
+                1 short string (length in bits 2..7)
+                2 object  (offset/id widths + is_large in bits 2..7)
+                3 array   (offset width + is_large in bits 2..7)
+
+Primitive ids: 0 null, 1 true, 2 false, 3 int8, 4 int16, 5 int32,
+6 int64, 7 double, 8/9/10 decimal4/8/16, 11 date, 12 timestamp,
+13 timestamp_ntz, 14 float, 15 binary, 16 long string.
+
+The encoder emits the same subset the reference does (null/bool/ints/
+double/string/binary/timestamp/object/array, shared sorted column
+dictionary); the decoder additionally reads decimal4/8/16, date and
+float so bytes produced by Spark's native `parse_json` (which lowers
+JSON fractions to decimals) decode too.  Spark's `VariantVal` is the
+cross-engine oracle in tests: our bytes must `toJson()` correctly and
+Spark-produced bytes must decode to equal Python values.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import struct
+
+# primitive type ids
+_NULL, _TRUE, _FALSE = 0, 1, 2
+_INT8, _INT16, _INT32, _INT64, _DOUBLE = 3, 4, 5, 6, 7
+_DEC4, _DEC8, _DEC16 = 8, 9, 10
+_DATE, _TS, _TS_NTZ, _FLOAT, _BINARY, _LONG_STR = 11, 12, 13, 14, 15, 16
+
+_EPOCH = datetime.date(1970, 1, 1)
+
+
+def _byte_width(max_value: int) -> int:
+    if max_value <= 0xFF:
+        return 1
+    if max_value <= 0xFFFF:
+        return 2
+    if max_value <= 0xFFFFFF:
+        return 3
+    return 4
+
+
+def _append_le(out: bytearray, value: int, width: int) -> None:
+    out.extend(int(value).to_bytes(width, "little"))
+
+
+# ---------- metadata ----------
+
+def collect_keys(value, keys: set) -> None:
+    """All object keys in the value tree (reference: src/variant.js:371-390)."""
+    if isinstance(value, dict):
+        for k, v in value.items():
+            keys.add(k)
+            collect_keys(v, keys)
+    elif isinstance(value, (list, tuple)):
+        for v in value:
+            collect_keys(v, keys)
+
+
+def build_metadata(keys: list[str]) -> tuple[bytes, dict[str, int]]:
+    """Sorted-dictionary metadata bytes + key->id map
+    (reference: src/variant.js:392-445)."""
+    dictionary = sorted(keys)
+    enc = [k.encode("utf-8") for k in dictionary]
+    total = sum(len(e) for e in enc)
+    osz = _byte_width(total)
+    out = bytearray()
+    out.append(1 | (1 << 4) | ((osz - 1) << 6))  # version, sorted, offset size
+    _append_le(out, len(enc), osz)
+    pos = 0
+    for e in enc:
+        _append_le(out, pos, osz)
+        pos += len(e)
+    _append_le(out, pos, osz)
+    for e in enc:
+        out.extend(e)
+    return bytes(out), {k: i for i, k in enumerate(dictionary)}
+
+
+# ---------- value encode ----------
+
+def _write_value(out: bytearray, val, key_index: dict[str, int]) -> None:
+    if val is None:
+        out.append(0x00)
+    elif val is True:
+        out.append(_TRUE << 2)
+    elif val is False:
+        out.append(_FALSE << 2)
+    elif isinstance(val, int):
+        if -(1 << 7) <= val < (1 << 7):
+            out.append(_INT8 << 2)
+            out.extend(val.to_bytes(1, "little", signed=True))
+        elif -(1 << 15) <= val < (1 << 15):
+            out.append(_INT16 << 2)
+            out.extend(val.to_bytes(2, "little", signed=True))
+        elif -(1 << 31) <= val < (1 << 31):
+            out.append(_INT32 << 2)
+            out.extend(val.to_bytes(4, "little", signed=True))
+        elif -(1 << 63) <= val < (1 << 63):
+            out.append(_INT64 << 2)
+            out.extend(val.to_bytes(8, "little", signed=True))
+        else:
+            raise OverflowError(f"variant int out of int64 range: {val}")
+    elif isinstance(val, float):
+        out.append(_DOUBLE << 2)
+        out.extend(struct.pack("<d", val))
+    elif isinstance(val, str):
+        b = val.encode("utf-8")
+        if len(b) <= 63:
+            out.append((len(b) << 2) | 1)  # short string
+            out.extend(b)
+        else:
+            out.append(_LONG_STR << 2)
+            out.extend(len(b).to_bytes(4, "little"))
+            out.extend(b)
+    elif isinstance(val, (bytes, bytearray)):
+        out.append(_BINARY << 2)
+        out.extend(len(val).to_bytes(4, "little"))
+        out.extend(val)
+    elif isinstance(val, datetime.datetime):
+        out.append(_TS_NTZ << 2)
+        micros = int(val.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000) \
+            if val.tzinfo is None else int(val.timestamp() * 1_000_000)
+        out.extend(micros.to_bytes(8, "little", signed=True))
+    elif isinstance(val, datetime.date):
+        out.append(_DATE << 2)
+        out.extend((val - _EPOCH).days.to_bytes(4, "little", signed=True))
+    elif isinstance(val, (list, tuple)):
+        scratch = bytearray()
+        offsets = [0]
+        for el in val:
+            _write_value(scratch, el, key_index)
+            offsets.append(len(scratch))
+        ow = _byte_width(offsets[-1])
+        large = 1 if len(val) > 255 else 0
+        out.append((((ow - 1) | (large << 2)) << 2) | 3)
+        _append_le(out, len(val), 4 if large else 1)
+        for off in offsets:
+            _append_le(out, off, ow)
+        out.extend(scratch)
+    elif isinstance(val, dict):
+        entries = sorted(((key_index[k], k) for k in val), key=lambda t: t[0])
+        scratch = bytearray()
+        offsets = [0]
+        for _, k in entries:
+            _write_value(scratch, val[k], key_index)
+            offsets.append(len(scratch))
+        idw = _byte_width(entries[-1][0] if entries else 0)
+        ow = _byte_width(offsets[-1])
+        large = 1 if len(entries) > 255 else 0
+        out.append((((ow - 1) | ((idw - 1) << 2) | (large << 4)) << 2) | 2)
+        _append_le(out, len(entries), 4 if large else 1)
+        for fid, _ in entries:
+            _append_le(out, fid, idw)
+        for off in offsets:
+            _append_le(out, off, ow)
+        out.extend(scratch)
+    else:
+        raise TypeError(f"variant cannot encode {type(val).__name__}")
+
+
+def encode_value(val, key_index: dict[str, int]) -> bytes:
+    out = bytearray()
+    _write_value(out, val, key_index)
+    return bytes(out)
+
+
+def encode_variant_rows(values: list) -> tuple[bytes, list[bytes | None]]:
+    """Column-level encode with one shared sorted dictionary (the
+    reference's unshredded path, src/variant.js:50-64).  None rows stay
+    present Variant nulls; a Python-level MISSING is not modeled."""
+    keys: set[str] = set()
+    for v in values:
+        collect_keys(v, keys)
+    metadata, key_index = build_metadata(sorted(keys))
+    return metadata, [encode_value(v, key_index) for v in values]
+
+
+# ---------- value decode ----------
+
+def decode_metadata(buf: bytes) -> list[str]:
+    header = buf[0]
+    if header & 0x0F != 1:
+        raise ValueError(f"unsupported variant metadata version {header & 0x0F}")
+    osz = (header >> 6) + 1
+    n = int.from_bytes(buf[1:1 + osz], "little")
+    pos = 1 + osz
+    offs = [int.from_bytes(buf[pos + i * osz: pos + (i + 1) * osz], "little")
+            for i in range(n + 1)]
+    base = pos + (n + 1) * osz
+    return [buf[base + offs[i]: base + offs[i + 1]].decode("utf-8") for i in range(n)]
+
+
+def _read_value(buf: bytes, pos: int, dictionary: list[str]):
+    header = buf[pos]
+    basic = header & 0x03
+    info = header >> 2
+    pos += 1
+    if basic == 1:  # short string
+        return buf[pos:pos + info].decode("utf-8"), pos + info
+    if basic == 2:  # object
+        ow = (info & 0x03) + 1
+        idw = ((info >> 2) & 0x03) + 1
+        large = (info >> 4) & 1
+        n = int.from_bytes(buf[pos:pos + (4 if large else 1)], "little")
+        pos += 4 if large else 1
+        ids = [int.from_bytes(buf[pos + i * idw: pos + (i + 1) * idw], "little")
+               for i in range(n)]
+        pos += n * idw
+        offs = [int.from_bytes(buf[pos + i * ow: pos + (i + 1) * ow], "little")
+                for i in range(n + 1)]
+        pos += (n + 1) * ow
+        out = {}
+        for i in range(n):
+            v, _ = _read_value(buf, pos + offs[i], dictionary)
+            out[dictionary[ids[i]]] = v
+        return out, pos + offs[-1]
+    if basic == 3:  # array
+        ow = (info & 0x03) + 1
+        large = (info >> 2) & 1
+        n = int.from_bytes(buf[pos:pos + (4 if large else 1)], "little")
+        pos += 4 if large else 1
+        offs = [int.from_bytes(buf[pos + i * ow: pos + (i + 1) * ow], "little")
+                for i in range(n + 1)]
+        pos += (n + 1) * ow
+        out = [_read_value(buf, pos + offs[i], dictionary)[0] for i in range(n)]
+        return out, pos + offs[-1]
+    # primitives
+    tid = info
+    if tid == _NULL:
+        return None, pos
+    if tid == _TRUE:
+        return True, pos
+    if tid == _FALSE:
+        return False, pos
+    if tid in (_INT8, _INT16, _INT32, _INT64):
+        w = {_INT8: 1, _INT16: 2, _INT32: 4, _INT64: 8}[tid]
+        return int.from_bytes(buf[pos:pos + w], "little", signed=True), pos + w
+    if tid == _DOUBLE:
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if tid == _FLOAT:
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if tid in (_DEC4, _DEC8, _DEC16):
+        w = {_DEC4: 4, _DEC8: 8, _DEC16: 16}[tid]
+        scale = buf[pos]
+        unscaled = int.from_bytes(buf[pos + 1:pos + 1 + w], "little", signed=True)
+        return decimal.Decimal(unscaled).scaleb(-scale), pos + 1 + w
+    if tid == _DATE:
+        days = int.from_bytes(buf[pos:pos + 4], "little", signed=True)
+        return _EPOCH + datetime.timedelta(days=days), pos + 4
+    if tid in (_TS, _TS_NTZ):
+        micros = int.from_bytes(buf[pos:pos + 8], "little", signed=True)
+        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=micros)
+        return dt, pos + 8
+    if tid == _BINARY:
+        n = int.from_bytes(buf[pos:pos + 4], "little")
+        return bytes(buf[pos + 4:pos + 4 + n]), pos + 4 + n
+    if tid == _LONG_STR:
+        n = int.from_bytes(buf[pos:pos + 4], "little")
+        return buf[pos + 4:pos + 4 + n].decode("utf-8"), pos + 4 + n
+    raise ValueError(f"unsupported variant primitive id {tid}")
+
+
+def decode_variant(metadata: bytes, value: bytes):
+    """(metadata, value) bytes -> Python value."""
+    return _read_value(bytes(value), 0, decode_metadata(bytes(metadata)))[0]
+
+
+# ---------- Spark column operators ----------
+
+VARIANT_DDL = "metadata BINARY, value BINARY"
+
+
+def json_to_variant_column(df, json_col: str, id_col: str):
+    """JSON string column -> (id, metadata, value) variant-encoded rows.
+    Arrow-batched kernel; the per-value tree walk mirrors the reference's
+    per-value encoder (variant trees are inherently irregular -- this is
+    the semi-structured metadata path, not the token hot path).  On Spark
+    4, `F.parse_json` is the JVM-native equivalent; this operator exists
+    so OUR writer can emit variant without relying on it."""
+    import pandas as pd
+
+    def enc(it):
+        for pdf in it:
+            metas, vals = [], []
+            for s in pdf[json_col]:
+                obj = None if s is None else json.loads(s)
+                m, vs = encode_variant_rows([obj])
+                metas.append(m)
+                vals.append(vs[0])
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "metadata": metas, "value": vals})
+
+    return df.select(id_col, json_col).mapInPandas(
+        enc, f"{id_col} long, metadata binary, value binary")
+
+
+def variant_to_json_column(df, id_col: str, *, sort_keys: bool = False):
+    """(id, metadata, value) -> (id, json) decode, the inverse operator."""
+    import pandas as pd
+
+    def dec(it):
+        for pdf in it:
+            js = [json.dumps(decode_variant(m, v), sort_keys=sort_keys)
+                  for m, v in zip(pdf["metadata"], pdf["value"])]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "json": js})
+
+    return df.select(id_col, "metadata", "value").mapInPandas(
+        dec, f"{id_col} long, json string")
