@@ -292,6 +292,26 @@ def _variant_roundtrip(spark, sf_dir):
     return variant_to_json_column(enc, "event_id")
 
 
+def _geo_wkb_roundtrip(spark, sf_dir):
+    """From-scratch GeoJSON->ISO-WKB encoder (reference src/wkb.js):
+    point geometries built from events, encoded to WKB, decoded back --
+    float64-exact coordinates against the source columns."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.geo import geojson_to_wkb_column, wkb_points_to_xy_column
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    geo = ev.select(
+        "event_id",
+        F.to_json(F.struct(
+            F.lit("Point").alias("type"),
+            F.array(F.col("value"), F.col("user_id").cast("double")).alias("coordinates"),
+        )).alias("geo"),
+    )
+    enc = geojson_to_wkb_column(geo, "geo", "event_id")
+    return wkb_points_to_xy_column(enc, "event_id")
+
+
 def _roundtrip_parquet_nested(spark, sf_dir):
     """Nested-type parquet emitter check: MAP + list<list<double>> +
     struct-with-list columns derived from events, written as REAL parquet
@@ -401,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_parquet_file": _roundtrip_parquet_file,
         "roundtrip_parquet_nested": _roundtrip_parquet_nested,
         "variant_roundtrip": _variant_roundtrip,
+        "geo_wkb_roundtrip": _geo_wkb_roundtrip,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
     }
@@ -449,6 +470,9 @@ def oracle_sql() -> dict[str, str]:
             "value AS v10, event_type AS st_t, user_id AS st_id0 FROM events"
         ),
         "variant_roundtrip": "SELECT event_id, props AS json FROM events",
+        "geo_wkb_roundtrip": (
+            "SELECT event_id, value AS x, CAST(user_id AS DOUBLE) AS y FROM events"
+        ),
         "dedup_embedding_lsh": _dedup_embedding_oracle(),
         "dedup_embedding_cosine": _dedup_embedding_oracle(),
         # media_image_features: stubbed decoder, engine-internal -> rows-only

@@ -143,3 +143,88 @@ def test_chunk_group_random_mixed_tables(data):
         if not g.type.equals(e.type):
             g = g.cast(e.type)
         assert g.to_pylist() == e.to_pylist(), name
+
+
+# ---------- parquet writer: randomized nested schemas ----------
+
+_pq_prims = st.sampled_from(["int32", "int64", "float64", "string", "bool"])
+
+
+@st.composite
+def _pq_type(draw, depth=0):
+    if depth >= 3:
+        return draw(_pq_prims)
+    kind = draw(st.sampled_from(["prim", "prim", "prim", "list", "struct", "map"]))
+    if kind == "prim":
+        return draw(_pq_prims)
+    if kind == "list":
+        return ("list", draw(_pq_type(depth + 1)))
+    if kind == "map":
+        return ("map", draw(_pq_prims), draw(_pq_type(depth + 1)))
+    n = draw(st.integers(1, 3))
+    return ("struct", [(f"f{i}", draw(_pq_type(depth + 1))) for i in range(n)])
+
+
+def _pq_pa_type(spec):
+    import pyarrow as pa
+
+    prims = {"int32": pa.int32(), "int64": pa.int64(), "float64": pa.float64(),
+             "string": pa.string(), "bool": pa.bool_()}
+    if isinstance(spec, str):
+        return prims[spec]
+    if spec[0] == "list":
+        return pa.list_(_pq_pa_type(spec[1]))
+    if spec[0] == "map":
+        return pa.map_(_pq_pa_type(spec[1]), _pq_pa_type(spec[2]))
+    return pa.struct([(n, _pq_pa_type(t)) for n, t in spec[1]])
+
+
+def _pq_value(draw, spec, depth=0):
+    if draw(st.integers(0, 9)) == 0:
+        return None
+    if isinstance(spec, str):
+        return draw({
+            "int32": st.integers(-(2**31), 2**31 - 1),
+            "int64": st.integers(-(2**63), 2**63 - 1),
+            "float64": st.floats(allow_nan=False, width=64),
+            "string": st.text(max_size=8),
+            "bool": st.booleans(),
+        }[spec])
+    if spec[0] == "list":
+        return [_pq_value(draw, spec[1], depth + 1)
+                for _ in range(draw(st.integers(0, 3)))]
+    if spec[0] == "map":
+        n = draw(st.integers(0, 3))
+        keys = draw(st.lists(
+            {"int32": st.integers(-100, 100), "int64": st.integers(-100, 100),
+             "float64": st.floats(allow_nan=False, width=64),
+             "string": st.text(max_size=4), "bool": st.booleans()}[spec[1]],
+            min_size=n, max_size=n, unique=True))
+        return [(k, _pq_value(draw, spec[2], depth + 1)) for k in keys]
+    return {n: _pq_value(draw, t, depth + 1) for n, t in spec[1]}
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_parquet_writer_random_nested_schemas(data):
+    """Randomized nesting fuzz for the general Dremel walk: any
+    struct/list/map composition must round-trip through pyarrow."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkcodec.parquet.writer import write_parquet_bytes
+
+    n_cols = data.draw(st.integers(1, 3))
+    specs = [data.draw(_pq_type()) for _ in range(n_cols)]
+    n_rows = data.draw(st.integers(0, 20))
+    arrays, names = [], []
+    for i, spec in enumerate(specs):
+        vals = [_pq_value(data.draw, spec) for _ in range(n_rows)]
+        arrays.append(pa.array(vals, type=_pq_pa_type(spec)))
+        names.append(f"c{i}")
+    t = pa.table(dict(zip(names, arrays)))
+    buf = write_parquet_bytes(t, compression="none")
+    got = pq.read_table(io.BytesIO(buf))
+    assert got.to_pylist() == t.to_pylist()
