@@ -292,6 +292,23 @@ def _variant_roundtrip(spark, sf_dir):
     return variant_to_json_column(enc, "event_id")
 
 
+def _variant_shredded(spark, sf_dir):
+    """Shredded variant (reference src/variant.js:83-147): props shredded
+    on k:INT64 -- k lands in a TYPED Spark column read directly (no JSON
+    parsing in the query), the reconstruction merges typed + binary
+    remainder back to the original JSON."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.variant import json_to_shredded_column, shredded_to_json_column
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "props")
+    shred = {"k": "INT64"}
+    enc = json_to_shredded_column(ev, "props", "event_id", shred)
+    dec = shredded_to_json_column(enc, "event_id", shred)
+    typed = enc.select("event_id", F.col("typed_value.k.typed_value").alias("k"))
+    return typed.join(dec, "event_id").select("event_id", "k", "json")
+
+
 def _geo_wkb_roundtrip(spark, sf_dir):
     """From-scratch GeoJSON->ISO-WKB encoder (reference src/wkb.js):
     point geometries built from events, encoded to WKB, decoded back --
@@ -421,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_parquet_file": _roundtrip_parquet_file,
         "roundtrip_parquet_nested": _roundtrip_parquet_nested,
         "variant_roundtrip": _variant_roundtrip,
+        "variant_shredded": _variant_shredded,
         "geo_wkb_roundtrip": _geo_wkb_roundtrip,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
@@ -470,6 +488,10 @@ def oracle_sql() -> dict[str, str]:
             "value AS v10, event_type AS st_t, user_id AS st_id0 FROM events"
         ),
         "variant_roundtrip": "SELECT event_id, props AS json FROM events",
+        "variant_shredded": (
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
+            "props AS json FROM events"
+        ),
         "geo_wkb_roundtrip": (
             "SELECT event_id, value AS x, CAST(user_id AS DOUBLE) AS y FROM events"
         ),

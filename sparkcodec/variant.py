@@ -277,6 +277,188 @@ def decode_variant(metadata: bytes, value: bytes):
     return _read_value(bytes(value), 0, decode_metadata(bytes(metadata)))[0]
 
 
+# ---------- shredding (reference: src/variant.js:83-147, 216-303) ----------
+
+VARIANT_NULL = b"\x00"
+MAX_SHRED_DEPTH = 3
+MAX_SHRED_LEAVES = 256
+_RESERVED_SHRED_FIELDS = {"value", "typed_value"}
+_SCALAR_SHREDS = {"BOOLEAN", "INT32", "INT64", "FLOAT", "DOUBLE", "STRING", "TIMESTAMP"}
+
+
+def normalize_shredding(shred):
+    """Strip field names reserved by the shredded wrapper layout
+    (reference: src/variant.js:324-343); None when a level empties out."""
+    if isinstance(shred, list):
+        elem = normalize_shredding(shred[0]) if shred else None
+        return None if elem is None else [elem]
+    if isinstance(shred, dict):
+        out = {}
+        for k, v in shred.items():
+            if k in _RESERVED_SHRED_FIELDS:
+                continue
+            n = normalize_shredding(v)
+            if n is not None:
+                out[k] = n
+        return out or None
+    if shred not in _SCALAR_SHREDS:
+        raise ValueError(f"unknown scalar shred type {shred!r}")
+    return shred
+
+
+def _matches_type(value, shred: str) -> bool:
+    if value is None:
+        return False
+    if shred == "BOOLEAN":
+        return isinstance(value, bool)
+    if isinstance(value, bool):
+        return False  # bool is an int in Python; never shred it as one
+    if shred == "INT32":
+        return isinstance(value, int) and -(1 << 31) <= value < (1 << 31)
+    if shred == "INT64":
+        return isinstance(value, int) and -(1 << 63) <= value < (1 << 63)
+    if shred in ("FLOAT", "DOUBLE"):
+        return isinstance(value, float)
+    if shred == "STRING":
+        return isinstance(value, str)
+    if shred == "TIMESTAMP":
+        return isinstance(value, datetime.datetime)
+    return False
+
+
+def count_shred_leaves(shred) -> int:
+    if isinstance(shred, list):
+        return count_shred_leaves(shred[0]) if shred else 0
+    if isinstance(shred, dict):
+        return sum(count_shred_leaves(v) for v in shred.values())
+    return 1
+
+
+def detect_shredding(values, depth: int = 0):
+    """Auto-detect a shred type from sample values (reference:
+    src/variant.js:243-303): object if any plain dict, array if all lists,
+    scalar if one consistent basic type; None otherwise or past the depth
+    cap.  Shredding is a query optimization -- conservative by design."""
+    non_null = [v for v in values if v is not None]
+    if not non_null:
+        return None
+    if any(isinstance(v, dict) for v in non_null):
+        if depth >= MAX_SHRED_DEPTH:
+            return None
+        fields: dict[str, list] = {}
+        for v in non_null:
+            if isinstance(v, dict):
+                for k, fv in v.items():
+                    fields.setdefault(k, []).append(fv)
+        out = {}
+        for k, vals in fields.items():
+            fs = detect_shredding(vals, depth + 1)
+            if fs is not None:
+                out[k] = fs
+        return out or None
+    if all(isinstance(v, (list, tuple)) for v in non_null):
+        if depth >= MAX_SHRED_DEPTH:
+            return None
+        elems = [el for arr in non_null for el in arr]
+        es = detect_shredding(elems, depth + 1)
+        return None if es is None else [es]
+    kinds = set()
+    for v in non_null:
+        if isinstance(v, (list, tuple)):
+            return None  # mixed array + scalar
+        if isinstance(v, bool):
+            kinds.add("BOOLEAN")
+        elif isinstance(v, int):
+            kinds.add("INT64")
+        elif isinstance(v, float):
+            kinds.add("DOUBLE")
+        elif isinstance(v, str):
+            kinds.add("STRING")
+        elif isinstance(v, datetime.datetime):
+            kinds.add("TIMESTAMP")
+        else:
+            return None
+    return kinds.pop() if len(kinds) == 1 else None
+
+
+def encode_shredded(value, shred, key_index: dict[str, int],
+                    allow_partial: bool = True) -> dict:
+    """One value against a shred type -> {value: bytes|None, typed_value}
+    (reference: src/variant.js:83-147).  typed_value holds spec-shaped
+    wrappers recursively; value carries the binary fallback/remainder."""
+    if value is None:
+        return {"value": VARIANT_NULL, "typed_value": None}
+    if isinstance(shred, list):
+        if not isinstance(value, (list, tuple)):
+            return {"value": encode_value(value, key_index), "typed_value": None}
+        return {"value": None,
+                "typed_value": [encode_shredded(el, shred[0], key_index, False)
+                                for el in value]}
+    if isinstance(shred, dict):
+        if not isinstance(value, dict):
+            return {"value": encode_value(value, key_index), "typed_value": None}
+        remaining = {k: v for k, v in value.items() if k not in shred}
+        if remaining and not allow_partial:
+            return {"value": encode_value(value, key_index), "typed_value": None}
+        # a shredded field missing from the row but present in the
+        # dictionary is ambiguous for readers: fall back to binary
+        if any(f not in value and f in key_index for f in shred):
+            return {"value": encode_value(value, key_index), "typed_value": None}
+        typed = {f: encode_shredded(value[f], shred[f], key_index, False)
+                 for f in shred if f in value}
+        binary = encode_value(remaining, key_index) if remaining else None
+        return {"value": binary, "typed_value": typed}
+    if _matches_type(value, shred):
+        return {"value": None, "typed_value": value}
+    return {"value": encode_value(value, key_index), "typed_value": None}
+
+
+def encode_shredded_rows(values: list, shredding=None) -> tuple[list[dict], object]:
+    """Column-level shredded encode: per-row metadata covering the row's
+    own keys (cached by key-set signature, reference: src/variant.js:33-47).
+    Returns ([{metadata, value, typed_value}...], shredding used)."""
+    if shredding is None:
+        shredding = detect_shredding(values)
+    shredding = normalize_shredding(shredding) if shredding is not None else None
+    if shredding is None or count_shred_leaves(shredding) > MAX_SHRED_LEAVES:
+        meta, vals = encode_variant_rows(values)
+        return [{"metadata": meta, "value": v, "typed_value": None}
+                for v in vals], None
+    cache: dict[tuple, tuple[bytes, dict]] = {}
+    rows = []
+    for v in values:
+        keys: set[str] = set()
+        collect_keys(v, keys)
+        sig = tuple(sorted(keys))
+        if sig not in cache:
+            cache[sig] = build_metadata(list(sig))
+        metadata, key_index = cache[sig]
+        rows.append({"metadata": metadata,
+                     **encode_shredded(v, shredding, key_index, True)})
+    return rows, shredding
+
+
+def decode_shredded(metadata: bytes, row: dict, shred):
+    """Reconstruct the original value from a shredded row (merge typed
+    fields with the binary remainder)."""
+    value, typed = row.get("value"), row.get("typed_value")
+    if typed is None:
+        return None if value is None else decode_variant(metadata, value)
+    if isinstance(shred, list):
+        return [decode_shredded(metadata, el, shred[0]) for el in typed]
+    if isinstance(shred, dict):
+        out = {}
+        for f in shred:
+            if f in typed and typed[f] is not None:
+                out[f] = decode_shredded(metadata, typed[f], shred[f])
+        if value is not None:
+            rem = decode_variant(metadata, value)
+            if isinstance(rem, dict):
+                out.update(rem)
+        return out
+    return typed  # scalar
+
+
 # ---------- Spark column operators ----------
 
 VARIANT_DDL = "metadata BINARY, value BINARY"
@@ -304,6 +486,89 @@ def json_to_variant_column(df, json_col: str, id_col: str):
 
     return df.select(id_col, json_col).mapInPandas(
         enc, f"{id_col} long, metadata binary, value binary")
+
+
+_SHRED_SPARK_TYPES = {
+    "BOOLEAN": "boolean", "INT32": "int", "INT64": "long", "FLOAT": "float",
+    "DOUBLE": "double", "STRING": "string", "TIMESTAMP": "timestamp",
+}
+
+
+def shred_spark_ddl(shred) -> str:
+    """Spark type DDL of the typed_value column for a shred type: every
+    object field / array element is a struct<value binary, typed_value T>
+    wrapper (the Variant shredding spec's parquet shape)."""
+    if isinstance(shred, list):
+        return f"array<struct<value: binary, typed_value: {shred_spark_ddl(shred[0])}>>"
+    if isinstance(shred, dict):
+        inner = ", ".join(
+            f"`{k}`: struct<value: binary, typed_value: {shred_spark_ddl(v)}>"
+            for k, v in shred.items())
+        return f"struct<{inner}>"
+    return _SHRED_SPARK_TYPES[shred]
+
+
+def json_to_shredded_column(df, json_col: str, id_col: str, shredding):
+    """JSON string column -> (id, metadata, value, typed_value) shredded
+    variant rows: shredded fields land in TYPED Spark columns (filter/agg
+    pushdown reaches them directly -- the point of shredding), the rest
+    stays binary variant."""
+    import pandas as pd
+
+    shredding = normalize_shredding(shredding)
+    if shredding is None:
+        raise ValueError("shredding config normalized to empty")
+    ddl = (f"{id_col} long, metadata binary, value binary, "
+           f"typed_value {shred_spark_ddl(shredding)}")
+
+    def enc(it):
+        for pdf in it:
+            objs = [None if s is None else json.loads(s) for s in pdf[json_col]]
+            rows, _ = encode_shredded_rows(objs, shredding)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "metadata": [r["metadata"] for r in rows],
+                "value": [r["value"] for r in rows],
+                "typed_value": [r["typed_value"] for r in rows],
+            })
+
+    return df.select(id_col, json_col).mapInPandas(enc, ddl)
+
+
+def _from_spark(x):
+    """Normalize Arrow->pandas struct values back to plain Python."""
+    if isinstance(x, dict):
+        return {k: _from_spark(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_from_spark(i) for i in x]
+    if isinstance(x, bytearray):
+        return bytes(x)
+    if hasattr(x, "item") and not isinstance(x, (bytes, str)):
+        try:
+            return x.item()
+        except Exception:
+            return x
+    return x
+
+
+def shredded_to_json_column(df, id_col: str, shredding):
+    """Inverse of :func:`json_to_shredded_column`: merge typed fields with
+    the binary remainder and re-serialize to JSON."""
+    import pandas as pd
+
+    shredding = normalize_shredding(shredding)
+
+    def dec(it):
+        for pdf in it:
+            js = []
+            for m, v, tv in zip(pdf["metadata"], pdf["value"], pdf["typed_value"]):
+                row = {"value": None if v is None else bytes(v),
+                       "typed_value": _from_spark(tv)}
+                js.append(json.dumps(decode_shredded(bytes(m), row, shredding)))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "json": js})
+
+    return df.select(id_col, "metadata", "value", "typed_value").mapInPandas(
+        dec, f"{id_col} long, json string")
 
 
 def variant_to_json_column(df, id_col: str, *, sort_keys: bool = False):

@@ -89,3 +89,80 @@ def test_spark_column_operators(spark):
     exp = {r["event_id"]: json.dumps(json.loads(r["props"]))
            for r in ev.collect()}
     assert got == exp
+
+
+# ---------- shredding (reference: src/variant.js:83-147, 216-303) ----------
+
+def _roundtrip_shredded(values, shredding=None):
+    from sparkcodec.variant import decode_shredded, encode_shredded_rows
+
+    rows, used = encode_shredded_rows(values, shredding)
+    if used is None:
+        return [decode_variant(r["metadata"], r["value"]) for r in rows], None
+    return [decode_shredded(r["metadata"], r, used) for r in rows], used
+
+
+def test_shredded_scalar_and_fallback():
+    vals = [{"k": 1}, {"k": 2}, {"k": "oops"}, None, {"k": None}]
+    back, used = _roundtrip_shredded(vals, {"k": "INT64"})
+    assert used == {"k": "INT64"}
+    assert back == vals
+
+
+def test_shredded_partial_objects_keep_remainder():
+    vals = [{"k": 1, "extra": [1, 2]}, {"k": 2}, {"other": True}]
+    back, _ = _roundtrip_shredded(vals, {"k": "INT64"})
+    assert back == vals
+
+
+def test_shredded_array_and_nested():
+    shred = {"tags": ["STRING"], "meta": {"n": "INT64"}}
+    vals = [
+        {"tags": ["a", "b"], "meta": {"n": 5}},
+        {"tags": [], "meta": {"n": 6, "x": 1.5}},
+        {"tags": ["c", 7], "meta": "not-an-object"},  # element + object fallback
+    ]
+    back, _ = _roundtrip_shredded(vals, shred)
+    assert back == vals
+
+
+def test_detect_shredding():
+    from sparkcodec.variant import detect_shredding
+
+    assert detect_shredding([{"a": 1, "b": "x"}, {"a": 2}]) == {"a": "INT64", "b": "STRING"}
+    assert detect_shredding([[1.5], [2.5, 3.5]]) == ["DOUBLE"]
+    assert detect_shredding([1, "mixed"]) is None
+    assert detect_shredding([True, False]) == "BOOLEAN"
+    # depth cap: containers nested past MAX_SHRED_DEPTH stay binary, and
+    # empty object levels collapse all the way up
+    deep = [{"a": {"b": {"c": {"d": 1}}}}]
+    assert detect_shredding(deep) is None
+    shallow = [{"a": {"b": 1}, "s": "x"}]
+    assert detect_shredding(shallow) == {"a": {"b": "INT64"}, "s": "STRING"}
+
+
+def test_normalize_strips_reserved_fields():
+    from sparkcodec.variant import normalize_shredding
+
+    assert normalize_shredding({"value": "INT64", "k": "STRING"}) == {"k": "STRING"}
+    assert normalize_shredding({"value": "INT64"}) is None
+
+
+def test_shredded_spark_column_operators(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcodec.variant import json_to_shredded_column, shredded_to_json_column
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_id", "props").limit(300)
+    shred = {"k": "INT64"}
+    enc = json_to_shredded_column(ev, "props", "event_id", shred)
+    # the point of shredding: k is a TYPED Spark column, directly queryable
+    typed_sum = enc.agg(F.sum("typed_value.k.typed_value")).collect()[0][0]
+    exp_sum = ev.select(F.get_json_object("props", "$.k").cast("long").alias("k")) \
+        .agg(F.sum("k")).collect()[0][0]
+    assert typed_sum == exp_sum
+    dec = shredded_to_json_column(enc, "event_id", shred)
+    got = {r["event_id"]: r["json"] for r in dec.collect()}
+    exp = {r["event_id"]: json.dumps(json.loads(r["props"])) for r in ev.collect()}
+    assert got == exp
