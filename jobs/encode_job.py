@@ -40,6 +40,9 @@ def main() -> None:
     ap.add_argument("--token-budget", type=int, default=None)
     ap.add_argument("--bloom-columns", default="",
                     help="comma-separated columns to build bloom filters for")
+    ap.add_argument("--mode", choices=("buckets", "files"), default="buckets",
+                    help="buckets: weight-proportional shuffle + bucket resume; "
+                         "files: shuffle-free scan-side fast path, file-level resume")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,21 +54,34 @@ def main() -> None:
         .getOrCreate()
     )
 
-    from sparkcodec.manifest import run_encode_job
+    blooms = tuple(c for c in args.bloom_columns.split(",") if c)
+    if args.mode == "files":
+        from sparkcodec.manifest import run_encode_files_job
 
-    df = spark.read.parquet(args.input)
-    summary = run_encode_job(
-        spark, df, args.output,
-        num_partitions=args.num_partitions,
-        job_id=args.job_id,
-        input_snapshot=args.snapshot,
-        weight_col=args.weight_col,
-        source_col=args.source_col,
-        id_col=args.id_col,
-        chunk_rows=args.chunk_rows,
-        token_budget=args.token_budget,
-        bloom_columns=tuple(c for c in args.bloom_columns.split(",") if c),
-    )
+        summary = run_encode_files_job(
+            spark, args.input, args.output,
+            job_id=args.job_id,
+            input_snapshot=args.snapshot,
+            chunk_rows=args.chunk_rows,
+            token_budget=args.token_budget,
+            bloom_columns=blooms,
+        )
+    else:
+        from sparkcodec.manifest import run_encode_job
+
+        df = spark.read.parquet(args.input)
+        summary = run_encode_job(
+            spark, df, args.output,
+            num_partitions=args.num_partitions,
+            job_id=args.job_id,
+            input_snapshot=args.snapshot,
+            weight_col=args.weight_col,
+            source_col=args.source_col,
+            id_col=args.id_col,
+            chunk_rows=args.chunk_rows,
+            token_budget=args.token_budget,
+            bloom_columns=blooms,
+        )
     print(json.dumps(summary))
     spark.stop()
 

@@ -535,7 +535,8 @@ def _window_boundaries(weights: np.ndarray, max_rows: int, budget: int) -> list[
 def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
                          chunk_rows: int, token_budget: int, compress,
                          partition_col: str | None,
-                         bloom_columns: tuple[str, ...]) -> Iterator[pa.RecordBatch]:
+                         bloom_columns: tuple[str, ...],
+                         seq_start: int = 0) -> Iterator[pa.RecordBatch]:
     """Shared worker-side encode loop: window incoming Arrow batches by row
     count + token weight, encode each window as one chunk group, emit one
     encoded row per chunk.  Used by both :func:`encode_dataframe` (data via
@@ -543,7 +544,7 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
     directly from parquet by the Python task)."""
     import time
 
-    seq = 0
+    seq = seq_start
     pending: list[pa.RecordBatch] = []
     pending_rows = 0
     pending_weight = 0
@@ -653,7 +654,7 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
     return df.mapInArrow(encode_partition, ENCODED_DDL)
 
 
-def _plan_parquet_splits(path: str, n_splits: int,
+def _plan_parquet_splits(path, n_splits: int,
                          columns: list[str] | None = None) -> list[dict]:
     """Driver-side split planning: list parquet fragments and pack their
     row groups into ~``n_splits`` row-balanced splits.  Only footers are
@@ -685,14 +686,18 @@ def _plan_parquet_splits(path: str, n_splits: int,
     return splits
 
 
-def encode_parquet_dataset(spark, path: str, *,
+ENCODED_FILE_DDL = ENCODED_DDL + ", source_file STRING"
+
+
+def encode_parquet_dataset(spark, path, *,
                            chunk_rows: int = DEFAULT_CHUNK_ROWS,
                            token_budget: int = DEFAULT_TOKEN_BUDGET,
                            compress: bool = True,
                            columns: list[str] | None = None,
                            bloom_columns: tuple[str, ...] = (),
                            batch_rows: int = 16384,
-                           n_splits: int | None = None):
+                           n_splits: int | None = None,
+                           include_source_file: bool = False):
     """Scan-side encode: parquet is read directly by pyarrow inside each
     Python task; only (file, row-groups) descriptors cross the JVM.
 
@@ -703,12 +708,18 @@ def encode_parquet_dataset(spark, path: str, *,
     (the reference, being single-process, has no such boundary; this is
     the Spark-native equivalent of its streaming file writer,
     reference: src/parquet-writer.js:63-144).
+
+    ``path`` may also be an explicit list of parquet files.
+    ``include_source_file`` adds a ``source_file`` column and guarantees
+    chunks never span two files -- the unit the file-granular resumable
+    job (manifest.run_encode_files_job) overwrites idempotently.
     """
     if n_splits is None:
         n_splits = max(spark.sparkContext.defaultParallelism * 2, 2)
     splits = _plan_parquet_splits(path, n_splits, columns)
+    out_ddl = ENCODED_FILE_DDL if include_source_file else ENCODED_DDL
     if not splits:
-        return spark.createDataFrame([], ENCODED_DDL)
+        return spark.createDataFrame([], out_ddl)
     desc = spark.createDataFrame(
         [(s["path"], s["row_groups"]) for s in splits],
         "path STRING, row_groups ARRAY<INT>",
@@ -721,24 +732,41 @@ def encode_parquet_dataset(spark, path: str, *,
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx is not None else 0
 
-        def read_all() -> Iterator[pa.RecordBatch]:
+        def read_file(p, rgs) -> Iterator[pa.RecordBatch]:
+            pf = pq.ParquetFile(p)
+            try:
+                yield from pf.iter_batches(batch_size=batch_rows,
+                                           row_groups=rgs, columns=columns)
+            finally:
+                pf.close()
+
+        def descriptors():
             for b in batches:
-                paths = b.column(0).to_pylist()
-                rgs_all = b.column(1).to_pylist()
-                for p, rgs in zip(paths, rgs_all):
-                    pf = pq.ParquetFile(p)
-                    try:
-                        yield from pf.iter_batches(batch_size=batch_rows,
-                                                   row_groups=rgs,
-                                                   columns=columns)
-                    finally:
-                        pf.close()
+                yield from zip(b.column(0).to_pylist(), b.column(1).to_pylist())
 
-        yield from _encode_batch_stream(read_all(), part_id, chunk_rows,
-                                        token_budget, compress, None,
-                                        bloom_columns)
+        if not include_source_file:
+            def read_all() -> Iterator[pa.RecordBatch]:
+                for p, rgs in descriptors():
+                    yield from read_file(p, rgs)
 
-    return desc.mapInArrow(encode_split, ENCODED_DDL)
+            yield from _encode_batch_stream(read_all(), part_id, chunk_rows,
+                                            token_budget, compress, None,
+                                            bloom_columns)
+            return
+
+        # file-tagged mode: one encode stream per file so chunks never
+        # span files; chunk_seq stays unique within the task
+        seq = 0
+        for p, rgs in descriptors():
+            for rb in _encode_batch_stream(read_file(p, rgs), part_id,
+                                           chunk_rows, token_budget, compress,
+                                           None, bloom_columns, seq_start=seq):
+                seq += len(rb)
+                tagged = rb.append_column(
+                    "source_file", pa.array([p] * len(rb), type=pa.string()))
+                yield tagged
+
+    return desc.mapInArrow(encode_split, out_ddl)
 
 
 def infer_decoded_schema(enc_df):

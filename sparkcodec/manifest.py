@@ -64,6 +64,101 @@ def read_encoded(spark, output_dir: str):
     return chunks.join(F.broadcast(done), "bucket", "left_semi")
 
 
+FILES_MANIFEST_DDL = (
+    "source_file STRING, job_id STRING, input_snapshot STRING, n_chunks LONG, "
+    "n_rows LONG, n_tokens LONG, bytes_in LONG, bytes_out LONG, "
+    "encode_sec DOUBLE, tokens_per_sec DOUBLE, codecs STRING, "
+    "completed_at DOUBLE"
+)
+
+
+def run_encode_files_job(spark, input_path: str, output_dir: str, *,
+                         job_id: str = "encode-files", input_snapshot: str = "",
+                         chunk_rows: int | None = None,
+                         token_budget: int | None = None,
+                         bloom_columns: tuple[str, ...] = (),
+                         n_splits: int | None = None) -> dict:
+    """Shuffle-FREE resumable encode over an existing parquet dataset:
+    the resume unit is the input FILE, chunks are produced by the
+    scan-side fast path (pyarrow reads each split inside its Python task,
+    nothing crosses the JVM Arrow bridge), and idempotency comes from
+    dynamic partition overwrite keyed by a hash of the source file.  Use
+    this when the input is already laid out (no skew re-bucketing needed);
+    `run_encode_job` is the shuffling variant with weight-proportional
+    buckets.
+
+    Invariant (same as the bucket job): a file listed in the manifest is
+    complete and final; a file not listed may have orphan chunk partitions
+    that the next run overwrites.
+    """
+    import pyarrow.dataset as ds
+    from pyspark.sql import functions as F
+
+    from .engine import DEFAULT_CHUNK_ROWS, DEFAULT_TOKEN_BUDGET, encode_parquet_dataset
+
+    all_files = sorted(ds.dataset(input_path, format="parquet").files)
+    try:
+        done = {r["source_file"] for r in
+                spark.read.parquet(_manifest_dir(output_dir))
+                .select("source_file").distinct().collect()}
+    except Exception:
+        done = set()
+    pending = [f for f in all_files if f not in done]
+    summary = {"job_id": job_id, "files_total": len(all_files),
+               "files_done": len(done), "files_encoded": len(pending)}
+    if not pending:
+        return summary
+
+    t0 = time.time()
+    enc = encode_parquet_dataset(
+        spark, pending,
+        chunk_rows=chunk_rows or DEFAULT_CHUNK_ROWS,
+        token_budget=token_budget or DEFAULT_TOKEN_BUDGET,
+        bloom_columns=bloom_columns,
+        n_splits=n_splits,
+        include_source_file=True,
+    ).withColumn("file_key", F.xxhash64("source_file"))
+    (
+        enc.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("file_key")
+        .parquet(_chunks_dir(output_dir))
+    )
+    chunks = spark.read.parquet(_chunks_dir(output_dir))
+    new_chunks = chunks.filter(F.col("source_file").isin(pending))
+    rows = (
+        new_chunks.groupBy("source_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+            (F.sum("encode_ms") / 1000.0).alias("encode_sec"),
+            F.concat_ws(",", F.sort_array(F.collect_set(
+                F.get_json_object("meta_json", "$.tokens.codec")))).alias("codecs"),
+        )
+        .withColumn("job_id", F.lit(job_id))
+        .withColumn("input_snapshot", F.lit(input_snapshot))
+        .withColumn("tokens_per_sec",
+                    F.col("n_tokens") / F.greatest(F.col("encode_sec"), F.lit(1e-9)))
+        .withColumn("completed_at", F.lit(time.time()))
+        .select([c.strip().split(" ")[0] for c in FILES_MANIFEST_DDL.split(",")])
+    )
+    rows.write.mode("append").parquet(_manifest_dir(output_dir))
+    summary["wall_sec"] = time.time() - t0
+    return summary
+
+
+def read_encoded_files(spark, output_dir: str):
+    """Committed chunk rows of the files job (manifest-listed files only)."""
+    from pyspark.sql import functions as F
+
+    chunks = spark.read.parquet(_chunks_dir(output_dir))
+    done = spark.read.parquet(_manifest_dir(output_dir)).select("source_file")
+    return chunks.join(F.broadcast(done), "source_file", "left_semi")
+
+
 def run_encode_job(spark, df, output_dir: str, *, num_partitions: int = 64,
                    job_id: str = "encode", input_snapshot: str = "",
                    weight_col: str = "n_tok", source_col: str = "source",

@@ -77,3 +77,48 @@ def test_bucket_assignment_deterministic(spark, toks):
     ma = {r["doc_id"]: r["_bucket"] for r in a.collect()}
     mb = {r["doc_id"]: r["_bucket"] for r in b.collect()}
     assert ma == mb  # pure function of (source, doc_id) + totals
+
+
+def test_files_job_resume_and_decode(spark, tmp_path):
+    """Shuffle-free file-granular job: first run encodes every input file,
+    rerun is a no-op, a file whose manifest rows vanish (simulated crash
+    between chunk write and manifest append) is re-encoded idempotently,
+    and the committed chunks decode to the exact input."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_dataframe
+    from sparkcodec.manifest import read_encoded_files, run_encode_files_job
+    from sparkcodec.tokens import tokens_table
+    from tests.conftest import SF_DIR
+
+    src = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    toks = tokens_table(spark, SF_DIR)
+    toks.repartition(4).write.mode("overwrite").parquet(src)
+
+    s1 = run_encode_files_job(spark, src, out, input_snapshot="snap@1")
+    assert s1["files_total"] == 4 and s1["files_encoded"] == 4
+
+    s2 = run_encode_files_job(spark, src, out, input_snapshot="snap@1")
+    assert s2["files_encoded"] == 0  # fully resumed, nothing re-done
+
+    # crash simulation: drop one file's manifest rows; rerun re-encodes it
+    man = spark.read.parquet(f"{out}/manifest")
+    victim = man.select("source_file").first()[0]
+    kept_pdf = man.filter(F.col("source_file") != victim).toPandas()
+    import shutil
+
+    shutil.rmtree(f"{out}/manifest")
+    spark.createDataFrame(kept_pdf).write.mode("overwrite") \
+        .parquet(f"{out}/manifest")
+    s3 = run_encode_files_job(spark, src, out, input_snapshot="snap@1")
+    assert s3["files_encoded"] == 1
+
+    committed = read_encoded_files(spark, out)
+    # lineage present per file
+    man2 = spark.read.parquet(f"{out}/manifest")
+    assert man2.filter(F.col("input_snapshot") == "snap@1").count() >= 4
+    dec = decode_dataframe(committed)
+    a = sorted((r["doc_id"], tuple(r["tokens"] or ())) for r in dec.collect())
+    b = sorted((r["doc_id"], tuple(r["tokens"] or ())) for r in toks.collect())
+    assert a == b
