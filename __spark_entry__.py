@@ -280,6 +280,15 @@ def _roundtrip_parquet_file(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _curate_corpus(spark, sf_dir):
+    """End-to-end corpus curation: exact dedup -> char-5-gram near-dup
+    removal -> language gate -> quality gates, one declarative plan with a
+    step-for-step mirrored DuckDB oracle."""
+    from sparkcodec.pipeline.curation import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir))
+
+
 def _variant_roundtrip(spark, sf_dir):
     """From-scratch Parquet Variant binary codec (reference src/variant.js):
     events.props JSON -> variant (metadata, value) bytes -> decode back to
@@ -427,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_minhash_candidates": _dedup_minhash_candidates,
         "dedup_simhash": _dedup_simhash,
+        "curate_corpus": _curate_corpus,
         "text_lang_id": _lang_id,
         "text_quality_score": _quality,
         "text_token_count": _token_count,
@@ -471,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_recall_oracle(),
         # dedup_minhash_candidates / dedup_simhash: signature-based (hash
         # functions not SQL-expressible) -> rows-only
+        "curate_corpus": _curate_oracle(),
         "text_lang_id": _textstats_oracle("lang_id"),
         "text_quality_score": _textstats_oracle("quality"),
         "text_token_count": _textstats_oracle("token_count"),
@@ -505,6 +516,12 @@ def _ngram_jaccard_oracle() -> str:
     from sparkcodec.pipeline.dedup import ngram_jaccard_oracle_sql
 
     return ngram_jaccard_oracle_sql(n=3, threshold=0.5, df_cap=100)
+
+
+def _curate_oracle() -> str:
+    from sparkcodec.pipeline.curation import curate_corpus_oracle_sql
+
+    return curate_corpus_oracle_sql()
 
 
 def _minhash_recall_oracle() -> str:

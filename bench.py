@@ -113,6 +113,15 @@ def main() -> None:
         queries["decode"] = time.perf_counter() - t0
         extras["tokens_per_sec_decode"] = round(agg["nt"] / queries["decode"], 1)
 
+        # q2b: decode straight back to REAL parquet via our own file writer
+        # (scan-side out: decoded arrays never cross the Python->JVM bridge)
+        t0 = time.perf_counter()
+        from sparkcodec.engine import decode_to_parquet
+
+        dec_out = f"{tmp}/decoded.parquet"
+        decode_to_parquet(spark, enc_path, dec_out).collect()
+        queries["decode_write"] = time.perf_counter() - t0
+
         # q3: verify round-trip checksum equality against the source table
         t0 = time.perf_counter()
         src_checksum = inp.agg(F.expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))")).collect()[0][0]

@@ -769,6 +769,78 @@ def encode_parquet_dataset(spark, path, *,
     return desc.mapInArrow(encode_split, out_ddl)
 
 
+def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
+                      columns: list[str] | None = None,
+                      compression: str = "zstd",
+                      row_group_rows: int = 1 << 20,
+                      n_splits: int | None = None):
+    """Scan-side decode sink: Python tasks read encoded chunk rows with
+    pyarrow, decode them, and stream the rows into OUR parquet writer
+    (sparkcodec.parquet.ParquetWriter, one real parquet file per task) --
+    decoded token arrays never cross the Python->JVM Arrow bridge, the
+    mirror of :func:`encode_parquet_dataset` on the way out.  Returns a
+    DataFrame of (path, n_rows, n_bytes) manifest rows."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    if n_splits is None:
+        n_splits = max(spark.sparkContext.defaultParallelism * 2, 2)
+    splits = _plan_parquet_splits(enc_path, n_splits, ["schema_json", "payload"])
+    if not splits:
+        return spark.createDataFrame([], "path STRING, n_rows LONG, n_bytes LONG")
+    desc = spark.createDataFrame(
+        [(s["path"], s["row_groups"]) for s in splits],
+        "path STRING, row_groups ARRAY<INT>",
+    ).repartition(len(splits))
+    col_set = set(columns) if columns is not None else None
+
+    def decode_split(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import uuid
+
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        from .parquet.writer import ParquetWriter
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        writer = None
+        n_rows = 0
+        for b in batches:
+            for p, rgs in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                pf = pq.ParquetFile(p)
+                try:
+                    for enc_b in pf.iter_batches(batch_size=64, row_groups=rgs,
+                                                 columns=["schema_json", "payload"]):
+                        schemas = enc_b.column(0)
+                        payloads = enc_b.column(1)
+                        for i in range(len(enc_b)):
+                            pairs = json.loads(schemas[i].as_py())
+                            rb = decode_chunk_group(payloads[i].as_py(), pairs, col_set)
+                            if writer is None:
+                                writer = ParquetWriter(
+                                    rb.schema, compression=compression,
+                                    row_group_rows=row_group_rows)
+                            writer.write(pa.Table.from_batches([rb]))
+                            n_rows += len(rb)
+                finally:
+                    pf.close()
+        if writer is None:
+            return
+        buf = writer.finish()
+        path = os.path.join(out_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf)
+        os.rename(tmp, path)
+        yield pa.RecordBatch.from_pylist(
+            [{"path": path, "n_rows": n_rows, "n_bytes": len(buf)}],
+            schema=pa.schema([("path", pa.string()), ("n_rows", pa.int64()),
+                              ("n_bytes", pa.int64())]))
+
+    return desc.mapInArrow(decode_split, "path STRING, n_rows LONG, n_bytes LONG")
+
+
 def infer_decoded_schema(enc_df):
     row = enc_df.select("schema_json").limit(1).collect()
     if not row:

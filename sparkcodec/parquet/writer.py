@@ -36,7 +36,7 @@ MAGIC = b"PAR1"
 PT_BOOLEAN, PT_INT32, PT_INT64, PT_INT96, PT_FLOAT, PT_DOUBLE, PT_BYTE_ARRAY = 0, 1, 2, 3, 4, 5, 6
 PT_FLBA = 7
 ENC_PLAIN, ENC_RLE, ENC_DELTA_BP, ENC_DELTA_LBA, ENC_DELTA_BA, ENC_RLE_DICT, ENC_BSS = 0, 3, 5, 6, 7, 8, 9
-COMP_UNCOMPRESSED, COMP_GZIP = 0, 2
+COMP_UNCOMPRESSED, COMP_SNAPPY, COMP_GZIP, COMP_ZSTD = 0, 1, 2, 6
 PAGE_DATA_V2, PAGE_DICT = 3, 2
 REP_REQUIRED, REP_OPTIONAL, REP_REPEATED = 0, 1, 2
 CONV_UTF8, CONV_MAP, CONV_LIST, CONV_DECIMAL, CONV_DATE, CONV_TS_MICROS = 0, 1, 3, 5, 6, 10
@@ -407,6 +407,10 @@ def _compress(data: bytes, codec: int) -> bytes:
     if codec == COMP_GZIP:
         co = zlib.compressobj(6, zlib.DEFLATED, 31)
         return co.compress(data) + co.flush()
+    if codec == COMP_ZSTD:
+        return pa.Codec("zstd", compression_level=1).compress(data, asbytes=True)
+    if codec == COMP_SNAPPY:
+        return pa.Codec("snappy").compress(data, asbytes=True)
     return data
 
 
@@ -475,7 +479,8 @@ class ParquetWriter:
                  kv_metadata: dict[str, str] | None = None,
                  bloom_columns: tuple[str, ...] = ()):
         self.schema = schema
-        self.codec = {"gzip": COMP_GZIP, "none": COMP_UNCOMPRESSED}[compression]
+        self.codec = {"gzip": COMP_GZIP, "none": COMP_UNCOMPRESSED,
+                      "zstd": COMP_ZSTD, "snappy": COMP_SNAPPY}[compression]
         self.row_group_rows = row_group_rows
         self.use_dictionary = use_dictionary
         self.page_bytes = page_bytes

@@ -16,44 +16,53 @@ from __future__ import annotations
 import time
 
 
-def encode_stream(stream_df, output_dir: str, checkpoint_dir: str, *,
-                  chunk_rows: int | None = None, token_budget: int | None = None,
-                  trigger_once: bool = True):
-    """Attach an encode sink to a streaming DataFrame.  Returns the
-    StreamingQuery (caller awaits termination)."""
+def write_batch(batch_df, batch_id: int, output_dir: str, *,
+                chunk_rows: int | None = None,
+                token_budget: int | None = None) -> None:
+    """Encode one micro-batch idempotently: chunks and manifest rows land
+    in a batch_id partition via dynamic partition overwrite, so a replayed
+    delivery of the same batch REPLACES its prior output instead of
+    appending duplicates (foreachBatch is at-least-once, ADVICE r1)."""
     from pyspark.sql import functions as F
 
     from .engine import DEFAULT_CHUNK_ROWS, DEFAULT_TOKEN_BUDGET, encode_dataframe
 
     chunks_dir = f"{output_dir.rstrip('/')}/chunks"
     manifest_dir = f"{output_dir.rstrip('/')}/manifest"
+    t0 = time.time()
+    spark = batch_df.sparkSession
+    enc = encode_dataframe(
+        batch_df,
+        chunk_rows=chunk_rows or DEFAULT_CHUNK_ROWS,
+        token_budget=token_budget or DEFAULT_TOKEN_BUDGET,
+    ).withColumn("batch_id", F.lit(batch_id))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    enc.write.mode("overwrite").partitionBy("batch_id").parquet(chunks_dir)
+    chunks = spark.read.parquet(chunks_dir).filter(F.col("batch_id") == batch_id)
+    (
+        chunks.agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+        .withColumn("completed_at", F.lit(time.time()))
+        .withColumn("wall_sec", F.lit(time.time() - t0))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(manifest_dir)
+    )
+
+
+def encode_stream(stream_df, output_dir: str, checkpoint_dir: str, *,
+                  chunk_rows: int | None = None, token_budget: int | None = None,
+                  trigger_once: bool = True):
+    """Attach an encode sink to a streaming DataFrame.  Returns the
+    StreamingQuery (caller awaits termination)."""
 
     def sink(batch_df, batch_id: int):
-        t0 = time.time()
-        spark = batch_df.sparkSession
-        enc = encode_dataframe(
-            batch_df,
-            chunk_rows=chunk_rows or DEFAULT_CHUNK_ROWS,
-            token_budget=token_budget or DEFAULT_TOKEN_BUDGET,
-        ).withColumn("batch_id", F.lit(batch_id))
-        # idempotent replay: overwrite ONLY this batch's partition (a
-        # re-delivered micro-batch replaces its prior output, ADVICE r1)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        enc.write.mode("overwrite").partitionBy("batch_id").parquet(chunks_dir)
-        chunks = spark.read.parquet(chunks_dir).filter(F.col("batch_id") == batch_id)
-        (
-            chunks.agg(
-                F.count(F.lit(1)).alias("n_chunks"),
-                F.sum("n_rows").alias("n_rows"),
-                F.sum("n_tokens").alias("n_tokens"),
-                F.sum("bytes_in").alias("bytes_in"),
-                F.sum("bytes_out").alias("bytes_out"),
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .withColumn("completed_at", F.lit(time.time()))
-            .withColumn("wall_sec", F.lit(time.time() - t0))
-            .write.mode("overwrite").partitionBy("batch_id").parquet(manifest_dir)
-        )
+        write_batch(batch_df, batch_id, output_dir,
+                    chunk_rows=chunk_rows, token_budget=token_budget)
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir)

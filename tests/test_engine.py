@@ -216,3 +216,31 @@ def test_list_of_timestamp_schema_inference(spark):
     got = sorted(dec.collect(), key=lambda r: r["k"])
     assert [list(r["ts"]) for r in got] == [r[0] for r in rows]
     assert [[list(x) for x in r["nested"]] for r in got] == [r[1] for r in rows]
+
+
+def test_decode_to_parquet_scan_side(spark, toks, tmp_path):
+    """Symmetric fast path out: decode inside Python tasks and write REAL
+    parquet with OUR writer -- Spark and DuckDB read the result exactly."""
+    import duckdb
+
+    from sparkcodec.engine import decode_to_parquet, encode_parquet_dataset
+
+    src = str(tmp_path / "src.parquet")
+    enc_path = str(tmp_path / "enc.parquet")
+    out = str(tmp_path / "decoded")
+    toks.repartition(3).write.mode("overwrite").parquet(src)
+    encode_parquet_dataset(spark, src, n_splits=4).write.parquet(enc_path)
+
+    manifest = decode_to_parquet(spark, enc_path, out).collect()
+    assert sum(r["n_rows"] for r in manifest) == toks.count()
+    back = spark.read.parquet(out)
+    assert _sorted_rows(back) == _sorted_rows(toks)
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    assert n == toks.count()
+
+    # column-pruned variant decodes only the selected columns
+    out2 = str(tmp_path / "decoded2")
+    decode_to_parquet(spark, enc_path, out2, columns=["doc_id", "n_tok"]).collect()
+    back2 = spark.read.parquet(out2)
+    assert sorted(back2.columns) == ["doc_id", "n_tok"]
+    assert back2.count() == toks.count()

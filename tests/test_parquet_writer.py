@@ -436,3 +436,14 @@ def test_file_bloom_filters_probe_and_compat():
             assert float(bloom.might_contain(absent).mean()) < 0.05
             probed += 1
     assert probed == len(row_groups) >= 3
+
+
+def test_zstd_and_snappy_page_compression():
+    """Pages compressed with pyarrow-native zstd/snappy decode in both
+    readers and beat uncompressed size on repetitive data."""
+    t = pa.table({"s": pa.array(["repetitive text payload"] * 20000)})
+    raw = write_parquet_bytes(t, compression="none", use_dictionary=False)
+    for comp in ("zstd", "snappy"):
+        buf = write_parquet_bytes(t, compression=comp, use_dictionary=False)
+        assert len(buf) < len(raw) * 0.2
+        _assert_equal(buf, t)

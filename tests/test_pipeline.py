@@ -232,3 +232,20 @@ def test_lsh_topk_high_recall_config_equals_exact(spark):
     bf = {tuple(r) for r in cosine_topk_bruteforce(emb).collect()}
     got = {tuple(r) for r in lsh_topk(emb, n_planes=64, bands=32).collect()}
     assert got == bf
+
+
+def test_curate_corpus_matches_duckdb(spark):
+    """The full curation composition (dedup -> near-dup drop -> lang ->
+    quality) equals its step-mirrored DuckDB oracle."""
+    import duckdb
+
+    from sparkcodec.pipeline.curation import curate_corpus, curate_corpus_oracle_sql
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(tuple(r) for r in curate_corpus(docs).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    exp = sorted(tuple(r) for r in con.execute(curate_corpus_oracle_sql()).fetchall())
+    assert len(got) > 0
+    assert got == exp

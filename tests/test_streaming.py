@@ -39,3 +39,23 @@ def test_streaming_encode_sink(spark, tmp_path):
     q2.awaitTermination(120)
     dec2 = decode_dataframe(read_stream_encoded(spark, out).drop("batch_id"))
     assert dec2.count() == toks.count()
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: delivering the SAME micro-batch twice
+    must not duplicate chunk or manifest rows (ADVICE r1)."""
+    from sparkcodec.streaming import write_batch
+
+    toks = tokens_table(spark, SF_DIR)
+    out = str(tmp_path / "out")
+    write_batch(toks, 0, out)
+    first = read_stream_encoded(spark, out).count()
+    write_batch(toks, 0, out)  # replay of batch 0
+    assert read_stream_encoded(spark, out).count() == first
+    man = spark.read.parquet(f"{out}/manifest")
+    assert man.filter(F.col("batch_id") == 0).count() == 1
+    # a NEW batch still appends alongside
+    write_batch(toks.limit(10), 1, out)
+    dec = decode_dataframe(
+        read_stream_encoded(spark, out).filter(F.col("batch_id") == 0).drop("batch_id"))
+    assert dec.count() == toks.count()
