@@ -416,3 +416,40 @@ def test_selector_compression_aware():
     assert decode_array(blob).to_pylist() == vals.tolist()
     blob2, meta2 = encode_array(vals)
     assert meta2["codec"] == meta["codec"]  # deterministic
+
+
+def test_selector_regret_bounded_across_shapes():
+    """Auto-selection must stay within 1.35x of the best candidate codec's
+    actual encoded size on every representative shape -- the cost model is
+    an estimate, but large regret is a regression."""
+    import numpy as np
+
+    from sparkcodec import selector as S
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    shapes = {
+        "zipf_tokens": (rng.zipf(1.3, n) % 50257).astype(np.int32),
+        "sorted_ids": np.sort(rng.integers(0, 10**12, n)),
+        "low_card": rng.integers(0, 40, n).astype(np.int64),
+        "runs": np.repeat(rng.integers(0, 1000, n // 200), 200),
+        "uniform_wide": rng.integers(-(10**15), 10**15, n),
+        "skewed_small_span": np.minimum(rng.zipf(1.1, n), 1 << 20).astype(np.int64),
+    }
+    candidates = [S.PLAIN, S.FOR, S.DELTA_FOR, S.DELTA_BP, S.RLE, S.DICT, S.RANK]
+    for name, vals in shapes.items():
+        auto_blob, auto_meta = encode_array(vals)
+        best = min(
+            (len(encode_array(vals, codec=c)[0]) for c in candidates
+             if _codec_applies(vals, c)),
+        )
+        regret = len(auto_blob) / best
+        assert regret <= 1.35, (name, auto_meta["codec"], regret)
+
+
+def _codec_applies(vals, codec):
+    try:
+        blob, _ = encode_array(vals, codec=codec)
+        return decode_array(blob).to_pylist() == vals.tolist()
+    except Exception:
+        return False
