@@ -85,9 +85,11 @@ def main() -> None:
         extras["encode_runs"] = [round(x, 3) for x in times]
 
         # q1b: the generic DataFrame-input path (any upstream plan, pays the
-        # JVM Arrow bridge for list columns) -- kept visible, not headline
+        # JVM Arrow bridge for list columns) -- auto_fastpath pinned off so
+        # this really measures the bridge; bare-scan callers of
+        # encode_dataframe reroute to the fast path automatically
         t0 = time.perf_counter()
-        encode_dataframe(inp).agg(F.sum("bytes_out")).collect()
+        encode_dataframe(inp, auto_fastpath=False).agg(F.sum("bytes_out")).collect()
         queries["encode_mapinarrow"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()

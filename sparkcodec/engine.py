@@ -622,10 +622,53 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
         yield from flush(pa.Table.from_batches(pending))
 
 
+def _bare_parquet_scan(df) -> tuple[list[str], list[str] | None] | None:
+    """(local parquet files, pruned columns | None) when the optimized plan
+    is exactly a parquet scan with at most a simple column projection --
+    the shape :func:`encode_dataframe` can reroute to the scan-side fast
+    path.  None for anything else (filters, joins, generated columns,
+    partitioned dirs, non-local filesystems)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        cols = None
+        if plan.getClass().getSimpleName() == "Project":
+            exprs = plan.projectList()
+            cols = []
+            for i in range(exprs.size()):
+                e = exprs.apply(i)
+                if e.getClass().getSimpleName() != "AttributeReference":
+                    return None
+                cols.append(e.name())
+            plan = plan.child()
+        if plan.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        rel = plan.relation()
+        if rel.getClass().getSimpleName() != "HadoopFsRelation":
+            return None
+        if "Parquet" not in rel.fileFormat().toString():
+            return None
+        if rel.partitionSchema().length() != 0:
+            return None  # dir-partition columns live in paths, not files
+        files = []
+        for f in rel.location().inputFiles():
+            if f.startswith("file://"):
+                files.append(f[7:])
+            elif f.startswith("file:"):
+                files.append(f[5:])
+            elif f.startswith("/"):
+                files.append(f)
+            else:
+                return None  # remote fs: let pyarrow handle it explicitly
+        return (files, cols) if files else None
+    except Exception:
+        return None
+
+
 def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                      token_budget: int = DEFAULT_TOKEN_BUDGET,
                      compress: bool = True, partition_col: str | None = None,
-                     bloom_columns: tuple[str, ...] = ()):
+                     bloom_columns: tuple[str, ...] = (),
+                     auto_fastpath: bool = True):
     """DataFrame -> encoded chunk-group DataFrame (one row per chunk).
 
     ``partition_col`` names an int column carrying a deterministic bucket
@@ -634,13 +677,23 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
     it within partitions), and the value is recorded per chunk -- the unit
     of checkpoint/resume in :mod:`sparkcodec.manifest`.
 
-    Note for wide list columns: the JVM->Python Arrow bridge serializes
-    array elements one at a time, which dominates wall clock for token
-    tables (measured ~10-20s per 50M list elements on local[32] vs <0.3s
-    for the actual encode kernel).  When the input is already parquet on
-    shared storage, prefer :func:`encode_parquet_dataset`, which moves file
-    split descriptors instead of data.
+    The JVM->Python Arrow bridge serializes array elements one at a time,
+    which dominates wall clock for token tables (measured ~10-20s per 50M
+    list elements on local[32] vs <0.3s of kernel).  When the input plan
+    is a bare parquet scan (at most a column projection on top), the call
+    transparently reroutes to :func:`encode_parquet_dataset`
+    (``auto_fastpath=False`` pins the bridge path); any other plan --
+    filters, joins, derived columns, explicit repartitions -- runs
+    through the bridge as given.
     """
+    if auto_fastpath and partition_col is None:
+        scan = _bare_parquet_scan(df)
+        if scan is not None:
+            files, cols = scan
+            return encode_parquet_dataset(
+                df.sparkSession, files, chunk_rows=chunk_rows,
+                token_budget=token_budget, compress=compress,
+                columns=cols, bloom_columns=bloom_columns)
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext

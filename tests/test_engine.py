@@ -244,3 +244,31 @@ def test_decode_to_parquet_scan_side(spark, toks, tmp_path):
     back2 = spark.read.parquet(out2)
     assert sorted(back2.columns) == ["doc_id", "n_tok"]
     assert back2.count() == toks.count()
+
+
+def test_encode_dataframe_auto_fastpath_reroute(spark, toks, tmp_path):
+    """A bare parquet scan (with column projection) transparently reroutes
+    to the scan-side fast path; filters/repartitions/derived columns keep
+    the bridge path.  Both produce chunks that decode identically."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import _bare_parquet_scan
+
+    src = str(tmp_path / "t.parquet")
+    toks.write.mode("overwrite").parquet(src)
+    raw = spark.read.parquet(src)
+    proj = raw.select("doc_id", "tokens")
+    assert _bare_parquet_scan(proj) is not None
+    assert _bare_parquet_scan(raw.filter(F.col("n_tok") > 3)) is None
+    assert _bare_parquet_scan(raw.repartition(2)) is None
+    assert _bare_parquet_scan(raw.withColumn("z", F.lit(1))) is None
+
+    enc = encode_dataframe(proj)  # rerouted
+    got = sorted((r["doc_id"], tuple(r["tokens"] or ()))
+                 for r in decode_dataframe(enc).collect())
+    exp = sorted((r["doc_id"], tuple(r["tokens"] or ())) for r in proj.collect())
+    assert got == exp
+    pinned = encode_dataframe(proj, auto_fastpath=False)  # bridge path
+    got2 = sorted((r["doc_id"], tuple(r["tokens"] or ()))
+                  for r in decode_dataframe(pinned).collect())
+    assert got2 == exp
