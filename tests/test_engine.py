@@ -272,3 +272,21 @@ def test_encode_dataframe_auto_fastpath_reroute(spark, toks, tmp_path):
     got2 = sorted((r["doc_id"], tuple(r["tokens"] or ()))
                   for r in decode_dataframe(pinned).collect())
     assert got2 == exp
+
+
+def test_full_table_roundtrips_all_columns(spark):
+    """Every column of every testdata table round-trips bit-exact through
+    both encode paths (auto-fastpath scan and pinned bridge) -- the widest
+    mixed-type stress short of the fuzzers."""
+    from pyspark.sql import functions as F
+
+    for table in ("lineitem", "orders", "customer", "part", "supplier",
+                  "nation", "region"):
+        src = spark.read.parquet(f"/root/testdata/sf0.001/{table}.parquet")
+        cs_src = src.agg(F.expr(
+            f"bit_xor(xxhash64({', '.join(src.columns)}))")).collect()[0][0]
+        for flag in (True, False):
+            dec = decode_dataframe(encode_dataframe(src, auto_fastpath=flag))
+            cs = dec.agg(F.expr(
+                f"bit_xor(xxhash64({', '.join(src.columns)}))")).collect()[0][0]
+            assert cs == cs_src, (table, flag)

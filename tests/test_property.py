@@ -228,3 +228,51 @@ def test_parquet_writer_random_nested_schemas(data):
     buf = write_parquet_bytes(t, compression="none")
     got = pq.read_table(io.BytesIO(buf))
     assert got.to_pylist() == t.to_pylist()
+
+
+# ---------- variant codec: randomized JSON trees ----------
+
+_json_scalars = st.one_of(
+    st.none(), st.booleans(),
+    st.integers(-(2**63), 2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=12),
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(min_size=1, max_size=6), children, max_size=4),
+    ),
+    max_leaves=20,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_json_values, max_size=6))
+def test_variant_roundtrip_random_trees(values):
+    """Any JSON-shaped value tree must round-trip through the variant
+    codec, and Spark's native VariantVal must parse our bytes to the same
+    Python value (cross-engine fuzz)."""
+    from pyspark.sql.types import VariantVal
+
+    from sparkcodec.variant import decode_variant, encode_variant_rows
+
+    meta, blobs = encode_variant_rows(values)
+    for v, b in zip(values, blobs):
+        assert decode_variant(meta, b) == v
+        assert VariantVal(b, meta).toPython() == v
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_json_values, min_size=1, max_size=6))
+def test_variant_shredded_roundtrip_random_trees(values):
+    """Auto-detected shredding must reconstruct every value exactly,
+    whatever mix of matching/fallback shapes the sample produces."""
+    from sparkcodec.variant import decode_shredded, decode_variant, encode_shredded_rows
+
+    rows, used = encode_shredded_rows(values)
+    for v, r in zip(values, rows):
+        got = (decode_variant(r["metadata"], r["value"]) if used is None
+               else decode_shredded(r["metadata"], r, used))
+        assert got == v
