@@ -280,6 +280,57 @@ def _roundtrip_parquet_file(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _pipeline_end_to_end(spark, sf_dir):
+    """The whole story in one plan: curate documents (dedup -> near-dup
+    drop -> lang/quality gates) -> tokenize the survivors -> skew-defusing
+    repartition -> encode with codec auto-selection -> decode -> aggregate.
+    The oracle recomputes every stage in DuckDB SQL, so the values prove
+    the full pipeline end to end, not just the codec."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_dataframe, encode_dataframe, range_repartition
+    from sparkcodec.pipeline.curation import curate_corpus
+    from sparkcodec.tokens import DOC_ID_SPARK, TOKENIZE_SPARK
+
+    docs = _docs(spark, sf_dir)
+    kept = curate_corpus(docs).select("doc_id")
+    sub = docs.join(kept, "doc_id", "left_semi")
+    toks = sub.selectExpr(
+        f"{DOC_ID_SPARK} AS doc_id",
+        f"{TOKENIZE_SPARK} AS tokens",
+        f"CAST(size({TOKENIZE_SPARK}) AS INT) AS n_tok",
+        "source",
+    )
+    dec = decode_dataframe(encode_dataframe(range_repartition(toks, 4)))
+    return dec.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(F.expr(
+            "aggregate(tokens, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )).alias("sum_token_values"),
+        F.min(F.expr("array_min(tokens)")).alias("min_tok"),
+        F.max(F.expr("array_max(tokens)")).alias("max_tok"),
+    )
+
+
+def _pipeline_end_to_end_oracle() -> str:
+    from sparkcodec.pipeline.curation import curate_corpus_oracle_sql
+    from sparkcodec.tokens import tokens_table_oracle_sql
+
+    return f"""
+        WITH curated AS ({curate_corpus_oracle_sql()}),
+        sub AS (
+          SELECT d.* FROM documents d JOIN curated USING (doc_id)
+        ), t AS ({tokens_table_oracle_sql("sub")})
+        SELECT count(*) AS n_docs,
+               sum(n_tok) AS total_tokens,
+               sum(coalesce(list_sum(tokens), 0)) AS sum_token_values,
+               min(list_min(tokens)) AS min_tok,
+               max(list_max(tokens)) AS max_tok
+        FROM t
+    """
+
+
 def _curate_corpus(spark, sf_dir):
     """End-to-end corpus curation: exact dedup -> char-5-gram near-dup
     removal -> language gate -> quality gates, one declarative plan with a
@@ -437,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_candidates": _dedup_minhash_candidates,
         "dedup_simhash": _dedup_simhash,
         "curate_corpus": _curate_corpus,
+        "pipeline_end_to_end": _pipeline_end_to_end,
         "text_lang_id": _lang_id,
         "text_quality_score": _quality,
         "text_token_count": _token_count,
@@ -482,6 +534,7 @@ def oracle_sql() -> dict[str, str]:
         # dedup_minhash_candidates / dedup_simhash: signature-based (hash
         # functions not SQL-expressible) -> rows-only
         "curate_corpus": _curate_oracle(),
+        "pipeline_end_to_end": _pipeline_end_to_end_oracle(),
         "text_lang_id": _textstats_oracle("lang_id"),
         "text_quality_score": _textstats_oracle("quality"),
         "text_token_count": _textstats_oracle("token_count"),
