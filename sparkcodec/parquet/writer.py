@@ -363,6 +363,16 @@ def _pick_encoding(values: pa.Array, phys: int, use_dictionary: bool):
         samp = S.sample_numeric(bits)
         return (ENC_RLE if samp.mean_run >= 16 else ENC_PLAIN), None, None
     if phys == PT_FLBA:
+        if use_dictionary and not pa.types.is_float16(values.type):
+            as_bin = values.cast(pa.large_binary())
+            offsets, data = binary_buffers(as_bin)
+            samp = S.sample_binary(offsets, data)
+            if samp.ndv_ratio <= S.DICT_NDV_RATIO:
+                idx, d = factorize(as_bin, "binary")
+                if len(d) <= (1 << 20):
+                    if not (pa.types.is_binary(d.type) or pa.types.is_large_binary(d.type)):
+                        d = d.cast(pa.large_binary())
+                    return ENC_RLE_DICT, d.cast(values.type), idx
         return ENC_PLAIN, None, None
     if phys == PT_BYTE_ARRAY:
         offsets, data = binary_buffers(values)
@@ -431,9 +441,12 @@ def _page_header_v2(num_values: int, num_nulls: int, num_rows: int, encoding: in
     ])
 
 
-def _dict_page(dict_values, phys: int, codec: int) -> tuple[bytes, int, int]:
+def _dict_page(dict_values, phys: int, codec: int,
+               type_length: int | None = None) -> tuple[bytes, int, int]:
     if phys == PT_BYTE_ARRAY:
         raw = plain_encode_binary(dict_values)
+    elif phys == PT_FLBA:
+        raw = _flba_bytes(dict_values, type_length)  # raw fixed-width concat
     else:
         dt = {PT_INT32: "int32", PT_INT64: "int64", PT_FLOAT: "float32",
               PT_DOUBLE: "float64"}[phys]
@@ -666,7 +679,8 @@ def _write_column_chunk(out: bytearray, arr: pa.Array, leaf: _Leaf, codec: int,
     uncomp_total = 0
     if dict_vals is not None:
         dict_offset = len(out)
-        page, _, dict_uncomp = _dict_page(dict_vals, leaf.phys, codec)
+        page, _, dict_uncomp = _dict_page(dict_vals, leaf.phys, codec,
+                                          leaf.type_length)
         out.extend(page)
         uncomp_total += dict_uncomp
         encodings = [ENC_PLAIN, ENC_RLE_DICT]
