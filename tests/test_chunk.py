@@ -453,3 +453,47 @@ def _codec_applies(vals, codec):
         return decode_array(blob).to_pylist() == vals.tolist()
     except Exception:
         return False
+
+
+def test_sliced_arrays_roundtrip_every_type():
+    """Non-zero-offset (sliced) Arrow arrays must encode from their window
+    only -- offset handling is a classic codec bug source."""
+    import decimal
+
+    import numpy as np
+    import pyarrow as pa
+
+    cases = [
+        pa.array(list(range(100)) + [None] * 5 + list(range(100, 200)),
+                 pa.int64()).slice(50, 100),
+        pa.array([f"s{i}" for i in range(100)] + [None, "x"] * 5,
+                 pa.string()).slice(30, 60),
+        pa.array([b"\x00ab", None, b"c\x00d"] * 50, pa.binary()).slice(7, 100),
+        pa.array(np.r_[np.nan, -0.0, 0.0, np.inf, -np.inf,
+                       np.linspace(-5, 5, 200)]).slice(1, 150),
+        pa.array(([True] * 30 + [None, False] * 10) * 5).slice(13, 80),
+        pa.array([decimal.Decimal("1.23"), None] * 60,
+                 pa.decimal128(9, 2)).slice(5, 70),
+        pa.array([b"0123456789abcdef", None] * 40, pa.binary(16)).slice(3, 50),
+        pa.array(np.arange(100, dtype=np.float16), pa.float16()).slice(11, 60),
+    ]
+    for arr in cases:
+        blob, _ = encode_array(arr)
+        assert decode_array(blob).to_pylist() == arr.to_pylist(), arr.type
+
+
+def test_sliced_nested_chunk_group_roundtrip():
+    import pyarrow as pa
+
+    from sparkcodec.engine import decode_chunk_group, encode_chunk_group
+
+    tok = pa.array([[1, 2], [3], None, [4, 5, 6]] * 30, pa.list_(pa.int32()))
+    mp = pa.array([[("a", 1)], None, [("b", 2), ("c", 3)], []] * 30,
+                  pa.map_(pa.string(), pa.int32()))
+    st = pa.array([{"x": 1}, None, {"x": None}] * 40,
+                  pa.struct([("x", pa.int32())]))
+    t = pa.table({"l": tok, "m": mp, "s": st}).slice(17, 80)
+    blob, _, pairs, _ = encode_chunk_group(t)
+    back = decode_chunk_group(blob, pairs)
+    for i, c in enumerate(back.schema.names):
+        assert back.column(i).to_pylist() == t.column(c).to_pylist(), c
