@@ -73,3 +73,43 @@ def encode_stream(stream_df, output_dir: str, checkpoint_dir: str, *,
 
 def read_stream_encoded(spark, output_dir: str):
     return spark.read.parquet(f"{output_dir.rstrip('/')}/chunks")
+
+
+def running_source_stats(stream_df, *, source_col: str = "source",
+                         weight_col: str = "n_tok"):
+    """Custom STATEFUL streaming operator (applyInPandasWithState): per
+    source, cumulative document and token counts across micro-batches --
+    the live ingest counters a 10^12-sequence encode pipeline exposes.
+    State is two longs per source; each batch emits the updated totals
+    for the sources it touched (update semantics)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("source", StringType()),
+        StructField("n_docs", LongType()),
+        StructField("n_tokens", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("n_docs", LongType()),
+        StructField("n_tokens", LongType()),
+    ])
+
+    def update(key, pdfs, state):
+        n_docs, n_tokens = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_docs += len(pdf)
+            n_tokens += int(pdf[weight_col].fillna(0).sum())
+        state.update((n_docs, n_tokens))
+        yield pd.DataFrame({"source": [key[0]], "n_docs": [n_docs],
+                            "n_tokens": [n_tokens]})
+
+    return (
+        stream_df.select(source_col, weight_col)
+        .groupBy(source_col)
+        .applyInPandasWithState(update, out_schema, state_schema,
+                                "update", GroupStateTimeout.NoTimeout)
+    )

@@ -59,3 +59,38 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     dec = decode_dataframe(
         read_stream_encoded(spark, out).filter(F.col("batch_id") == 0).drop("batch_id"))
     assert dec.count() == toks.count()
+
+
+def test_running_source_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState keeps per-source cumulative counters across
+    micro-batches: with maxFilesPerTrigger=1 each staged file is its own
+    batch, and the LAST emitted row per source equals the global totals."""
+    from sparkcodec.streaming import running_source_stats
+
+    toks = tokens_table(spark, SF_DIR)
+    src_dir = str(tmp_path / "src")
+    half1, half2 = toks.randomSplit([0.5, 0.5], seed=7)
+    half1.coalesce(1).write.mode("append").parquet(src_dir)
+    half2.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (spark.readStream.schema(toks.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    q = (running_source_stats(stream)
+         .writeStream.format("memory").queryName("src_stats")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM src_stats").collect()
+    assert len(rows) > 0
+    # counters are monotone, so the max update per source is the final
+    # cumulative total (memory-sink row order is not guaranteed)
+    final = {}
+    for r in rows:
+        cur = final.get(r["source"], (0, 0))
+        final[r["source"]] = max(cur, (r["n_docs"], r["n_tokens"]))
+    exp = {r["source"]: (r["n"], r["t"]) for r in
+           toks.groupBy("source").agg(
+               F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("t")).collect()}
+    assert final == exp
