@@ -280,6 +280,38 @@ def _roundtrip_parquet_file(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _bloom_point_lookup(spark, sf_dir):
+    """Needle-in-100TB shape: encode with doc_id blooms, bloom-prune the
+    encoded chunks WITHOUT decoding, decode only survivors, exact-filter.
+    The oracle recomputes the target row from the source SQL."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_dataframe, lookup_rows, range_repartition
+    from sparkcodec.tokens import tokens_table
+
+    toks = tokens_table(spark, sf_dir)
+    target = toks.agg(F.min("doc_id")).collect()[0][0]
+    enc = encode_dataframe(range_repartition(toks, 8), chunk_rows=256,
+                           bloom_columns=("doc_id",), auto_fastpath=False)
+    hit = lookup_rows(enc, "doc_id", target)
+    return hit.select(
+        "doc_id",
+        F.array_join(F.transform("tokens", lambda x: x.cast("string")), ",")
+        .alias("tokens_str"),
+        "n_tok", "source",
+    )
+
+
+def _bloom_lookup_oracle() -> str:
+    from sparkcodec.tokens import tokens_table_oracle_sql
+
+    return f"""
+        WITH t AS ({tokens_table_oracle_sql()})
+        SELECT doc_id, array_to_string(tokens, ',') AS tokens_str, n_tok, source
+        FROM t WHERE doc_id = (SELECT min(doc_id) FROM t)
+    """
+
+
 def _pipeline_end_to_end(spark, sf_dir):
     """The whole story in one plan: curate documents (dedup -> near-dup
     drop -> lang/quality gates) -> tokenize the survivors -> skew-defusing
@@ -489,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "curate_corpus": _curate_corpus,
         "pipeline_end_to_end": _pipeline_end_to_end,
+        "bloom_point_lookup": _bloom_point_lookup,
         "text_lang_id": _lang_id,
         "text_quality_score": _quality,
         "text_token_count": _token_count,
@@ -535,6 +568,7 @@ def oracle_sql() -> dict[str, str]:
         # functions not SQL-expressible) -> rows-only
         "curate_corpus": _curate_oracle(),
         "pipeline_end_to_end": _pipeline_end_to_end_oracle(),
+        "bloom_point_lookup": _bloom_lookup_oracle(),
         "text_lang_id": _textstats_oracle("lang_id"),
         "text_quality_score": _textstats_oracle("quality"),
         "text_token_count": _textstats_oracle("token_count"),

@@ -822,6 +822,35 @@ def encode_parquet_dataset(spark, path, *,
     return desc.mapInArrow(encode_split, out_ddl)
 
 
+def filter_chunks_may_contain(enc_df, column: str, value):
+    """Bloom-prune encoded chunk rows WITHOUT decoding: keeps only chunks
+    whose per-column SBBF (or absence of one) admits ``value``.  The probe
+    reads each blob's bloom section only -- no payload decompression."""
+
+    def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            pay_idx = b.schema.get_field_index("payload")
+            payloads = b.column(pay_idx)
+            keep = [i for i in range(len(b))
+                    if group_may_contain(payloads[i].as_py(), column, value)]
+            if keep:
+                yield b.take(pa.array(keep, type=pa.int32()))
+
+    return enc_df.mapInArrow(probe, enc_df.schema)
+
+
+def lookup_rows(enc_df, column: str, value, schema=None):
+    """Point lookup over ENCODED data: bloom-prune chunk groups, decode
+    only the survivors, exact-filter.  The needle-in-100TB query shape:
+    with blooms on the key column, almost every chunk is skipped before
+    any decompression happens."""
+    from pyspark.sql import functions as F
+
+    pruned = filter_chunks_may_contain(enc_df, column, value)
+    dec = decode_dataframe(pruned, schema=schema)
+    return dec.filter(F.col(column) == F.lit(value))
+
+
 def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
                       columns: list[str] | None = None,
                       compression: str = "zstd",

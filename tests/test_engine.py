@@ -290,3 +290,25 @@ def test_full_table_roundtrips_all_columns(spark):
             cs = dec.agg(F.expr(
                 f"bit_xor(xxhash64({', '.join(src.columns)}))")).collect()[0][0]
             assert cs == cs_src, (table, flag)
+
+
+def test_bloom_point_lookup_prunes_chunks(spark, toks):
+    """lookup_rows: bloom-prune encoded chunks without decoding, then
+    decode only survivors -- the pruned set is strictly smaller and the
+    lookup returns exactly the target row."""
+    from sparkcodec.engine import filter_chunks_may_contain, lookup_rows
+
+    enc = encode_dataframe(range_repartition(toks, 8),
+                           chunk_rows=64, bloom_columns=("doc_id",),
+                           auto_fastpath=False).cache()
+    total = enc.count()
+    target = toks.orderBy("doc_id").first()["doc_id"]
+    pruned = filter_chunks_may_contain(enc, "doc_id", target)
+    n_pruned = pruned.count()
+    assert 0 < n_pruned < total  # real pruning happened
+    got = lookup_rows(enc, "doc_id", target).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == target
+    # absent value: (almost) everything pruned by the bloom
+    absent = "zzz-no-such-doc"
+    assert filter_chunks_may_contain(enc, "doc_id", absent).count() < total
+    enc.unpersist()
