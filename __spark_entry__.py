@@ -312,6 +312,20 @@ def _bloom_lookup_oracle() -> str:
     """
 
 
+def _stats_range_scan(spark, sf_dir):
+    """Range scan over encoded chunks: min/max footer stats prune chunk
+    groups JVM-side (get_json_object in codegen, no payload bytes read),
+    survivors decode, exact filter.  Oracle: the plain SQL range select."""
+    from sparkcodec.engine import encode_dataframe, range_scan_rows
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    enc = encode_dataframe(
+        li.repartitionByRange(8, "l_orderkey").sortWithinPartitions("l_orderkey"),
+        chunk_rows=4096, auto_fastpath=False)
+    return range_scan_rows(enc, "l_orderkey", 1000, 2000, "long")
+
+
 def _pipeline_end_to_end(spark, sf_dir):
     """The whole story in one plan: curate documents (dedup -> near-dup
     drop -> lang/quality gates) -> tokenize the survivors -> skew-defusing
@@ -522,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _curate_corpus,
         "pipeline_end_to_end": _pipeline_end_to_end,
         "bloom_point_lookup": _bloom_point_lookup,
+        "stats_range_scan": _stats_range_scan,
         "text_lang_id": _lang_id,
         "text_quality_score": _quality,
         "text_token_count": _token_count,
@@ -569,6 +584,10 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _curate_oracle(),
         "pipeline_end_to_end": _pipeline_end_to_end_oracle(),
         "bloom_point_lookup": _bloom_lookup_oracle(),
+        "stats_range_scan": (
+            "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem "
+            "WHERE l_orderkey BETWEEN 1000 AND 2000"
+        ),
         "text_lang_id": _textstats_oracle("lang_id"),
         "text_quality_score": _textstats_oracle("quality"),
         "text_token_count": _textstats_oracle("token_count"),

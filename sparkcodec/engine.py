@@ -839,6 +839,40 @@ def filter_chunks_may_contain(enc_df, column: str, value):
     return enc_df.mapInArrow(probe, enc_df.schema)
 
 
+def filter_chunks_by_range(enc_df, column: str, lo=None, hi=None,
+                           dtype: str = "double"):
+    """Min/max-stats chunk pruning, entirely JVM-side: the footer-style
+    per-chunk statistics live in ``meta_json``, so the predicate is two
+    ``get_json_object`` casts inside codegen -- no Python, no payload
+    bytes touched.  Keeps chunks whose [min, max] intersects [lo, hi]."""
+    from pyspark.sql import functions as F
+
+    mn = F.get_json_object("meta_json", f"$.{column}.min").cast(dtype)
+    mx = F.get_json_object("meta_json", f"$.{column}.max").cast(dtype)
+    keep = F.lit(True)
+    if lo is not None:
+        keep = keep & (mx >= F.lit(lo))
+    if hi is not None:
+        keep = keep & (mn <= F.lit(hi))
+    return enc_df.filter(keep)
+
+
+def range_scan_rows(enc_df, column: str, lo=None, hi=None,
+                    dtype: str = "double", schema=None):
+    """Range scan over ENCODED data: stats-prune chunk groups (JVM-side),
+    decode only survivors, exact-filter."""
+    from pyspark.sql import functions as F
+
+    pruned = filter_chunks_by_range(enc_df, column, lo, hi, dtype)
+    dec = decode_dataframe(pruned, schema=schema)
+    keep = F.lit(True)
+    if lo is not None:
+        keep = keep & (F.col(column) >= F.lit(lo))
+    if hi is not None:
+        keep = keep & (F.col(column) <= F.lit(hi))
+    return dec.filter(keep)
+
+
 def lookup_rows(enc_df, column: str, value, schema=None):
     """Point lookup over ENCODED data: bloom-prune chunk groups, decode
     only the survivors, exact-filter.  The needle-in-100TB query shape:

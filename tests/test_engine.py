@@ -312,3 +312,28 @@ def test_bloom_point_lookup_prunes_chunks(spark, toks):
     absent = "zzz-no-such-doc"
     assert filter_chunks_may_contain(enc, "doc_id", absent).count() < total
     enc.unpersist()
+
+
+def test_stats_range_scan_prunes_chunks(spark):
+    """range_scan_rows: JVM-side min/max pruning on chunk metadata skips
+    non-overlapping chunks; results equal a plain filter on the source."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import filter_chunks_by_range, range_scan_rows
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity", "l_returnflag") \
+        .orderBy("l_orderkey")
+    enc = encode_dataframe(li.repartitionByRange(6, "l_orderkey")
+                           .sortWithinPartitions("l_orderkey"),
+                           chunk_rows=128, auto_fastpath=False).cache()
+    total = enc.count()
+    lo, hi = 100, 140
+    pruned = filter_chunks_by_range(enc, "l_orderkey", lo, hi, "long")
+    assert 0 < pruned.count() < total  # stats actually prune
+    got = sorted(tuple(r) for r in
+                 range_scan_rows(enc, "l_orderkey", lo, hi, "long").collect())
+    exp = sorted(tuple(r) for r in li.filter(
+        (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)).collect())
+    assert got == exp and len(got) > 0
+    enc.unpersist()
