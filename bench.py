@@ -158,6 +158,27 @@ def main() -> None:
         encode_dataframe(li).agg(F.sum("bytes_out")).collect()
         queries["encode_lineitem"] = time.perf_counter() - t0
 
+        # q7: string-heavy documents encode + size vs parquet+snappy (the
+        # FSST/dict/delta-byte-array story on real text)
+        t0 = time.perf_counter()
+        docs_bytes = encode_parquet_dataset(spark, f"{sf_dir}/documents.parquet") \
+            .agg(F.sum("bytes_out")).collect()[0][0]
+        queries["encode_documents"] = time.perf_counter() - t0
+        docs_pq = f"{tmp}/docs_baseline.parquet"
+        spark.read.parquet(f"{sf_dir}/documents.parquet").write.mode(
+            "overwrite").option("compression", "snappy").parquet(docs_pq)
+        docs_pq_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(docs_pq) for f in fs if f.endswith(".parquet"))
+        extras["documents_size_vs_parquet"] = round(docs_bytes / docs_pq_bytes, 4)
+
+        # q8: column-pruned decode -- non-selected payload columns are never
+        # decompressed inside the chunk (the chunk-internal pruning win)
+        t0 = time.perf_counter()
+        decode_dataframe(enc, columns=["doc_id", "n_tok"]).agg(
+            F.sum("n_tok")).collect()
+        queries["decode_pruned"] = time.perf_counter() - t0
+
         out = {
             "metric": "encode_wall_sec_synthetic_tokens",
             "value": round(queries["encode"], 3),
