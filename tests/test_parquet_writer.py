@@ -467,3 +467,54 @@ def test_flba_dictionary_encoding():
     n, ndv = con.execute(
         f"SELECT count(*), count(DISTINCT u) FROM '{_tmp(buf)}'").fetchone()
     assert (n, ndv) == (20000, 8)
+
+
+def test_nested_edge_shapes():
+    """Dremel edge shapes: empty nested tables, all-null nested columns,
+    single rows, empty-only containers, nulls at every depth."""
+    cases = [
+        pa.table({
+            "m": pa.array([], pa.map_(pa.string(), pa.int32())),
+            "ls": pa.array([], pa.list_(pa.struct([("a", pa.int64())]))),
+            "st": pa.array([], pa.struct([("l", pa.list_(pa.int32()))]))}),
+        pa.table({
+            "m": pa.array([None, None], pa.map_(pa.string(), pa.int32())),
+            "l": pa.array([None, None], pa.list_(pa.int64())),
+            "s": pa.array([None, None], pa.struct([("x", pa.int32())]))}),
+        pa.table({"m": pa.array([[("k", [1])]],
+                                pa.map_(pa.string(), pa.list_(pa.int32())))}),
+        pa.table({"l": pa.array([[], [], []], pa.list_(pa.int32()))}),
+        pa.table({"x": pa.array(
+            [{"a": [None, {"b": None}]}, {"a": None}, None],
+            pa.struct([("a", pa.list_(pa.struct([("b", pa.int64())])))]))}),
+    ]
+    for t in cases:
+        buf = write_parquet_bytes(t, compression="none")
+        assert pq.read_table(io.BytesIO(buf)).to_pylist() == t.to_pylist()
+
+
+def test_multipage_nested_roundtrip():
+    """Page splitting in slot space (rows start where rep==0) across row
+    groups, with null/empty lists and maps mixed in; DuckDB re-aggregates
+    the flattened values exactly."""
+    rng = np.random.default_rng(3)
+    n = 60_000
+    lens = rng.integers(0, 12, n)
+    off = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=off[1:])
+    vals = rng.integers(0, 10**6, int(off[-1])).astype(np.int64)
+    lst = pa.ListArray.from_arrays(pa.array(off), pa.array(vals))
+    mask = rng.random(n) < 0.05
+    lst = pa.array([None if m else x for m, x in zip(mask, lst.to_pylist())],
+                   pa.list_(pa.int64()))
+    mp = pa.array([[(f"k{i % 7}", float(i))] if i % 3 else [] for i in range(n)],
+                  pa.map_(pa.string(), pa.float64()))
+    t = pa.table({"l": lst, "m": mp})
+    buf = write_parquet_bytes(t, row_group_rows=25_000, page_bytes=1 << 17,
+                              compression="none")
+    assert pq.ParquetFile(io.BytesIO(buf)).metadata.num_row_groups == 3
+    assert pq.read_table(io.BytesIO(buf)).to_pylist() == t.to_pylist()
+    exp_sum = int(vals[~np.repeat(mask, lens)].sum())
+    got_sum = duckdb.sql(
+        f"SELECT sum(x) FROM (SELECT unnest(l) x FROM '{_tmp(buf)}')").fetchone()[0]
+    assert got_sum == exp_sum
