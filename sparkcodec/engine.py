@@ -532,11 +532,25 @@ def _window_boundaries(weights: np.ndarray, max_rows: int, budget: int) -> list[
 
 # ---------- Spark entry points ----------
 
+def _stat_fields(schema: pa.Schema, stat_columns: tuple[str, ...]) -> list[tuple[str, pa.DataType]]:
+    """(name, type) pairs for the typed per-chunk min/max columns."""
+    out = []
+    for c in stat_columns:
+        t = schema.field(c).type
+        if pa.types.is_list(t) or pa.types.is_large_list(t) or \
+                pa.types.is_struct(t) or pa.types.is_map(t):
+            raise TypeError(f"stat_columns must be scalar, got {c}: {t}")
+        out.append((f"min_{c}", t))
+        out.append((f"max_{c}", t))
+    return out
+
+
 def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
                          chunk_rows: int, token_budget: int, compress,
                          partition_col: str | None,
                          bloom_columns: tuple[str, ...],
-                         seq_start: int = 0) -> Iterator[pa.RecordBatch]:
+                         seq_start: int = 0,
+                         stat_columns: tuple[str, ...] = ()) -> Iterator[pa.RecordBatch]:
     """Shared worker-side encode loop: window incoming Arrow batches by row
     count + token weight, encode each window as one chunk group, emit one
     encoded row per chunk.  Used by both :func:`encode_dataframe` (data via
@@ -560,12 +574,19 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
                 return lens.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
         return np.ones(len(b), dtype=np.int64)
 
+    out_schema = ENCODED_PA_SCHEMA
+    stat_fields: list[tuple[str, pa.DataType]] = []
+
     def flush(tbl: pa.Table) -> Iterator[pa.RecordBatch]:
-        nonlocal seq
+        nonlocal seq, out_schema, stat_fields
         bucket = part_id
         if partition_col is not None and len(tbl):
             bucket = int(tbl.column(partition_col)[0].as_py())
             tbl = tbl.drop_columns([partition_col])
+        if stat_columns and not stat_fields:
+            stat_fields = _stat_fields(tbl.schema, stat_columns)
+            out_schema = pa.schema(list(ENCODED_PA_SCHEMA)
+                                   + [pa.field(n, t) for n, t in stat_fields])
         w = weights_of(tbl) if len(tbl) else np.zeros(0, dtype=np.int64)
         for s, e in _window_boundaries(w, chunk_rows, token_budget):
             window = tbl.slice(s, e - s)
@@ -588,8 +609,15 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
                 "meta_json": json.dumps(metas, default=str),
                 "payload": blob,
             }
+            if stat_columns:
+                import pyarrow.compute as pc
+
+                for c in stat_columns:
+                    mm = pc.min_max(window.column(c))
+                    row[f"min_{c}"] = mm["min"].as_py()
+                    row[f"max_{c}"] = mm["max"].as_py()
             seq += 1
-            yield pa.RecordBatch.from_pylist([row], schema=ENCODED_PA_SCHEMA)
+            yield pa.RecordBatch.from_pylist([row], schema=out_schema)
 
     def split_by_bucket(b: pa.RecordBatch) -> list[pa.RecordBatch]:
         if partition_col is None:
@@ -664,11 +692,43 @@ def _bare_parquet_scan(df) -> tuple[list[str], list[str] | None] | None:
         return None
 
 
+def _spark_ddl_of_pa(t: pa.DataType) -> str:
+    if pa.types.is_int32(t):
+        return "INT"
+    if pa.types.is_int64(t):
+        return "BIGINT"
+    if pa.types.is_float32(t):
+        return "FLOAT"
+    if pa.types.is_float64(t):
+        return "DOUBLE"
+    if pa.types.is_boolean(t):
+        return "BOOLEAN"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "STRING"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "BINARY"
+    if pa.types.is_timestamp(t):
+        return "TIMESTAMP"
+    if pa.types.is_date32(t):
+        return "DATE"
+    if pa.types.is_decimal(t):
+        return f"DECIMAL({t.precision},{t.scale})"
+    raise TypeError(f"unsupported stat column type {t}")
+
+
+def _stats_ddl(pa_schema: pa.Schema, stat_columns: tuple[str, ...]) -> str:
+    parts = []
+    for name, t in _stat_fields(pa_schema, stat_columns):
+        parts.append(f"{name} {_spark_ddl_of_pa(t)}")
+    return (", " + ", ".join(parts)) if parts else ""
+
+
 def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                      token_budget: int = DEFAULT_TOKEN_BUDGET,
                      compress: bool = True, partition_col: str | None = None,
                      bloom_columns: tuple[str, ...] = (),
-                     auto_fastpath: bool = True):
+                     auto_fastpath: bool = True,
+                     stat_columns: tuple[str, ...] = ()):
     """DataFrame -> encoded chunk-group DataFrame (one row per chunk).
 
     ``partition_col`` names an int column carrying a deterministic bucket
@@ -685,6 +745,11 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
     (``auto_fastpath=False`` pins the bridge path); any other plan --
     filters, joins, derived columns, explicit repartitions -- runs
     through the bridge as given.
+
+    ``stat_columns`` adds TYPED per-chunk min_<col>/max_<col> columns to
+    the output: unlike the JSON stats in ``meta_json``, filters on these
+    push down into the parquet scan of the ENCODED table, so range scans
+    skip whole row groups of payload bytes.
     """
     if auto_fastpath and partition_col is None:
         scan = _bare_parquet_scan(df)
@@ -693,7 +758,16 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
             return encode_parquet_dataset(
                 df.sparkSession, files, chunk_rows=chunk_rows,
                 token_budget=token_budget, compress=compress,
-                columns=cols, bloom_columns=bloom_columns)
+                columns=cols, bloom_columns=bloom_columns,
+                stat_columns=stat_columns)
+
+    out_ddl = ENCODED_DDL
+    if stat_columns:
+        pa_schema = pa.schema([
+            (f.name, _pa_type_of_spark(f.dataType)) for f in df.schema
+            if f.name in stat_columns
+        ])
+        out_ddl = ENCODED_DDL + _stats_ddl(pa_schema, stat_columns)
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -702,9 +776,37 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
         part_id = ctx.partitionId() if ctx is not None else 0
         yield from _encode_batch_stream(batches, part_id, chunk_rows,
                                         token_budget, compress,
-                                        partition_col, bloom_columns)
+                                        partition_col, bloom_columns,
+                                        stat_columns=stat_columns)
 
-    return df.mapInArrow(encode_partition, ENCODED_DDL)
+    return df.mapInArrow(encode_partition, out_ddl)
+
+
+def _pa_type_of_spark(dt) -> pa.DataType:
+    from pyspark.sql.types import (
+        BooleanType, DateType, DecimalType, DoubleType, FloatType,
+        IntegerType, LongType, StringType, TimestampType,
+    )
+
+    if isinstance(dt, IntegerType):
+        return pa.int32()
+    if isinstance(dt, LongType):
+        return pa.int64()
+    if isinstance(dt, FloatType):
+        return pa.float32()
+    if isinstance(dt, DoubleType):
+        return pa.float64()
+    if isinstance(dt, BooleanType):
+        return pa.bool_()
+    if isinstance(dt, StringType):
+        return pa.string()
+    if isinstance(dt, TimestampType):
+        return pa.timestamp("us")
+    if isinstance(dt, DateType):
+        return pa.date32()
+    if isinstance(dt, DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    raise TypeError(f"unsupported stat column spark type {dt}")
 
 
 def _plan_parquet_splits(path, n_splits: int,
@@ -750,7 +852,8 @@ def encode_parquet_dataset(spark, path, *,
                            bloom_columns: tuple[str, ...] = (),
                            batch_rows: int = 16384,
                            n_splits: int | None = None,
-                           include_source_file: bool = False):
+                           include_source_file: bool = False,
+                           stat_columns: tuple[str, ...] = ()):
     """Scan-side encode: parquet is read directly by pyarrow inside each
     Python task; only (file, row-groups) descriptors cross the JVM.
 
@@ -771,6 +874,11 @@ def encode_parquet_dataset(spark, path, *,
         n_splits = max(spark.sparkContext.defaultParallelism * 2, 2)
     splits = _plan_parquet_splits(path, n_splits, columns)
     out_ddl = ENCODED_FILE_DDL if include_source_file else ENCODED_DDL
+    if stat_columns:
+        import pyarrow.dataset as ds
+
+        out_ddl += _stats_ddl(ds.dataset(path, format="parquet").schema,
+                              stat_columns)
     if not splits:
         return spark.createDataFrame([], out_ddl)
     desc = spark.createDataFrame(
@@ -804,7 +912,8 @@ def encode_parquet_dataset(spark, path, *,
 
             yield from _encode_batch_stream(read_all(), part_id, chunk_rows,
                                             token_budget, compress, None,
-                                            bloom_columns)
+                                            bloom_columns,
+                                            stat_columns=stat_columns)
             return
 
         # file-tagged mode: one encode stream per file so chunks never
@@ -813,7 +922,8 @@ def encode_parquet_dataset(spark, path, *,
         for p, rgs in descriptors():
             for rb in _encode_batch_stream(read_file(p, rgs), part_id,
                                            chunk_rows, token_budget, compress,
-                                           None, bloom_columns, seq_start=seq):
+                                           None, bloom_columns, seq_start=seq,
+                                           stat_columns=stat_columns):
                 seq += len(rb)
                 tagged = rb.append_column(
                     "source_file", pa.array([p] * len(rb), type=pa.string()))
@@ -841,14 +951,21 @@ def filter_chunks_may_contain(enc_df, column: str, value):
 
 def filter_chunks_by_range(enc_df, column: str, lo=None, hi=None,
                            dtype: str = "double"):
-    """Min/max-stats chunk pruning, entirely JVM-side: the footer-style
-    per-chunk statistics live in ``meta_json``, so the predicate is two
-    ``get_json_object`` casts inside codegen -- no Python, no payload
-    bytes touched.  Keeps chunks whose [min, max] intersects [lo, hi]."""
+    """Min/max-stats chunk pruning, entirely JVM-side.  When the encode
+    was run with ``stat_columns`` the TYPED min_<col>/max_<col> columns are
+    used -- those predicates PUSH DOWN into the parquet scan of the encoded
+    table (row groups of payload bytes are skipped at the reader).
+    Otherwise the footer-style JSON statistics in ``meta_json`` are cast
+    inside codegen (no pushdown, but still no payload decode).  Keeps
+    chunks whose [min, max] intersects [lo, hi]."""
     from pyspark.sql import functions as F
 
-    mn = F.get_json_object("meta_json", f"$.{column}.min").cast(dtype)
-    mx = F.get_json_object("meta_json", f"$.{column}.max").cast(dtype)
+    if f"min_{column}" in enc_df.columns:
+        mn = F.col(f"min_{column}")
+        mx = F.col(f"max_{column}")
+    else:
+        mn = F.get_json_object("meta_json", f"$.{column}.min").cast(dtype)
+        mx = F.get_json_object("meta_json", f"$.{column}.max").cast(dtype)
     keep = F.lit(True)
     if lo is not None:
         keep = keep & (mx >= F.lit(lo))

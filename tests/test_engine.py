@@ -337,3 +337,41 @@ def test_stats_range_scan_prunes_chunks(spark):
         (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)).collect())
     assert got == exp and len(got) > 0
     enc.unpersist()
+
+
+def test_typed_stat_columns_pushdown(spark, tmp_path):
+    """stat_columns emits TYPED per-chunk min/max columns; a range filter
+    on the encoded-on-disk table pushes down into the parquet scan
+    (PushedFilters visible in the plan), and range_scan_rows prefers them."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import filter_chunks_by_range, range_scan_rows
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity").orderBy("l_orderkey")
+    enc = encode_dataframe(li.repartitionByRange(4, "l_orderkey")
+                           .sortWithinPartitions("l_orderkey"),
+                           chunk_rows=256, auto_fastpath=False,
+                           stat_columns=("l_orderkey",))
+    assert "min_l_orderkey" in enc.columns and "max_l_orderkey" in enc.columns
+    out = str(tmp_path / "enc.parquet")
+    enc.write.parquet(out)
+    stored = spark.read.parquet(out)
+    pruned = filter_chunks_by_range(stored, "l_orderkey", 100, 140)
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "PushedFilters" in plan and "max_l_orderkey" in plan.split("PushedFilters")[1][:300]
+    got = sorted(tuple(r) for r in
+                 range_scan_rows(stored, "l_orderkey", 100, 140, "long").collect())
+    exp = sorted(tuple(r) for r in li.filter(
+        (F.col("l_orderkey") >= 100) & (F.col("l_orderkey") <= 140)).collect())
+    assert got == exp and len(got) > 0
+
+    # fast path carries the same typed stats
+    from sparkcodec.engine import encode_parquet_dataset
+
+    src = str(tmp_path / "src.parquet")
+    li.write.parquet(src)
+    enc2 = encode_parquet_dataset(spark, src, stat_columns=("l_orderkey",))
+    row = enc2.select("min_l_orderkey", "max_l_orderkey").first()
+    assert row["min_l_orderkey"] <= row["max_l_orderkey"]
