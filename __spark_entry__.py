@@ -322,7 +322,7 @@ def _stats_range_scan(spark, sf_dir):
         "l_orderkey", "l_quantity", "l_returnflag")
     enc = encode_dataframe(
         li.repartitionByRange(8, "l_orderkey").sortWithinPartitions("l_orderkey"),
-        chunk_rows=4096, auto_fastpath=False)
+        chunk_rows=4096, auto_fastpath=False, stat_columns=("l_orderkey",))
     return range_scan_rows(enc, "l_orderkey", 1000, 2000, "long")
 
 
