@@ -348,14 +348,18 @@ def _pipeline_end_to_end(spark, sf_dir):
         "source",
     )
     dec = decode_dataframe(encode_dataframe(range_repartition(toks, 4)))
+    # Every aggregate is cast to BIGINT on BOTH sides (here and in the
+    # DuckDB oracle) so the driver's typed value-hash compares like for
+    # like: DuckDB sum() over INTEGER yields HUGEINT where Spark yields
+    # BIGINT, which hash-mismatches even when the values are equal.
     return dec.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
         F.sum(F.expr(
             "aggregate(tokens, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        )).alias("sum_token_values"),
-        F.min(F.expr("array_min(tokens)")).alias("min_tok"),
-        F.max(F.expr("array_max(tokens)")).alias("max_tok"),
+        )).cast("long").alias("sum_token_values"),
+        F.min(F.expr("array_min(tokens)")).cast("long").alias("min_tok"),
+        F.max(F.expr("array_max(tokens)")).cast("long").alias("max_tok"),
     )
 
 
@@ -368,11 +372,11 @@ def _pipeline_end_to_end_oracle() -> str:
         sub AS (
           SELECT d.* FROM documents d JOIN curated USING (doc_id)
         ), t AS ({tokens_table_oracle_sql("sub")})
-        SELECT count(*) AS n_docs,
-               sum(n_tok) AS total_tokens,
-               sum(coalesce(list_sum(tokens), 0)) AS sum_token_values,
-               min(list_min(tokens)) AS min_tok,
-               max(list_max(tokens)) AS max_tok
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(coalesce(list_sum(tokens), 0)) AS BIGINT) AS sum_token_values,
+               CAST(min(list_min(tokens)) AS BIGINT) AS min_tok,
+               CAST(max(list_max(tokens)) AS BIGINT) AS max_tok
         FROM t
     """
 

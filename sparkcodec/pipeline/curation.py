@@ -17,15 +17,28 @@ from pyspark.sql import functions as F
 from .dedup import SHINGLE_K, char_ngram_jaccard_pairs
 from .textstats import lang_id, quality_score
 
+# Stop-shingle guard for the near-dup self-join: char 5-grams appearing in
+# more than this many documents are dropped from both the intersection and
+# the set sizes (capped Jaccard semantics, mirrored in the oracle).  Bounds
+# the inverted-index join's per-key fan-out to NEAR_DF_CAP**2 regardless of
+# corpus size -- without it one ubiquitous gram (" the ") makes the join
+# quadratic in the corpus.
+NEAR_DF_CAP = 256
+
 
 def curate_corpus(docs: DataFrame, *, lang: str = "en", min_words: int = 5,
                   max_stop_ratio: float = 0.9,
-                  near_threshold: float = 0.8) -> DataFrame:
+                  near_threshold: float = 0.8,
+                  near_df_cap: int | None = NEAR_DF_CAP) -> DataFrame:
     """Surviving documents with their curation features
     (doc_id, pred_lang, n_words, stop_ratio)."""
-    uniq = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # exact-dedup stage keyed by sha2-256(text): the shuffle carries 32-byte
+    # digests, never full documents (see dedup.exact_dedup)
+    uniq = (docs.select(F.sha2("text", 256).alias("_h"), "doc_id")
+            .groupBy("_h").agg(F.min("doc_id").alias("doc_id")))
     base = docs.join(uniq.select("doc_id"), "doc_id", "left_semi")
-    pairs = char_ngram_jaccard_pairs(base, SHINGLE_K, near_threshold)
+    pairs = char_ngram_jaccard_pairs(base, SHINGLE_K, near_threshold,
+                                     df_cap=near_df_cap)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = base.join(drop, "doc_id", "left_anti")
     scored = quality_score(survivors).join(lang_id(survivors), "doc_id")
@@ -40,11 +53,13 @@ def curate_corpus(docs: DataFrame, *, lang: str = "en", min_words: int = 5,
 def curate_corpus_oracle_sql(*, lang: str = "en", min_words: int = 5,
                              max_stop_ratio: float = 0.9,
                              near_threshold: float = 0.8,
+                             near_df_cap: int | None = NEAR_DF_CAP,
                              table: str = "documents") -> str:
     from .dedup import char_ngram_jaccard_oracle_sql
     from .textstats import lang_id_oracle_sql, quality_score_oracle_sql
 
-    pairs_sql = char_ngram_jaccard_oracle_sql(SHINGLE_K, near_threshold, "base")
+    pairs_sql = char_ngram_jaccard_oracle_sql(SHINGLE_K, near_threshold, "base",
+                                              df_cap=near_df_cap)
     quality_sql = quality_score_oracle_sql("surv")
     lang_sql = lang_id_oracle_sql("surv")
     return f"""

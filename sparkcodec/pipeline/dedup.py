@@ -23,10 +23,17 @@ SHINGLE_K = 5  # char-level shingle width for minhash
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep the smallest id per distinct text (hash group-by: one shuffle
-    on the text hash, map-side combined)."""
+    """Keep the smallest id per distinct text.
+
+    The group-by key is sha2-256(text), not the text itself, so the
+    shuffle carries a fixed 32-byte digest per row instead of full
+    document bytes -- at corpus scale the raw-text key would ride the
+    whole corpus through the exchange.  sha2-256 collisions are
+    cryptographically negligible, so the result equals a group-by on the
+    raw text (the oracle groups by text and stays green)."""
     return (
-        docs.groupBy(text_col)
+        docs.select(F.sha2(F.col(text_col), 256).alias("_h"), id_col)
+        .groupBy("_h")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
         .select("keep_id", "n_copies")
     )
@@ -34,9 +41,11 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
-    """Groups with more than one copy (duplicate clusters)."""
+    """Groups with more than one copy (duplicate clusters).  Keyed by
+    sha2-256(text) like exact_dedup, so the shuffle stays narrow."""
     return (
-        docs.groupBy(text_col)
+        docs.select(F.sha2(F.col(text_col), 256).alias("_h"), id_col)
+        .groupBy("_h")
         .agg(F.min(id_col).alias("keep_id"),
              F.sort_array(F.collect_list(id_col)).alias("members"),
              F.count(F.lit(1)).alias("n_copies"))
@@ -327,11 +336,19 @@ def ngram_jaccard_oracle_sql(n: int = 3, threshold: float = 0.5,
 
 def char_ngram_jaccard_pairs(docs: DataFrame, k: int = SHINGLE_K,
                              threshold: float = 0.8, text_col: str = "text",
-                             id_col: str = "doc_id") -> DataFrame:
+                             id_col: str = "doc_id",
+                             df_cap: int | None = None) -> DataFrame:
     """Exact Jaccard over char k-gram sets (the set family minhash
     approximates): ground truth for the minhash recall gate.  Documents
     shorter than k contribute their whole text as the single shingle,
-    matching the kernel's short-doc rule (_char_shingle_hashes)."""
+    matching the kernel's short-doc rule (_char_shingle_hashes).
+
+    ``df_cap`` is the stop-shingle guard (same capped semantics as
+    ngram_jaccard_pairs): char grams occurring in more than ``df_cap``
+    documents are dropped BEFORE the self-join, from both the
+    intersection and the set sizes.  Without it a ubiquitous 5-gram
+    (" the ") keys a quadratic join fan-out at corpus scale; with it the
+    per-key fan-out is bounded by df_cap**2."""
     grams = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.expr(
@@ -339,6 +356,10 @@ def char_ngram_jaccard_pairs(docs: DataFrame, k: int = SHINGLE_K,
             f"i -> substring({text_col}, i, {k}))"
         )).alias("gram"),
     ).distinct()
+    if df_cap is not None:
+        rare = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= df_cap).select("gram"))
+        grams = grams.join(rare, "gram", "left_semi")
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         grams.alias("x").join(grams.alias("y"), "gram")
@@ -356,7 +377,17 @@ def char_ngram_jaccard_pairs(docs: DataFrame, k: int = SHINGLE_K,
 
 
 def char_ngram_jaccard_oracle_sql(k: int = SHINGLE_K, threshold: float = 0.8,
-                                  table: str = "documents") -> str:
+                                  table: str = "documents",
+                                  df_cap: int | None = None) -> str:
+    cap_clause = ""
+    if df_cap is not None:
+        cap_clause = f"""
+        , rare AS (
+          SELECT gram FROM grams GROUP BY gram HAVING count(*) <= {df_cap}
+        ), grams2 AS (
+          SELECT g.* FROM grams g JOIN rare USING (gram)
+        )"""
+    grams_t = "grams2" if df_cap is not None else "grams"
     return f"""
         WITH grams AS (
           SELECT DISTINCT doc_id AS id, gram FROM (
@@ -364,11 +395,11 @@ def char_ngram_jaccard_oracle_sql(k: int = SHINGLE_K, threshold: float = 0.8,
               generate_series(1, greatest(length(text) - {k - 1}, 1)),
               i -> substring(text, i, {k}))) AS gram
             FROM {table})
-        ), sizes AS (
-          SELECT id, count(*) AS sz FROM grams GROUP BY id
+        ){cap_clause}, sizes AS (
+          SELECT id, count(*) AS sz FROM {grams_t} GROUP BY id
         ), inter AS (
           SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
-          FROM grams x JOIN grams y USING (gram)
+          FROM {grams_t} x JOIN {grams_t} y USING (gram)
           WHERE x.id < y.id GROUP BY 1, 2
         )
         SELECT id_a, id_b,

@@ -167,3 +167,57 @@ def test_ngram_df_cap_bounds_hot_gram(spark):
     exp = sorted(tuple(r) for r in
                  con.execute(ngram_jaccard_oracle_sql(3, 0.05, df_cap=10)).fetchall())
     assert sorted(tuple(r) for r in capped) == exp
+
+
+def test_char_ngram_df_cap_bounds_hot_shingle(spark):
+    """Mirror of test_ngram_df_cap_bounds_hot_gram for the char-5-gram
+    operator used by curate_corpus: a ubiquitous 5-char shingle must be
+    dropped before the self-join, and capped semantics stay oracle-equal."""
+    from sparkcodec.pipeline.dedup import (
+        char_ngram_jaccard_oracle_sql,
+        char_ngram_jaccard_pairs,
+    )
+
+    hot = "zzzzz"  # one shared 5-gram in every doc
+    rows = [(i, f"{hot} u{i:04d}q{i:04d}w{i:04d}") for i in range(60)]
+    # two real near-dups sharing many rare shingles
+    rows.append((100, "alphabeta gammadelta epsilon"))
+    rows.append((101, "alphabeta gammadelta epsilons"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+
+    capped = char_ngram_jaccard_pairs(sdf, k=5, threshold=0.5, df_cap=10).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+    # the capped join never sees the hot shingle: candidate volume is bounded
+    uncapped_cand = char_ngram_jaccard_pairs(sdf, k=5, threshold=0.0).count()
+    assert uncapped_cand >= 60 * 59 // 2  # hot shingle pairs everything
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = sorted(tuple(r) for r in
+                 con.execute(char_ngram_jaccard_oracle_sql(5, 0.5, df_cap=10)).fetchall())
+    assert sorted(tuple(r) for r in capped) == exp
+
+
+def test_curate_corpus_capped_matches_oracle(spark):
+    """curate_corpus with the default NEAR_DF_CAP stop-shingle guard stays
+    step-for-step equal to its mirrored DuckDB oracle."""
+    from sparkcodec.pipeline.curation import curate_corpus, curate_corpus_oracle_sql
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(200):
+        text = " ".join(WORDS[rng.integers(0, len(WORDS), 25)])
+        rows.append((i, text, "web"))
+    rows.append((900, rows[3][1], "web"))  # exact dup
+    w = rows[11][1].split(); w[5] = "changed"
+    rows.append((901, " ".join(w), "web"))  # near dup
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    sdf = spark.createDataFrame(pdf)
+
+    got = sorted(tuple(r) for r in curate_corpus(sdf, near_df_cap=50).collect())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = sorted(tuple(r) for r in
+                 con.execute(curate_corpus_oracle_sql(near_df_cap=50)).fetchall())
+    assert got == exp
+    assert len(got) > 0
