@@ -27,6 +27,7 @@ import json
 from collections.abc import Iterator
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from .chunk import decode_array, encode_array
@@ -391,13 +392,19 @@ def _column_hashes(col: pa.Array) -> np.ndarray | None:
 
 
 def encode_chunk_group(batch: pa.Table | pa.RecordBatch, compress: bool = True,
-                       bloom_columns: tuple[str, ...] = ()) -> tuple[bytes, dict, list[list[str]], int]:
+                       bloom_columns: tuple[str, ...] = (),
+                       bloom_sink: dict[str, bytes] | None = None) -> tuple[bytes, dict, list[list[str]], int]:
     """Encode all columns of a row window.  Returns
     (blob, per-column meta, schema pairs, n_tokens).
 
     ``bloom_columns`` opt in per-column split-block bloom filters stored in
     the group blob (reference analog: per-chunk bloom, src/bloom.js), used
     by :func:`group_may_contain` for chunk pruning without decode.
+    When ``bloom_sink`` is given, each built bloom's bytes are also stored
+    there (column name -> SBBF bytes) so callers can emit them as
+    dedicated top-level columns -- the IO-prunable probe path
+    (:func:`filter_chunks_may_contain` reads those kilobyte columns and
+    never scans ``payload``).
     """
     from .kernels.bloom import build_bloom
 
@@ -427,6 +434,8 @@ def encode_chunk_group(batch: pa.Table | pa.RecordBatch, compress: bool = True,
                 if bloom is not None:
                     bloom_bytes = bloom.to_bytes()
                     meta["bloom_bytes"] = len(bloom_bytes)
+                    if bloom_sink is not None:
+                        bloom_sink[name] = bloom_bytes
         nb = name.encode()
         write_uvarint(out, len(nb))
         out.extend(nb)
@@ -574,7 +583,11 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
                 return lens.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
         return np.ones(len(b), dtype=np.int64)
 
-    out_schema = ENCODED_PA_SCHEMA
+    # column order mirrors the DDL builders: base, bloom_<c>..., stats
+    base_schema = pa.schema(
+        list(ENCODED_PA_SCHEMA)
+        + [pa.field(f"bloom_{c}", pa.binary()) for c in bloom_columns])
+    out_schema = base_schema
     stat_fields: list[tuple[str, pa.DataType]] = []
 
     def flush(tbl: pa.Table) -> Iterator[pa.RecordBatch]:
@@ -585,15 +598,17 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
             tbl = tbl.drop_columns([partition_col])
         if stat_columns and not stat_fields:
             stat_fields = _stat_fields(tbl.schema, stat_columns)
-            out_schema = pa.schema(list(ENCODED_PA_SCHEMA)
+            out_schema = pa.schema(list(base_schema)
                                    + [pa.field(n, t) for n, t in stat_fields])
         w = weights_of(tbl) if len(tbl) else np.zeros(0, dtype=np.int64)
         for s, e in _window_boundaries(w, chunk_rows, token_budget):
             window = tbl.slice(s, e - s)
             bytes_in = sum(c.nbytes for c in window.columns)
             t0 = time.perf_counter()
+            bloom_sink: dict[str, bytes] = {}
             blob, metas, pairs, n_tokens = encode_chunk_group(
-                window, compress, bloom_columns=bloom_columns)
+                window, compress, bloom_columns=bloom_columns,
+                bloom_sink=bloom_sink)
             encode_ms = (time.perf_counter() - t0) * 1000.0
             row = {
                 "part_id": part_id,
@@ -609,6 +624,8 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
                 "meta_json": json.dumps(metas, default=str),
                 "payload": blob,
             }
+            for c in bloom_columns:
+                row[f"bloom_{c}"] = bloom_sink.get(c)
             if stat_columns:
                 import pyarrow.compute as pc
 
@@ -716,6 +733,16 @@ def _spark_ddl_of_pa(t: pa.DataType) -> str:
     raise TypeError(f"unsupported stat column type {t}")
 
 
+def _blooms_ddl(bloom_columns: tuple[str, ...]) -> str:
+    """Dedicated top-level SBBF columns, one per bloomed input column:
+    the probe path scans ONLY these (plus chunk_id), so at 100 TB a point
+    lookup reads kilobytes of bloom bytes per chunk instead of the full
+    payload blob."""
+    if not bloom_columns:
+        return ""
+    return ", " + ", ".join(f"bloom_{c} BINARY" for c in bloom_columns)
+
+
 def _stats_ddl(pa_schema: pa.Schema, stat_columns: tuple[str, ...]) -> str:
     parts = []
     for name, t in _stat_fields(pa_schema, stat_columns):
@@ -761,13 +788,13 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                 columns=cols, bloom_columns=bloom_columns,
                 stat_columns=stat_columns)
 
-    out_ddl = ENCODED_DDL
+    out_ddl = ENCODED_DDL + _blooms_ddl(bloom_columns)
     if stat_columns:
         pa_schema = pa.schema([
             (f.name, _pa_type_of_spark(f.dataType)) for f in df.schema
             if f.name in stat_columns
         ])
-        out_ddl = ENCODED_DDL + _stats_ddl(pa_schema, stat_columns)
+        out_ddl += _stats_ddl(pa_schema, stat_columns)
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -841,9 +868,6 @@ def _plan_parquet_splits(path, n_splits: int,
     return splits
 
 
-ENCODED_FILE_DDL = ENCODED_DDL + ", source_file STRING"
-
-
 def encode_parquet_dataset(spark, path, *,
                            chunk_rows: int = DEFAULT_CHUNK_ROWS,
                            token_budget: int = DEFAULT_TOKEN_BUDGET,
@@ -873,12 +897,17 @@ def encode_parquet_dataset(spark, path, *,
     if n_splits is None:
         n_splits = max(spark.sparkContext.defaultParallelism * 2, 2)
     splits = _plan_parquet_splits(path, n_splits, columns)
-    out_ddl = ENCODED_FILE_DDL if include_source_file else ENCODED_DDL
+    # column order must track the worker's record batches: base, blooms,
+    # stats, then source_file LAST (it is append_column'd after the encode
+    # stream, so it must also come last in the DDL)
+    out_ddl = ENCODED_DDL + _blooms_ddl(bloom_columns)
     if stat_columns:
         import pyarrow.dataset as ds
 
         out_ddl += _stats_ddl(ds.dataset(path, format="parquet").schema,
                               stat_columns)
+    if include_source_file:
+        out_ddl += ", source_file STRING"
     if not splits:
         return spark.createDataFrame([], out_ddl)
     desc = spark.createDataFrame(
@@ -932,10 +961,54 @@ def encode_parquet_dataset(spark, path, *,
     return desc.mapInArrow(encode_split, out_ddl)
 
 
+def _probe_hash(value) -> np.ndarray:
+    """xxhash64 of a single probe value (same canonical bytes as
+    _column_hashes uses at encode time)."""
+    from .kernels.bloom import xxhash64_int64, xxhash64_matrix
+
+    if isinstance(value, (int, np.integer)):
+        return xxhash64_int64(np.array([value], dtype=np.int64))
+    b = value.encode() if isinstance(value, str) else bytes(value)
+    mat = np.zeros((1, max(len(b), 1)), dtype="u1")
+    if b:
+        mat[0, : len(b)] = np.frombuffer(b, dtype="u1")
+    return xxhash64_matrix(mat, np.array([len(b)]))
+
+
 def filter_chunks_may_contain(enc_df, column: str, value):
     """Bloom-prune encoded chunk rows WITHOUT decoding: keeps only chunks
-    whose per-column SBBF (or absence of one) admits ``value``.  The probe
-    reads each blob's bloom section only -- no payload decompression."""
+    whose per-column SBBF (or absence of one) admits ``value``.
+
+    When the encode emitted a dedicated ``bloom_<column>`` column
+    (``bloom_columns=...``), the probe stage scans ONLY
+    (chunk_id, bloom_<column>) -- the parquet reader of the encoded table
+    prunes ``payload`` out of the probe's ReadSchema, so a needle query
+    reads kilobytes of bloom bytes per chunk instead of the whole table --
+    and the surviving chunk_ids broadcast back as a left-semi join.
+    Legacy encodes without the column fall back to parsing each blob's
+    bloom section (no decompression, but the payload bytes do cross)."""
+    bloom_col = f"bloom_{column}"
+    if bloom_col in enc_df.columns:
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        h = _probe_hash(value)
+
+        @pandas_udf("boolean")
+        def may_contain(blooms: pd.Series) -> pd.Series:
+            from .kernels.bloom import SplitBlockBloom
+
+            out = np.ones(len(blooms), dtype=bool)  # no bloom -> may contain
+            for i, buf in enumerate(blooms):
+                if buf is not None and len(buf):
+                    sb = SplitBlockBloom.from_bytes(bytes(buf))
+                    out[i] = bool(sb.might_contain(h)[0])
+            return pd.Series(out)
+
+        keep = (enc_df.select("chunk_id", bloom_col)
+                .filter(may_contain(F.col(bloom_col)))
+                .select("chunk_id"))
+        return enc_df.join(F.broadcast(keep), "chunk_id", "left_semi")
 
     def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -1054,6 +1127,14 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
                                 writer = ParquetWriter(
                                     rb.schema, compression=compression,
                                     row_group_rows=row_group_rows)
+                                first_schema = rb.schema
+                            elif not rb.schema.equals(first_schema):
+                                raise ValueError(
+                                    "mixed encoded schemas in one dataset: "
+                                    f"chunk in {p!r} decodes to {rb.schema!r} "
+                                    f"but this writer was opened with "
+                                    f"{first_schema!r}; decode each encode's "
+                                    "output directory separately")
                             writer.write(pa.Table.from_batches([rb]))
                             n_rows += len(rb)
                 finally:

@@ -23,7 +23,11 @@ _TYPE_CODES = {
 }
 _TYPE_NAMES = {v: k for k, v in _TYPE_CODES.items()}
 _DIM_FLAGS = {2: 0, 3: 1, 4: 3}
-_FLAG_DIMS = {0: 2, 1: 3, 2: 4, 3: 4}  # 2 = XYM (read side), 3 = XYZM
+# ISO WKB dim flags (type code / 1000): 0=XY (2 doubles), 1=XYZ (3),
+# 2=XYM (3 doubles -- M replaces Z, not in addition to it), 3=XYZM (4).
+# The encoder never emits flag 2 (it can't distinguish Z from M in bare
+# coordinate arrays); the decoder must still parse externally produced XYM.
+_FLAG_DIMS = {0: 2, 1: 3, 2: 3, 3: 4}
 
 
 def _infer_dim(geometry: dict) -> int:

@@ -36,6 +36,12 @@ def write_batch(batch_df, batch_id: int, output_dir: str, *,
         chunk_rows=chunk_rows or DEFAULT_CHUNK_ROWS,
         token_budget=token_budget or DEFAULT_TOKEN_BUDGET,
     ).withColumn("batch_id", F.lit(batch_id))
+    if batch_df.isEmpty():
+        # foreachBatch can deliver empty batches (some sources, recovery
+        # replays): dynamic overwrite of an empty DF writes only _SUCCESS,
+        # and the read-back below would fail with 'unable to infer schema'.
+        # Nothing to (over)write -- the batch produced no chunks.
+        return
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     enc.write.mode("overwrite").partitionBy("batch_id").parquet(chunks_dir)
     chunks = spark.read.parquet(chunks_dir).filter(F.col("batch_id") == batch_id)

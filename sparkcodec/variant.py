@@ -115,6 +115,20 @@ def _write_value(out: bytearray, val, key_index: dict[str, int]) -> None:
     elif isinstance(val, float):
         out.append(_DOUBLE << 2)
         out.extend(struct.pack("<d", val))
+    elif isinstance(val, decimal.Decimal):
+        # smallest of decimal4/8/16 that fits the unscaled value; scale is
+        # the decimal's own exponent (negative exponents only)
+        sign, digits, exp = val.as_tuple()
+        scale = max(-exp, 0)
+        unscaled = int(val.scaleb(scale))
+        for tid, w in ((_DEC4, 4), (_DEC8, 8), (_DEC16, 16)):
+            if -(1 << (8 * w - 1)) <= unscaled < (1 << (8 * w - 1)):
+                out.append(tid << 2)
+                out.append(scale)
+                out.extend(unscaled.to_bytes(w, "little", signed=True))
+                break
+        else:
+            raise OverflowError(f"variant decimal out of decimal16 range: {val}")
     elif isinstance(val, str):
         b = val.encode("utf-8")
         if len(b) <= 63:
@@ -129,9 +143,17 @@ def _write_value(out: bytearray, val, key_index: dict[str, int]) -> None:
         out.extend(len(val).to_bytes(4, "little"))
         out.extend(val)
     elif isinstance(val, datetime.datetime):
-        out.append(_TS_NTZ << 2)
-        micros = int(val.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000) \
-            if val.tzinfo is None else int(val.timestamp() * 1_000_000)
+        # per the Variant spec: id 12 (timestamp) for tz-aware instants,
+        # id 13 (timestamp_ntz) only for naive datetimes -- Spark readers
+        # would otherwise misread aware instants as NTZ
+        if val.tzinfo is not None:
+            out.append(_TS << 2)
+            delta = val - datetime.datetime(1970, 1, 1,
+                                            tzinfo=datetime.timezone.utc)
+        else:
+            out.append(_TS_NTZ << 2)
+            delta = val - datetime.datetime(1970, 1, 1)
+        micros = delta // datetime.timedelta(microseconds=1)
         out.extend(micros.to_bytes(8, "little", signed=True))
     elif isinstance(val, datetime.date):
         out.append(_DATE << 2)
@@ -261,8 +283,9 @@ def _read_value(buf: bytes, pos: int, dictionary: list[str]):
         return _EPOCH + datetime.timedelta(days=days), pos + 4
     if tid in (_TS, _TS_NTZ):
         micros = int.from_bytes(buf[pos:pos + 8], "little", signed=True)
-        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=micros)
-        return dt, pos + 8
+        epoch = (datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+                 if tid == _TS else datetime.datetime(1970, 1, 1))
+        return epoch + datetime.timedelta(microseconds=micros), pos + 8
     if tid == _BINARY:
         n = int.from_bytes(buf[pos:pos + 4], "little")
         return bytes(buf[pos + 4:pos + 4 + n]), pos + 4 + n
@@ -564,11 +587,27 @@ def shredded_to_json_column(df, id_col: str, shredding):
             for m, v, tv in zip(pdf["metadata"], pdf["value"], pdf["typed_value"]):
                 row = {"value": None if v is None else bytes(v),
                        "typed_value": _from_spark(tv)}
-                js.append(json.dumps(decode_shredded(bytes(m), row, shredding)))
+                js.append(json.dumps(decode_shredded(bytes(m), row, shredding),
+                                     default=_json_default))
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "json": js})
 
     return df.select(id_col, "metadata", "value", "typed_value").mapInPandas(
         dec, f"{id_col} long, json string")
+
+
+def _json_default(o):
+    """JSON serializer for non-JSON variant primitives, following
+    VariantVal.toJson conventions: decimals as their exact decimal string,
+    dates/timestamps as ISO-8601, binary as base64."""
+    import base64
+
+    if isinstance(o, decimal.Decimal):
+        return str(o)
+    if isinstance(o, (datetime.datetime, datetime.date)):
+        return o.isoformat()
+    if isinstance(o, (bytes, bytearray)):
+        return base64.b64encode(bytes(o)).decode("ascii")
+    raise TypeError(f"not JSON-serializable: {type(o).__name__}")
 
 
 def variant_to_json_column(df, id_col: str, *, sort_keys: bool = False):
@@ -577,7 +616,8 @@ def variant_to_json_column(df, id_col: str, *, sort_keys: bool = False):
 
     def dec(it):
         for pdf in it:
-            js = [json.dumps(decode_variant(m, v), sort_keys=sort_keys)
+            js = [json.dumps(decode_variant(m, v), sort_keys=sort_keys,
+                             default=_json_default)
                   for m, v in zip(pdf["metadata"], pdf["value"])]
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "json": js})
 

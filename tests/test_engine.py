@@ -375,3 +375,34 @@ def test_typed_stat_columns_pushdown(spark, tmp_path):
     enc2 = encode_parquet_dataset(spark, src, stat_columns=("l_orderkey",))
     row = enc2.select("min_l_orderkey", "max_l_orderkey").first()
     assert row["min_l_orderkey"] <= row["max_l_orderkey"]
+
+
+def test_bloom_probe_reads_only_bloom_columns(spark, toks, tmp_path):
+    """The IO-prunable probe: when the encoded table carries bloom_<col>
+    columns, the probe stage's parquet scan must NOT read payload -- its
+    ReadSchema is (chunk_id, bloom_<col>) only."""
+    from sparkcodec.engine import filter_chunks_may_contain, lookup_rows
+
+    enc_dir = str(tmp_path / "enc")
+    encode_dataframe(range_repartition(toks, 4), chunk_rows=64,
+                     bloom_columns=("doc_id",),
+                     auto_fastpath=False).write.parquet(enc_dir)
+    enc = spark.read.parquet(enc_dir)
+    assert "bloom_doc_id" in enc.columns
+    target = toks.orderBy("doc_id").first()["doc_id"]
+    pruned = filter_chunks_may_contain(enc, "doc_id", target)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted")
+    # two scans: the probe side (narrow) and the kept side (full). At
+    # least one scan -- the probe -- must read bloom_doc_id WITHOUT payload.
+    scans = [line for line in plan.splitlines() if "ReadSchema" in line]
+    narrow = [s for s in scans
+              if "bloom_doc_id" in s and "payload" not in s]
+    assert narrow, plan
+    assert narrow[0].count(",") <= 2, narrow  # chunk_id + bloom only
+    # correctness unchanged: exactly the target row comes back
+    got = lookup_rows(enc, "doc_id", target).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == target
+    # roundtrip of the full encoded table still exact with bloom columns present
+    dec = decode_dataframe(enc)
+    assert dec.count() == toks.count()

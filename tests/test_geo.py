@@ -100,3 +100,28 @@ def test_geojson_to_wkb_column(spark):
         wkb, code = out[i]
         assert code == 1
         assert wkb_to_geojson(wkb)["coordinates"] == [float(i), float(-i)]
+
+
+def test_decode_external_xym_point():
+    """ISO WKB XYM (type code +2000) carries 3 doubles per position; the
+    decoder must parse externally produced XYM geometries even though our
+    encoder never emits dim-flag 2."""
+    import struct
+
+    # little-endian, type 2001 (Point XYM), x=1.5 y=2.5 m=9.0
+    buf = struct.pack("<BI3d", 1, 2001, 1.5, 2.5, 9.0)
+    geo = wkb_to_geojson(buf)
+    assert geo["type"] == "Point"
+    assert geo["coordinates"] == [1.5, 2.5, 9.0]
+
+
+def test_decode_external_xym_linestring():
+    import struct
+
+    pts = [(0.0, 0.0, 1.0), (3.0, 4.0, 2.0)]
+    buf = struct.pack("<BII", 1, 2002, len(pts))
+    for p in pts:
+        buf += struct.pack("<3d", *p)
+    geo = wkb_to_geojson(buf)
+    assert geo["type"] == "LineString"
+    assert geo["coordinates"] == [[0.0, 0.0, 1.0], [3.0, 4.0, 2.0]]

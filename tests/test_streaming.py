@@ -94,3 +94,25 @@ def test_running_source_stats_stateful(spark, tmp_path):
            toks.groupBy("source").agg(
                F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("t")).collect()}
     assert final == exp
+
+
+def test_empty_first_batch_does_not_kill_sink(spark, tmp_path):
+    """foreachBatch can deliver an empty batch (source hiccup / recovery):
+    the sink must skip it instead of writing a schema-less directory that
+    breaks the manifest read-back (ADVICE r2)."""
+    from sparkcodec.streaming import write_batch
+
+    import pyspark.sql.functions as F
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", F.expr("transform(split(text, ' '), w -> length(w))").alias("tokens"),
+                F.expr("size(split(text, ' '))").alias("n_tok"), "source").limit(20)
+    out = str(tmp_path / "out")
+    empty = base.limit(0)
+    write_batch(empty, 0, out)  # must not raise, must not write chunks
+    import os
+    assert not os.path.exists(f"{out}/chunks") or not [
+        f for f in os.listdir(f"{out}/chunks") if not f.startswith("_")]
+    # a later real batch works normally
+    write_batch(base, 1, out)
+    enc = spark.read.parquet(f"{out}/chunks")
+    assert enc.count() > 0

@@ -166,3 +166,57 @@ def test_shredded_spark_column_operators(spark):
     got = {r["event_id"]: r["json"] for r in dec.collect()}
     exp = {r["event_id"]: json.dumps(json.loads(r["props"])) for r in ev.collect()}
     assert got == exp
+
+
+def test_tz_aware_timestamp_uses_timestamp_id():
+    """Per the Variant spec, tz-aware instants use primitive id 12
+    (timestamp) and roundtrip as aware UTC; naive datetimes use id 13
+    (timestamp_ntz) and roundtrip naive."""
+    from sparkcodec.variant import decode_variant, encode_variant_rows
+
+    aware = datetime.datetime(2024, 3, 1, 10, 0, 0, 250000,
+                              tzinfo=datetime.timezone.utc)
+    est = datetime.datetime(2024, 3, 1, 5, 0, 0, 250000,
+                            tzinfo=datetime.timezone(datetime.timedelta(hours=-5)))
+    naive = datetime.datetime(2024, 3, 1, 10, 0, 0, 250000)
+    meta, vals = encode_variant_rows([aware, est, naive])
+    assert vals[0][0] >> 2 == 12
+    assert vals[1][0] >> 2 == 12
+    assert vals[2][0] >> 2 == 13
+    a = decode_variant(meta, vals[0])
+    assert a.tzinfo is not None and a == aware
+    e = decode_variant(meta, vals[1])
+    assert e == est  # same instant, rendered in UTC
+    n = decode_variant(meta, vals[2])
+    assert n.tzinfo is None and n == naive
+
+
+def test_variant_to_json_handles_non_json_primitives(spark):
+    """variant_to_json_column must serialize Decimal/date/timestamp/binary
+    primitives (Spark parse_json interop lowers JSON fractions to
+    decimal4/8/16) instead of raising TypeError."""
+    from sparkcodec.variant import (
+        build_metadata, collect_keys, encode_value, variant_to_json_column,
+    )
+
+    obj = {
+        "d": decimal.Decimal("12.345"),
+        "day": datetime.date(2024, 2, 29),
+        "ts": datetime.datetime(2024, 1, 1, 12, 0, 0,
+                                tzinfo=datetime.timezone.utc),
+        "blob": b"\x00\x01binary",
+    }
+    keys: set = set()
+    collect_keys(obj, keys)
+    meta, idx = build_metadata(sorted(keys))
+    val = encode_value(obj, idx)
+    df = spark.createDataFrame([(1, bytes(meta), bytes(val))],
+                               "id long, metadata binary, value binary")
+    out = variant_to_json_column(df, "id").collect()
+    assert len(out) == 1
+    parsed = json.loads(out[0]["json"])
+    assert parsed["d"] == "12.345"
+    assert parsed["day"] == "2024-02-29"
+    assert parsed["ts"].startswith("2024-01-01T12:00:00")
+    import base64
+    assert base64.b64decode(parsed["blob"]) == b"\x00\x01binary"
