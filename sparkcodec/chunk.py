@@ -191,13 +191,15 @@ T_TIMESTAMP_US, T_TIMESTAMP_NS, T_DATE32 = 8, 9, 10  # lowered to int64/int32
 T_DECIMAL = 11  # precision <= 18: unscaled int64 (reference: src/unconvert.js:21-28)
 T_FLOAT16 = 12  # IEEE half, stored as uint16 bit patterns (reference: src/unconvert.js:313-367)
 T_FIXED = 13    # fixed-size binary, e.g. UUID=16 (reference: src/schema.js:157-159)
+T_DECIMAL_WIDE = 14  # precision 19-38: 16-byte two's-complement, byte-array
+#                      encodings (reference FLBA lowering: src/unconvert.js:279-307)
 
 TYPE_NAMES = {
     T_INT32: "int32", T_INT64: "int64", T_FLOAT32: "float32",
     T_FLOAT64: "float64", T_BOOL: "bool", T_BINARY: "binary", T_STRING: "string",
     T_TIMESTAMP_US: "timestamp_us", T_TIMESTAMP_NS: "timestamp_ns",
     T_DATE32: "date32", T_DECIMAL: "decimal", T_FLOAT16: "float16",
-    T_FIXED: "fixed",
+    T_FIXED: "fixed", T_DECIMAL_WIDE: "decimal_wide",
 }
 _PHYS_NAMES = {
     T_INT32: "int32", T_INT64: "int64", T_FLOAT32: "float32",
@@ -239,9 +241,9 @@ def _type_tag_of(arr: pa.Array) -> int:
     if pa.types.is_date32(t):
         return T_DATE32
     if pa.types.is_decimal(t):
-        if t.precision > 18:
-            raise TypeError(f"decimal precision > 18 unsupported: {t}")
-        return T_DECIMAL
+        if t.precision > 38:
+            raise TypeError(f"decimal precision > 38 unsupported: {t}")
+        return T_DECIMAL_WIDE if t.precision > 18 else T_DECIMAL
     if pa.types.is_float16(t):
         return T_FLOAT16
     if pa.types.is_fixed_size_binary(t):
@@ -403,6 +405,16 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
     elif type_tag == T_DECIMAL:
         dec_params = bytes([arr.type.precision, arr.type.scale])
         dense = _decimal_unscaled(dense)
+    elif type_tag == T_DECIMAL_WIDE:
+        dec_params = bytes([arr.type.precision, arr.type.scale])
+        if stats and len(dense):
+            import pyarrow.compute as pc
+
+            _mm = pc.min_max(dense)
+            wide_minmax = (_mm["min"].as_py(), _mm["max"].as_py())
+        else:
+            wide_minmax = None
+        dense = _decimal_wide_binary(dense)
     elif type_tag == T_FLOAT16:
         # half-float bit patterns as small ints (FOR packs them at <=16 bits)
         bits16 = np.asarray(dense).view("<u2").astype(np.int32)
@@ -427,9 +439,15 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
 
     st: ChunkStats
     dict_block = b""
-    if type_tag in (T_BINARY, T_STRING, T_FIXED):
+    if type_tag in (T_BINARY, T_STRING, T_FIXED, T_DECIMAL_WIDE):
         offsets, data = binary_buffers(dense)
-        st = binary_stats(offsets, data, n) if stats else ChunkStats(n, null_count)
+        if type_tag == T_DECIMAL_WIDE:
+            # byte-lexicographic order is wrong for two's-complement
+            # decimals; real min/max computed on the decimal values above
+            st = (ChunkStats(n, null_count, *wide_minmax)
+                  if stats and wide_minmax else ChunkStats(n, null_count))
+        else:
+            st = binary_stats(offsets, data, n) if stats else ChunkStats(n, null_count)
         fsst_table = None
         if codec is None:
             samp = S.sample_binary(offsets, data)
@@ -557,7 +575,7 @@ def decode_array(buf) -> pa.Array:
     ptag = mv[7]
     pos = 8
     dec_precision = dec_scale = fixed_width = None
-    if type_tag == T_DECIMAL:
+    if type_tag in (T_DECIMAL, T_DECIMAL_WIDE):
         dec_precision, dec_scale = mv[8], mv[9]
         pos = 10
     elif type_tag == T_FIXED:
@@ -578,7 +596,7 @@ def decode_array(buf) -> pa.Array:
     payload = _decompress(ptag, mv[pos:])
     n_dense = n - null_count
 
-    if type_tag in (T_BINARY, T_STRING, T_FIXED):
+    if type_tag in (T_BINARY, T_STRING, T_FIXED, T_DECIMAL_WIDE):
         as_string = type_tag == T_STRING
         if codec == S.PLAIN:
             offsets, data = plain_decode_binary(payload, n_dense)
@@ -647,6 +665,9 @@ def decode_array(buf) -> pa.Array:
 
     if type_tag == T_DECIMAL:
         out_type = pa.decimal128(dec_precision, dec_scale)
+    elif type_tag == T_DECIMAL_WIDE:
+        out_type = pa.decimal128(dec_precision, dec_scale)
+        dense = _decimal_wide_from_binary(dense, dec_precision, dec_scale)
     elif type_tag == T_FIXED:
         out_type = pa.binary(fixed_width)
         dense = dense.cast(out_type)
@@ -678,6 +699,30 @@ def _decimal_unscaled(arr: pa.Array) -> pa.Array:
     words = np.frombuffer(buf, dtype="<i8", count=2 * (arr.offset + n))
     low = words.reshape(-1, 2)[arr.offset:, 0]
     return pa.array(low.copy())
+
+
+def _decimal_wide_binary(arr: pa.Array) -> pa.Array:
+    """decimal128(p>18, s) -> large_binary of the 16-byte little-endian
+    two's-complement storage words (the byte-array encodings then apply;
+    reference lowers wide decimals to FLBA bytes, src/unconvert.js:279-307)."""
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.large_binary())
+    buf = arr.buffers()[1]
+    raw = np.frombuffer(buf, dtype="u1",
+                        count=16 * (arr.offset + n))[arr.offset * 16:]
+    offsets = np.arange(0, 16 * (n + 1), 16, dtype=np.int64)
+    return arrow_binary_from_buffers(offsets, raw.copy(), False)
+
+
+def _decimal_wide_from_binary(dense: pa.Array, precision: int, scale: int) -> pa.Array:
+    n = len(dense)
+    if n == 0:
+        return pa.array([], type=pa.decimal128(precision, scale))
+    _, data = binary_buffers(dense)  # every value is exactly 16 bytes
+    raw = np.ascontiguousarray(data, dtype="u1")
+    return pa.Array.from_buffers(pa.decimal128(precision, scale), n,
+                                 [None, pa.py_buffer(raw.tobytes())])
 
 
 def _decimal_from_unscaled(ints: np.ndarray, precision: int, scale: int) -> pa.Array:

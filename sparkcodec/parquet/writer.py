@@ -40,8 +40,16 @@ COMP_UNCOMPRESSED, COMP_SNAPPY, COMP_GZIP, COMP_ZSTD = 0, 1, 2, 6
 PAGE_DATA_V2, PAGE_DICT = 3, 2
 REP_REQUIRED, REP_OPTIONAL, REP_REPEATED = 0, 1, 2
 CONV_UTF8, CONV_MAP, CONV_LIST, CONV_DECIMAL, CONV_DATE, CONV_TS_MICROS = 0, 1, 3, 5, 6, 10
+CONV_ENUM, CONV_TIME_MILLIS, CONV_TIME_MICROS, CONV_TS_MILLIS = 4, 7, 8, 9
+CONV_JSON, CONV_BSON = 19, 20
+# ConvertedType INTEGER reinterpretations (reference: src/unconvert.js:59-69)
+CONV_INT = {(8, True): 15, (16, True): 16, (32, True): 17, (64, True): 18,
+            (8, False): 11, (16, False): 12, (32, False): 13, (64, False): 14}
 # LogicalType union field ids (parquet.thrift)
 LT_DECIMAL, LT_UUID, LT_FLOAT16 = 5, 14, 15
+LT_ENUM, LT_TIME, LT_TIMESTAMP, LT_INTEGER, LT_JSON, LT_BSON = 4, 7, 8, 10, 12, 13
+# TimeUnit union field ids: 1 MILLIS, 2 MICROS, 3 NANOS (empty structs)
+_TIME_UNIT_FIELD = {"ms": 1, "us": 2, "ns": 3}
 
 _PAGE_BYTES = 1 << 20  # estimated-uncompressed split budget (reference: src/column.js:211-239)
 
@@ -112,6 +120,15 @@ def _build_leaves(schema: pa.Schema) -> list[_Leaf]:
     return leaves
 
 
+def _dec_flba_width(precision: int) -> int:
+    """Minimal FLBA byte width holding any signed decimal of ``precision``
+    digits: smallest n with 2**(8n-1) > 10**precision."""
+    n = 1
+    while (1 << (8 * n - 1)) <= 10 ** precision:
+        n += 1
+    return n
+
+
 def _is_primitive_leaf(t: pa.DataType) -> bool:
     try:
         _physical_of(t)
@@ -138,16 +155,47 @@ def _physical_of(t: pa.DataType):
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return PT_BYTE_ARRAY, None, None, None, None
     if pa.types.is_timestamp(t):
-        return PT_INT64, CONV_TS_MICROS, None, None, None
+        # per-unit lowering (reference: src/unconvert.js:35-48): millis and
+        # micros carry their legacy ConvertedType; nanos is LogicalType-only
+        unit = "ms" if t.unit in ("s", "ms") else t.unit  # s lowered to ms
+        conv = {"ms": CONV_TS_MILLIS, "us": CONV_TS_MICROS, "ns": None}[unit]
+        logical = (LT_TIMESTAMP, [
+            (1, CT_TRUE, t.tz is not None),
+            (2, CT_STRUCT, [(_TIME_UNIT_FIELD[unit], CT_STRUCT, [])]),
+        ])
+        return PT_INT64, conv, None, logical, None
+    if pa.types.is_time32(t) or pa.types.is_time64(t):
+        unit = t.unit
+        conv = {"ms": CONV_TIME_MILLIS, "us": CONV_TIME_MICROS,
+                "ns": None}[unit]
+        logical = (LT_TIME, [
+            (1, CT_TRUE, False),
+            (2, CT_STRUCT, [(_TIME_UNIT_FIELD[unit], CT_STRUCT, [])]),
+        ])
+        phys = PT_INT32 if pa.types.is_time32(t) else PT_INT64
+        return phys, conv, None, logical, None
     if pa.types.is_date32(t):
         return PT_INT32, CONV_DATE, None, None, None
+    if pa.types.is_integer(t):  # int8/16, uint8-64 (int32/int64 hit above)
+        signed = pa.types.is_signed_integer(t)
+        bits = t.bit_width
+        conv = CONV_INT[(bits, signed)]
+        logical = (LT_INTEGER, [(1, CT_BYTE, bits), (2, CT_TRUE, signed)])
+        # narrow ints widen; uint32/64 are signed-range reinterpretations
+        # (reference: src/unconvert.js:59-69)
+        phys = PT_INT64 if bits == 64 else PT_INT32
+        return phys, conv, None, logical, None
     if pa.types.is_decimal(t):
-        # precision <= 9 -> INT32, <= 18 -> INT64 unscaled (reference:
-        # src/schema.js:146-156, src/unconvert.js:21-28)
-        if t.precision > 18:
-            raise TypeError(f"decimal precision > 18 unsupported: {t}")
-        phys = PT_INT32 if t.precision <= 9 else PT_INT64
+        # precision <= 9 -> INT32, <= 18 -> INT64 unscaled; wider -> FLBA
+        # two's-complement (reference: src/schema.js:146-156,
+        # src/unconvert.js:21-28, 279-307)
         logical = (LT_DECIMAL, [(1, CT_I32, t.scale), (2, CT_I32, t.precision)])
+        if t.precision > 18:
+            if t.precision > 38:
+                raise TypeError(f"decimal precision > 38 unsupported: {t}")
+            width = _dec_flba_width(t.precision)
+            return PT_FLBA, CONV_DECIMAL, width, logical, (t.precision, t.scale)
+        phys = PT_INT32 if t.precision <= 9 else PT_INT64
         return phys, CONV_DECIMAL, None, logical, (t.precision, t.scale)
     if pa.types.is_float16(t):
         # IEEE half as FLBA(2) + FLOAT16 logical type (reference:
@@ -235,6 +283,15 @@ def _flba_bytes(values: pa.Array, width: int) -> bytes:
     n = len(values)
     if n == 0:
         return b""
+    if pa.types.is_decimal(t):
+        # decimal128 storage is 16-byte little-endian two's-complement;
+        # parquet DECIMAL FLBA is big-endian, truncated to the minimal
+        # width for the precision (reference: src/unconvert.js:279-307)
+        buf = values.buffers()[1]
+        raw = np.frombuffer(buf, dtype="u1", count=16 * (values.offset + n))
+        le = raw.reshape(-1, 16)[values.offset:]
+        be = le[:, ::-1]  # big-endian 16-byte
+        return np.ascontiguousarray(be[:, 16 - width:]).tobytes()
     buf = values.buffers()[1]
     raw = np.frombuffer(buf, dtype="u1", count=(values.offset + n) * width)
     return raw[values.offset * width:].tobytes()
@@ -297,8 +354,27 @@ def _numeric_np(values: pa.Array, phys: int) -> np.ndarray:
         low = _decimal_unscaled(values).to_numpy(zero_copy_only=False)
         return low.astype(np.int32) if phys == PT_INT32 else low
     if pa.types.is_timestamp(t):
+        if t.unit == "s":  # footer says millis; scale the values to match
+            values = values.cast(pa.timestamp("ms", tz=t.tz))
+        values = values.cast(pa.int64())
+    elif pa.types.is_time32(t):
+        values = values.cast(pa.int32())
+    elif pa.types.is_time64(t):
         values = values.cast(pa.int64())
     elif pa.types.is_date32(t):
+        values = values.cast(pa.int32())
+    elif pa.types.is_unsigned_integer(t):
+        raw = values.to_numpy(zero_copy_only=False)
+        # uint32/uint64 reinterpret into the same-width signed range
+        # (reference: src/unconvert.js:59-69); narrower uints widen
+        if t.bit_width == 64:
+            return raw.view(np.int64) if raw.dtype == np.uint64 \
+                else raw.astype(np.int64)
+        if t.bit_width == 32:
+            return raw.view(np.int32) if raw.dtype == np.uint32 \
+                else raw.astype(np.int32)
+        return raw.astype(np.int32)
+    elif pa.types.is_integer(t) and t.bit_width < 32:
         values = values.cast(pa.int32())
     return values.to_numpy(zero_copy_only=False)
 
@@ -323,6 +399,20 @@ def _stats_raw(values: pa.Array, phys: int, n_logical: int,
     """(null_count, min_raw, max_raw, min_bytes, max_bytes)."""
     if phys == PT_FLBA:
         null_count = n_logical - len(values)
+        if pa.types.is_decimal(values.type):
+            if len(values) == 0:
+                return null_count, None, None, None, None
+            import pyarrow.compute as pc
+
+            mm = pc.min_max(values)
+            mn_v, mx_v = mm["min"].as_py(), mm["max"].as_py()
+            scale = values.type.scale
+
+            def enc(d):
+                return int(d.scaleb(scale)).to_bytes(type_length, "big",
+                                                     signed=True)
+
+            return null_count, mn_v, mx_v, enc(mn_v), enc(mx_v)
         if pa.types.is_float16(values.type) or len(values) == 0:
             # float16 has its own total order in the spec; omit min/max
             # rather than emit byte-lexicographic values readers mistrust
@@ -337,6 +427,10 @@ def _stats_raw(values: pa.Array, phys: int, n_logical: int,
         offsets, data = binary_buffers(values)
         st = binary_stats(offsets, data, n_logical)
         return st.null_count, st.min_value, st.max_value, st.min_value, st.max_value
+    if pa.types.is_unsigned_integer(values.type) and values.type.bit_width >= 32:
+        # uint32/64 reinterpret into the signed range; signed min/max on the
+        # wrapped values would violate UNSIGNED sort order -- omit stats
+        return n_logical - len(values), None, None, None, None
     np_vals = _numeric_np(values, phys) if phys != PT_BOOLEAN else np.asarray(values)
     st = numeric_stats(np_vals, n_logical)
     mn = None if st.min_value is None else _plain_single(st.min_value, phys)
@@ -363,7 +457,8 @@ def _pick_encoding(values: pa.Array, phys: int, use_dictionary: bool):
         samp = S.sample_numeric(bits)
         return (ENC_RLE if samp.mean_run >= 16 else ENC_PLAIN), None, None
     if phys == PT_FLBA:
-        if use_dictionary and not pa.types.is_float16(values.type):
+        if use_dictionary and not pa.types.is_float16(values.type) \
+                and not pa.types.is_decimal(values.type):
             as_bin = values.cast(pa.large_binary())
             offsets, data = binary_buffers(as_bin)
             samp = S.sample_binary(offsets, data)
@@ -490,8 +585,10 @@ class ParquetWriter:
                  compression: str = "gzip", use_dictionary: bool = True,
                  page_bytes: int = _PAGE_BYTES,
                  kv_metadata: dict[str, str] | None = None,
-                 bloom_columns: tuple[str, ...] = ()):
+                 bloom_columns: tuple[str, ...] = (),
+                 logical_hints: dict[str, str] | None = None):
         self.schema = schema
+        self.logical_hints = logical_hints
         self.codec = {"gzip": COMP_GZIP, "none": COMP_UNCOMPRESSED,
                       "zstd": COMP_ZSTD, "snappy": COMP_SNAPPY}[compression]
         self.row_group_rows = row_group_rows
@@ -575,7 +672,7 @@ class ParquetWriter:
         rg_structs = [([_chunk_struct(info) for info in chunk_infos], tb, nr)
                       for chunk_infos, tb, nr in self.row_groups]
         footer = _file_metadata(self.schema, self.leaves, rg_structs, self.n_rows,
-                                self.kv_metadata)
+                                self.kv_metadata, self.logical_hints)
         out.extend(footer)
         out.extend(len(footer).to_bytes(4, "little"))
         out.extend(MAGIC)
@@ -586,17 +683,22 @@ def write_parquet_bytes(table: pa.Table, *, row_group_rows=1 << 20,
                         compression: str = "gzip", use_dictionary: bool = True,
                         page_bytes: int = _PAGE_BYTES,
                         kv_metadata: dict[str, str] | None = None,
-                        bloom_columns: tuple[str, ...] = ()) -> bytes:
+                        bloom_columns: tuple[str, ...] = (),
+                        logical_hints: dict[str, str] | None = None) -> bytes:
     """Serialize a pyarrow Table to parquet bytes using our own encoders.
 
     ``row_group_rows`` may be an int or an array of sizes with the last
     repeating (reference fast-preview shape, e.g. [1000, 100000]).
     ``bloom_columns`` opts top-level columns into per-chunk SBBF bloom
-    filters ("*" for all eligible leaves)."""
+    filters ("*" for all eligible leaves).
+    ``logical_hints`` maps top-level string/binary column names to
+    "JSON" / "ENUM" / "BSON" footer annotations (reference BasicType
+    lowerings: src/schema.js:146-170, src/metadata.js:132-168) -- pure
+    footer tags, the bytes are written unchanged."""
     w = ParquetWriter(table.schema, row_group_rows=row_group_rows,
                       compression=compression, use_dictionary=use_dictionary,
                       page_bytes=page_bytes, kv_metadata=kv_metadata,
-                      bloom_columns=bloom_columns)
+                      bloom_columns=bloom_columns, logical_hints=logical_hints)
     if len(table):
         w.write(table)
     return w.finish()
@@ -834,8 +936,16 @@ def _page_spans_from_levels(d: np.ndarray, r: np.ndarray, values: pa.Array,
     return spans
 
 
+_HINT_TYPES = {  # name -> (ConvertedType, LogicalType union field)
+    "JSON": (CONV_JSON, LT_JSON),
+    "ENUM": (CONV_ENUM, LT_ENUM),
+    "BSON": (CONV_BSON, LT_BSON),
+}
+
+
 def _file_metadata(schema: pa.Schema, leaves: list[_Leaf], row_groups, n_rows: int,
-                   kv_metadata: dict[str, str] | None = None) -> bytes:
+                   kv_metadata: dict[str, str] | None = None,
+                   logical_hints: dict[str, str] | None = None) -> bytes:
     # preorder schema tree; struct/list/map columns emit nested groups
     # mirroring _build_leaves' walk exactly
     elements = [_schema_element("root", None, None, len(schema), None)]
@@ -859,6 +969,16 @@ def _file_metadata(schema: pa.Schema, leaves: list[_Leaf], row_groups, n_rows: i
             emit("element", t.value_type)
             return
         phys, conv, tlen, logical, dec_ps = _physical_of(t)
+        hint = (logical_hints or {}).get(name)
+        if hint is not None:
+            if hint not in _HINT_TYPES:
+                raise ValueError(f"unknown logical hint {hint!r} for {name}")
+            if phys != PT_BYTE_ARRAY:
+                raise TypeError(
+                    f"logical hint {hint} needs a string/binary column, "
+                    f"got {t} for {name}")
+            conv, lt = _HINT_TYPES[hint]
+            logical = (lt, [])
         elements.append(_schema_element(name, phys, rep, None, conv,
                                         type_length=tlen, dec_ps=dec_ps,
                                         logical=logical))

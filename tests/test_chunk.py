@@ -262,12 +262,21 @@ def test_decimal_roundtrip():
     assert out.cast(v.type).to_pylist() == v.to_pylist()
 
 
-def test_decimal_too_wide_raises():
+def test_wide_decimal_roundtrip():
+    """precision 19-38 lowers to 16-byte two's-complement byte arrays
+    (reference FLBA lowering: src/unconvert.js:279-307) with real decimal
+    min/max in the chunk stats."""
     import decimal
 
-    v = pa.array([decimal.Decimal("1")], type=pa.decimal128(38, 2))
-    with pytest.raises(TypeError, match="precision"):
-        encode_array(v)
+    vals = [decimal.Decimal("12345678901234567890.12"), None,
+            decimal.Decimal("-98765432109876543210.99"),
+            decimal.Decimal("0.01")] * 500
+    v = pa.array(vals, type=pa.decimal128(38, 2))
+    out, buf, meta = roundtrip(v)
+    assert out.to_pylist() == v.to_pylist()
+    assert meta["type"] == "decimal_wide"
+    assert meta["min"] == decimal.Decimal("-98765432109876543210.99")
+    assert meta["max"] == decimal.Decimal("12345678901234567890.12")
 
 
 def test_pluggable_compressor():
