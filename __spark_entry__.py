@@ -176,8 +176,10 @@ def _dedup_minhash_lsh(spark, sf_dir):
 
 def _dedup_minhash_candidates(spark, sf_dir):
     """Raw banded-LSH candidate pairs with minhash-estimated Jaccard (the
-    production operator output; signatures are not SQL-expressible ->
-    rows-only)."""
+    production operator output).  Fully oracle-checked: the permuted-min
+    signatures are exact modular arithmetic recomputed in DuckDB HUGEINT
+    SQL, and band equality reproduces the xxhash bucket join
+    (dedup.minhash_candidates_oracle_sql)."""
     from pyspark.sql import functions as F
 
     from sparkcodec.pipeline.dedup import minhash_lsh_candidates
@@ -248,20 +250,16 @@ def _ann_ivf_topk(spark, sf_dir):
 
 
 def _media_features(spark, sf_dir):
-    """Image features from REAL decoded pixels: the fixture payloads are
-    PPM images (pure-numpy decoder, no image lib), strict mode on -- any
-    stub fallback would raise."""
-    from sparkcodec.pipeline.multimodal import extract_image_features, synth_media_table
+    """Image pipeline with a full value oracle: the fixture payloads are
+    REAL PPM images (pure-numpy decoder, no image lib; strict mode on --
+    any stub fallback would raise), and the query emits exact per-channel
+    pixel sums.  The fixture pixels are a closed-form modular function of
+    (media_id, x, y), so DuckDB recomputes every integer; equality proves
+    the decoder read every pixel."""
+    from sparkcodec.pipeline.multimodal import image_channel_sums, synth_media_table
 
     media = synth_media_table(spark, _docs(spark, sf_dir), kind="image")
-    feats = extract_image_features(media, feat_dim=16, strict=True)
-    from pyspark.sql import functions as F
-
-    return feats.select(
-        "media_id",
-        F.round(F.aggregate("features", F.lit(0.0),
-                            lambda a, x: a + x.cast("double")), 4).alias("feat_sum"),
-    )
+    return image_channel_sums(media, strict=True)
 
 
 def _roundtrip_parquet_file(spark, sf_dir):
@@ -583,8 +581,13 @@ def oracle_sql() -> dict[str, str]:
         # full LSH recall (verified at sf0.001/sf0.01) makes the minhash
         # gate equal the exact char-5-gram pair set
         "dedup_minhash_lsh": _minhash_recall_oracle(),
-        # dedup_minhash_candidates / dedup_simhash: signature-based (hash
-        # functions not SQL-expressible) -> rows-only
+        # the simhash rolling hash is exact modular arithmetic: the whole
+        # pipeline (shingle hash -> bit votes -> signature -> hamming)
+        # recomputes in DuckDB HUGEINT SQL
+        "dedup_simhash": _simhash_oracle(),
+        # the 64 permuted-min signatures are exact modular arithmetic too:
+        # the candidate set recomputes in DuckDB via band equality
+        "dedup_minhash_candidates": _minhash_candidates_oracle(),
         "curate_corpus": _curate_oracle(),
         "pipeline_end_to_end": _pipeline_end_to_end_oracle(),
         "bloom_point_lookup": _bloom_lookup_oracle(),
@@ -618,8 +621,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_embedding_lsh": _dedup_embedding_oracle(),
         "dedup_embedding_cosine": _dedup_embedding_oracle(),
-        # media_image_features: stubbed decoder, engine-internal -> rows-only
+        "media_image_features": _media_sums_oracle(),
     }
+
+
+def _minhash_candidates_oracle() -> str:
+    from sparkcodec.pipeline.dedup import minhash_candidates_oracle_sql
+
+    return minhash_candidates_oracle_sql()
+
+
+def _simhash_oracle() -> str:
+    from sparkcodec.pipeline.dedup import simhash_oracle_sql
+
+    return simhash_oracle_sql(max_hamming=3)
+
+
+def _media_sums_oracle() -> str:
+    from sparkcodec.pipeline.multimodal import image_channel_sums_oracle_sql
+
+    return image_channel_sums_oracle_sql()
 
 
 def _ngram_jaccard_oracle() -> str:

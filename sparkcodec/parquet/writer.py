@@ -7,10 +7,17 @@ length, PAR1.  Everything is produced by this package's kernels -- the
 point is that pyarrow/DuckDB then act as the cross-implementation decode
 oracle for our encoders (FIXTURES.md F4(b)).
 
-Supported: BOOLEAN, INT32, INT64, FLOAT, DOUBLE, BYTE_ARRAY (string /
-binary), TIMESTAMP_MICROS, DATE, and one-level LIST columns.  Encodings:
-PLAIN, RLE_DICTIONARY, DELTA_BINARY_PACKED, DELTA_LENGTH_BYTE_ARRAY,
-DELTA_BYTE_ARRAY, BYTE_STREAM_SPLIT; GZIP or no compression.
+Supported types: BOOLEAN, INT32/64 (plus INTEGER(bits,signed)
+reinterpretations of int8/16 and uint8-64), FLOAT, DOUBLE, FLOAT16,
+BYTE_ARRAY (string/binary, ENUM/JSON/BSON hints), FIXED_LEN_BYTE_ARRAY
+(UUID), DECIMAL (int32/int64 unscaled to precision 18, FLBA
+two's-complement to 38), DATE, TIME(ms/us/ns), TIMESTAMP(ms/us/ns, utc
+flag), and arbitrarily nested STRUCT / LIST / MAP columns via general
+Dremel definition/repetition levels.  Encodings: PLAIN, RLE (boolean
+data + levels), RLE_DICTIONARY, DELTA_BINARY_PACKED,
+DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY, BYTE_STREAM_SPLIT.
+Compression: gzip, zstd, snappy, or none.  Optional per-chunk SBBF bloom
+filters and ColumnIndex/OffsetIndex page indexes.
 """
 
 from __future__ import annotations

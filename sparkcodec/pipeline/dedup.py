@@ -191,6 +191,66 @@ def minhash_lsh_candidates(docs: DataFrame, num_perm: int = 64, bands: int = 16,
     return est.select("id_a", "id_b", "est_jaccard")
 
 
+def minhash_candidates_oracle_sql(num_perm: int = 64, bands: int = 16,
+                                  seed: int = 42,
+                                  table: str = "documents") -> str:
+    """ANSI-SQL (DuckDB) recomputation of minhash_lsh_candidates: shingle
+    rolling hashes, the 64 permuted-min signatures (uint64 wraparound done
+    in HUGEINT, then mod the Mersenne prime -- the same a/b constants the
+    kernel draws from default_rng(seed)), and band-equality candidate
+    pairs.  The Spark side buckets on xxhash64 of each band slice; two
+    slices collide iff they are equal (hash collisions are ~2**-64), so
+    band equality reproduces the candidate set exactly."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    M = 1 << 64
+    sentinel = (1 << 63) - 1  # kernel's empty-doc signature value
+    powers = [pow(1000003, j, M) for j in range(SHINGLE_K)]
+    terms = " + ".join(
+        f"(CASE WHEN i + {j} <= len THEN CAST(ord(substring(text, i + {j}, 1)) AS HUGEINT) ELSE 0 END) * {powers[SHINGLE_K - 1 - j]}"
+        for j in range(SHINGLE_K))
+    mins = ",\n               ".join(
+        f"min(((h * {int(a[p])}) % {M} + {int(b[p])}) % {M} % {MERSENNE}) AS m{p}"
+        for p in range(num_perm))
+    sig_cols = ",\n                 ".join(
+        f"CAST(coalesce(m{p}, {sentinel}) AS BIGINT) AS m{p}"
+        for p in range(num_perm))
+    num_rows = num_perm // bands
+    band_eq = " OR ".join(
+        "(" + " AND ".join(
+            f"a.m{bnd * num_rows + r} = b.m{bnd * num_rows + r}"
+            for r in range(num_rows)) + ")"
+        for bnd in range(bands))
+    matches = " + ".join(
+        f"(CASE WHEN a.m{p} = b.m{p} THEN 1 ELSE 0 END)"
+        for p in range(num_perm))
+    return f"""
+        WITH d AS (
+          SELECT doc_id AS id, text, length(text) AS len FROM {table}
+        ), sh AS (
+          SELECT id, text, len,
+                 unnest(generate_series(1,
+                   greatest(len - {SHINGLE_K - 1}, least(len, 1)))) AS i
+          FROM d
+        ), h AS (
+          SELECT id, ({terms}) % {M} AS h FROM sh
+        ), v AS (
+          SELECT id,
+               {mins}
+          FROM h GROUP BY id
+        ), sigs AS (
+          SELECT d.id,
+                 {sig_cols}
+          FROM d LEFT JOIN v ON d.id = v.id
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               round(({matches}) / {float(num_perm)}, 6) AS est_jaccard
+        FROM sigs a JOIN sigs b ON a.id < b.id
+        WHERE {band_eq}
+    """
+
+
 # ---------- simhash ----------
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -216,6 +276,58 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     return docs.select(id_col, text_col).mapInPandas(
         lambda it: _attach(it, sim_iter, id_col),
         f"{id_col} {_dtype_of(docs, id_col)}, sig long")
+
+
+def simhash_oracle_sql(max_hamming: int = 3, table: str = "documents") -> str:
+    """ANSI-SQL (DuckDB) recomputation of the ENTIRE simhash pipeline --
+    byte-level rolling hash of every char 5-gram (uint64 wraparound done
+    in HUGEINT then reduced mod 2**64), per-bit majority vote, signature,
+    all-pairs hamming filter.  The Spark operator's pigeonhole bucketing
+    finds every pair with hamming <= max_hamming, so the results are
+    exactly equal (fixture text is ASCII: codepoints == UTF-8 bytes)."""
+    M = 1 << 64
+    # B**j mod 2**64 for the polynomial hash, matching the kernel's
+    # uint64 wraparound arithmetic (_char_shingle_hashes)
+    powers = [pow(1000003, j, M) for j in range(SHINGLE_K)]
+    # hash of window starting at i: sum_j byte(i+j) * B^(k-1-j), bytes
+    # past the end count as 0 (the kernel zero-pads short docs)
+    terms = " + ".join(
+        f"(CASE WHEN i + {j} <= len THEN CAST(ord(substring(text, i + {j}, 1)) AS HUGEINT) ELSE 0 END) * {powers[SHINGLE_K - 1 - j]}"
+        for j in range(SHINGLE_K))
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64))
+    sig_expr = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS HUGEINT) ELSE 0 END)"
+        for b in range(64))
+    return f"""
+        WITH d AS (
+          SELECT doc_id AS id, text, length(text) AS len FROM {table}
+        ), sh AS (
+          SELECT id, text, len,
+                 unnest(generate_series(1,
+                   greatest(len - {SHINGLE_K - 1}, least(len, 1)))) AS i
+          FROM d
+        ), h AS (
+          SELECT id, ({terms}) % {M} AS h FROM sh
+        ), v AS (
+          SELECT id,
+               {votes}
+          FROM h GROUP BY id
+        ), sigs_u AS (
+          SELECT id, ({sig_expr}) AS s FROM v
+        ), sigs AS (
+          SELECT d.id,
+                 CAST(CASE WHEN coalesce(s, 0) >= {1 << 63}
+                      THEN coalesce(s, 0) - {M}
+                      ELSE coalesce(s, 0) END AS BIGINT) AS sig
+          FROM d LEFT JOIN sigs_u ON d.id = sigs_u.id
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM sigs a JOIN sigs b ON a.id < b.id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,

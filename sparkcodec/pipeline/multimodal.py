@@ -128,14 +128,17 @@ def image_features(pixels: np.ndarray, feat_dim: int) -> np.ndarray:
 
 def synth_media_table(spark, docs: DataFrame, kind: str = "image") -> DataFrame:
     """Deterministic media table with REAL (decodable) PPM payloads whose
-    pixels are a pure function of doc_id -- the image-pipeline fixture."""
+    pixels are a pure function of doc_id -- the image-pipeline fixture.
+    Dims are plain modular functions of the id (not hash-derived) so an
+    ANSI-SQL oracle can recompute every pixel closed-form
+    (:func:`image_channel_sums_oracle_sql`)."""
     meta = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit(kind).alias("kind"),
-        (F.pmod(F.xxhash64("doc_id"), F.lit(48)) + 16).cast("int").alias("width"),
-        (F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(48)) + 16).cast("int").alias("height"),
+        (F.pmod(F.col("doc_id"), F.lit(48)) + 16).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id") * 7, F.lit(48)) + 16).cast("int").alias("height"),
         F.lit(16000).cast("int").alias("sample_rate"),
-        (F.pmod(F.xxhash64("doc_id", F.lit(2)), F.lit(240)) + 1).cast("int").alias("n_frames"),
+        (F.pmod(F.col("doc_id") * 13, F.lit(240)) + 1).cast("int").alias("n_frames"),
     )
 
     def gen(it):
@@ -178,6 +181,63 @@ def extract_image_features(media: DataFrame, feat_dim: int = 64,
 
     return media.filter(F.col("kind") == "image").select("media_id", "payload") \
         .mapInPandas(feats, "media_id long, features array<float>")
+
+
+def image_channel_sums(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Exact per-channel pixel sums from REAL decoded pixels -- the
+    oracle-checkable face of the image pipeline.  The fixture pixels are a
+    closed-form function of (media_id, x, y) (synth_media_table), so a
+    DuckDB oracle recomputes these integers exactly
+    (:func:`image_channel_sums_oracle_sql`); equality proves the PPM
+    decode read every pixel."""
+
+    def sums(it):
+        for pdf in it:
+            rows = {"media_id": pdf["media_id"].to_numpy(),
+                    "width": [], "height": [],
+                    "sum_r": [], "sum_g": [], "sum_b": []}
+            for p in pdf["payload"]:
+                px = decode_image(p, strict)
+                if px is None:
+                    px = np.zeros((0, 0, 3), dtype=np.uint8)
+                rows["height"].append(px.shape[0])
+                rows["width"].append(px.shape[1])
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                rows["sum_r"].append(int(s[0]))
+                rows["sum_g"].append(int(s[1]))
+                rows["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload") \
+        .mapInPandas(sums, "media_id long, width int, height int, "
+                           "sum_r long, sum_g long, sum_b long")
+
+
+def image_channel_sums_oracle_sql(table: str = "documents") -> str:
+    """DuckDB recomputation of :func:`image_channel_sums` over the
+    synth_media_table fixture: pixel (x, y) of media m is
+    ((3x + m) % 256, (5y + 7m) % 256, (x + y + 13m) % 256) with
+    w = m % 48 + 16, h = 7m % 48 + 16 -- all plain modular arithmetic."""
+    return f"""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CAST(doc_id % 48 + 16 AS INT) AS width,
+                 CAST((doc_id * 7) % 48 + 16 AS INT) AS height
+          FROM {table}
+        )
+        SELECT media_id, width, height,
+               CAST(height * list_sum(list_transform(
+                 range(0, width), x -> (3 * x + media_id) % 256))
+                 AS BIGINT) AS sum_r,
+               CAST(width * list_sum(list_transform(
+                 range(0, height), y -> (5 * y + 7 * media_id) % 256))
+                 AS BIGINT) AS sum_g,
+               CAST(list_sum(list_transform(flatten(list_transform(
+                 range(0, height), y -> list_transform(
+                   range(0, width), x -> (x + y + 13 * media_id) % 256))),
+                 v -> v)) AS BIGINT) AS sum_b
+        FROM m
+    """
 
 
 def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,

@@ -221,3 +221,43 @@ def test_curate_corpus_capped_matches_oracle(spark):
                  con.execute(curate_corpus_oracle_sql(near_df_cap=50)).fetchall())
     assert got == exp
     assert len(got) > 0
+
+
+def test_simhash_full_pipeline_matches_duckdb(spark):
+    """The entire simhash pipeline (rolling hash, bit votes, signature,
+    hamming pairs) recomputes exactly in DuckDB SQL."""
+    from sparkcodec.pipeline.dedup import simhash_near_dups, simhash_oracle_sql
+
+    pdf = duckdb.sql(
+        "SELECT doc_id, text FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')").df()
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(tuple(r) for r in simhash_near_dups(sdf, max_hamming=3).collect())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = sorted(tuple(r) for r in con.execute(simhash_oracle_sql(3)).fetchall())
+    assert got == exp and len(got) > 0
+
+
+def test_minhash_candidates_match_duckdb(spark):
+    """The 64 permuted-min signatures and the banded candidate join
+    recompute exactly in DuckDB SQL (band equality == xxhash bucket)."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.pipeline.dedup import (
+        minhash_candidates_oracle_sql,
+        minhash_lsh_candidates,
+    )
+
+    pdf = duckdb.sql(
+        "SELECT doc_id, text FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')").df()
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(tuple(r) for r in minhash_lsh_candidates(sdf)
+                 .select("id_a", "id_b",
+                         F.round("est_jaccard", 6).alias("e")).collect())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = sorted(tuple(r) for r in
+                 con.execute(minhash_candidates_oracle_sql()).fetchall())
+    assert got == exp and len(got) > 0

@@ -249,3 +249,26 @@ def test_curate_corpus_matches_duckdb(spark):
     exp = sorted(tuple(r) for r in con.execute(curate_corpus_oracle_sql()).fetchall())
     assert len(got) > 0
     assert got == exp
+
+
+def test_image_channel_sums_match_closed_form_oracle(spark):
+    """Exact per-channel pixel sums from the real PPM decode equal the
+    DuckDB closed-form recomputation -- proves the decoder read every
+    pixel of every image."""
+    import duckdb
+
+    from sparkcodec.pipeline.multimodal import (
+        image_channel_sums,
+        image_channel_sums_oracle_sql,
+        synth_media_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = synth_media_table(spark, docs, kind="image")
+    got = sorted(tuple(r) for r in image_channel_sums(media, strict=True).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    exp = sorted(tuple(r) for r in
+                 con.execute(image_channel_sums_oracle_sql()).fetchall())
+    assert got == exp and len(got) > 0
