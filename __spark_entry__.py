@@ -437,6 +437,51 @@ def _geo_wkb_roundtrip(spark, sf_dir):
     return wkb_points_to_xy_column(enc, "event_id")
 
 
+def _roundtrip_parquet_typed(spark, sf_dir):
+    """The round-3 type surface end to end through OUR parquet writer:
+    DECIMAL(38,10) lowers to FLBA big-endian two's-complement (reference
+    src/unconvert.js:279-307), SMALLINT to INT32 + INTEGER(16,true)
+    (src/unconvert.js:59-69), TIMESTAMP_MICROS per-unit
+    (src/unconvert.js:35-48).  Values are integer-derived (exact in both
+    engines); Spark's builtin reader decodes our file, DuckDB recomputes
+    from the source."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.parquet.writer import write_partitioned_parquet
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "l_orderkey",
+        # string-constructed so BOTH engines hold the exact decimal --
+        # decimal arithmetic would change scale (Spark) or promote to
+        # DOUBLE (DuckDB)
+        "CAST(concat(CAST(l_orderkey + 12345678901234567 AS STRING), "
+        "'.0000000001') AS DECIMAL(38,10)) AS wide_dec",
+        "CAST(l_orderkey % 100 AS SMALLINT) AS small_i",
+        "timestamp_micros(l_orderkey * 1000000) AS ts_us",
+    )
+    out = tempfile.mkdtemp(prefix="sc_pqt_") + "/files"
+    write_partitioned_parquet(li.repartition(4), out).collect()
+    # the decimal is compared as its exact string rendering: DuckDB's
+    # pandas bridge lowers DECIMAL(38) to float64, which would turn an
+    # exact-value comparison into a lossy one
+    return spark.read.parquet(out).selectExpr(
+        "l_orderkey", "CAST(wide_dec AS STRING) AS wide_dec_str",
+        "small_i", "ts_us")
+
+
+def _roundtrip_parquet_typed_oracle() -> str:
+    return """
+        SELECT l_orderkey,
+               concat(CAST(l_orderkey + 12345678901234567 AS VARCHAR),
+                      '.0000000001') AS wide_dec_str,
+               CAST(l_orderkey % 100 AS SMALLINT) AS small_i,
+               make_timestamp(l_orderkey * 1000000) AS ts_us
+        FROM lineitem
+    """
+
+
 def _roundtrip_parquet_nested(spark, sf_dir):
     """Nested-type parquet emitter check: MAP + list<list<double>> +
     struct-with-list columns derived from events, written as REAL parquet
@@ -548,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "media_image_features": _media_features,
         "roundtrip_parquet_file": _roundtrip_parquet_file,
+        "roundtrip_parquet_typed": _roundtrip_parquet_typed,
         "roundtrip_parquet_nested": _roundtrip_parquet_nested,
         "variant_roundtrip": _variant_roundtrip,
         "variant_shredded": _variant_shredded,
@@ -607,6 +653,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_parquet_file": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem"
         ),
+        "roundtrip_parquet_typed": _roundtrip_parquet_typed_oracle(),
         "roundtrip_parquet_nested": (
             "SELECT event_id, event_type AS m_type, CAST(user_id AS VARCHAR) AS m_uid, "
             "value AS v10, event_type AS st_t, user_id AS st_id0 FROM events"

@@ -276,3 +276,19 @@ def test_variant_shredded_roundtrip_random_trees(values):
         got = (decode_variant(r["metadata"], r["value"]) if used is None
                else decode_shredded(r["metadata"], r, used))
         assert got == v
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.integers(-(10**37), 10**37 - 1)),
+                max_size=150))
+def test_chunk_wide_decimal_any(vals):
+    """decimal128 precision 38 (16-byte two's-complement path) round-trips
+    any unscaled value incl. negatives and nulls."""
+    import decimal as dec
+
+    pyvals = [None if v is None else dec.Decimal(v).scaleb(-9) for v in vals]
+    v = pa.array(pyvals, type=pa.decimal128(38, 9))
+    buf, meta = encode_array(v)
+    out = decode_array(buf)
+    assert out.to_pylist() == pyvals
+    assert meta["type"] == "decimal_wide"
