@@ -84,11 +84,11 @@ def delta_binary_pack(values: np.ndarray) -> bytes:
         for j, i in enumerate(idx):
             mb_bytes[i] = packed[j * step : (j + 1) * step]
 
+    w8 = widths.astype(np.uint8)
     for b in range(nblocks):
         write_uvarint(out, zigzag_int(int(mins[b])))
-        out.extend(bytes(int(x) for x in widths[b]))
-        for k in range(MINIBLOCKS):
-            out.extend(mb_bytes[b * MINIBLOCKS + k])
+        out.extend(w8[b].tobytes())
+        out.extend(b"".join(mb_bytes[b * MINIBLOCKS:(b + 1) * MINIBLOCKS]))
     return bytes(out)
 
 

@@ -163,7 +163,10 @@ def _physical_of(t: pa.DataType):
         return PT_BYTE_ARRAY, None, None, None, None
     if pa.types.is_timestamp(t):
         # per-unit lowering (reference: src/unconvert.js:35-48): millis and
-        # micros carry their legacy ConvertedType; nanos is LogicalType-only
+        # micros carry their legacy ConvertedType; nanos is LogicalType-only.
+        # pyarrow/DuckDB read NANOS files exactly; Spark's builtin reader
+        # rejects TIMESTAMP(NANOS) by design (no nanos type) unless
+        # spark.sql.legacy.parquet.nanosAsLong is set
         unit = "ms" if t.unit in ("s", "ms") else t.unit  # s lowered to ms
         conv = {"ms": CONV_TS_MILLIS, "us": CONV_TS_MICROS, "ns": None}[unit]
         logical = (LT_TIMESTAMP, [
