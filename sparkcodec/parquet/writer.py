@@ -318,6 +318,12 @@ def _encode_values(values: pa.Array, phys: int, encoding: int,
             return len(payload).to_bytes(4, "little") + payload
         return plain_encode_bool(np.asarray(values))
     if phys == PT_FLBA:
+        if encoding == ENC_BSS:
+            raw = np.frombuffer(_flba_bytes(values, type_length), dtype="u1")
+            mat = raw.reshape(-1, type_length)
+            # all first bytes, then all second bytes, ... (reference:
+            # src/splitstream.js:13-60 supports FLBA the same way)
+            return np.ascontiguousarray(mat.T).tobytes()
         return _flba_bytes(values, type_length)
     if phys == PT_BYTE_ARRAY:
         offsets, data = binary_buffers(values)
@@ -596,9 +602,18 @@ class ParquetWriter:
                  page_bytes: int = _PAGE_BYTES,
                  kv_metadata: dict[str, str] | None = None,
                  bloom_columns: tuple[str, ...] = (),
-                 logical_hints: dict[str, str] | None = None):
+                 logical_hints: dict[str, str] | None = None,
+                 statistics: bool = True,
+                 column_encodings: dict[str, str] | None = None):
         self.schema = schema
         self.logical_hints = logical_hints
+        self.statistics = statistics
+        self.column_encodings = {}
+        for name, enc in (column_encodings or {}).items():
+            if enc not in _ENC_NAMES:
+                raise ValueError(f"unknown encoding {enc!r} for column {name}; "
+                                 f"one of {sorted(_ENC_NAMES)}")
+            self.column_encodings[name] = _ENC_NAMES[enc]
         self.codec = {"gzip": COMP_GZIP, "none": COMP_UNCOMPRESSED,
                       "zstd": COMP_ZSTD, "snappy": COMP_SNAPPY}[compression]
         self.row_group_rows = row_group_rows
@@ -632,7 +647,10 @@ class ParquetWriter:
                               or leaf.path[0] in self.bloom_columns)
                 info = _write_column_chunk(self.out, col, leaf, self.codec,
                                            self.use_dictionary, self.page_bytes,
-                                           bloom=want_bloom)
+                                           bloom=want_bloom,
+                                           user_enc=self.column_encodings.get(
+                                               leaf.path[0]),
+                                           statistics=self.statistics)
                 chunk_infos.append(info)
                 total_bytes += info["total_comp"]
             self.row_groups.append((chunk_infos, total_bytes, len(rg)))
@@ -694,7 +712,9 @@ def write_parquet_bytes(table: pa.Table, *, row_group_rows=1 << 20,
                         page_bytes: int = _PAGE_BYTES,
                         kv_metadata: dict[str, str] | None = None,
                         bloom_columns: tuple[str, ...] = (),
-                        logical_hints: dict[str, str] | None = None) -> bytes:
+                        logical_hints: dict[str, str] | None = None,
+                        statistics: bool = True,
+                        column_encodings: dict[str, str] | None = None) -> bytes:
     """Serialize a pyarrow Table to parquet bytes using our own encoders.
 
     ``row_group_rows`` may be an int or an array of sizes with the last
@@ -704,11 +724,19 @@ def write_parquet_bytes(table: pa.Table, *, row_group_rows=1 << 20,
     ``logical_hints`` maps top-level string/binary column names to
     "JSON" / "ENUM" / "BSON" footer annotations (reference BasicType
     lowerings: src/schema.js:146-170, src/metadata.js:132-168) -- pure
-    footer tags, the bytes are written unchanged."""
+    footer tags, the bytes are written unchanged.
+    ``statistics=False`` omits chunk/page Statistics structs (reference
+    parquetWrite option, src/write.js:22).
+    ``column_encodings`` pins a per-column data-page encoding by name
+    (reference ColumnSource.encoding, src/column.js:71): PLAIN, RLE
+    (boolean), RLE_DICTIONARY, DELTA_BINARY_PACKED,
+    DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY, or BYTE_STREAM_SPLIT
+    (numeric and FLBA) -- overrides the auto-selector for that column."""
     w = ParquetWriter(table.schema, row_group_rows=row_group_rows,
                       compression=compression, use_dictionary=use_dictionary,
                       page_bytes=page_bytes, kv_metadata=kv_metadata,
-                      bloom_columns=bloom_columns, logical_hints=logical_hints)
+                      bloom_columns=bloom_columns, logical_hints=logical_hints,
+                      statistics=statistics, column_encodings=column_encodings)
     if len(table):
         w.write(table)
     return w.finish()
@@ -778,12 +806,62 @@ def _chunk_struct(info: dict):
     ]
 
 
+_ENC_NAMES = {  # user-facing encoding names (reference ColumnSource.encoding)
+    "PLAIN": ENC_PLAIN, "RLE": ENC_RLE, "RLE_DICTIONARY": ENC_RLE_DICT,
+    "DELTA_BINARY_PACKED": ENC_DELTA_BP, "DELTA_LENGTH_BYTE_ARRAY": ENC_DELTA_LBA,
+    "DELTA_BYTE_ARRAY": ENC_DELTA_BA, "BYTE_STREAM_SPLIT": ENC_BSS,
+}
+
+
+def _forced_encoding(values: pa.Array, phys: int, user_enc: int):
+    """(encoding, dict_vals, indexes) for an explicit per-column encoding
+    (reference: src/column.js:71, userEncoding pins the data-page encoding
+    and disables the dictionary path unless it IS the dictionary)."""
+    if user_enc == ENC_RLE_DICT:
+        as_bin = values
+        if phys == PT_FLBA and not pa.types.is_decimal(values.type) \
+                and not pa.types.is_float16(values.type):
+            as_bin = values.cast(pa.large_binary())
+        if phys == PT_BYTE_ARRAY or (phys == PT_FLBA and as_bin is not values):
+            idx, d = factorize(as_bin, "binary")
+            return ENC_RLE_DICT, (d.cast(values.type) if as_bin is not values
+                                  else d), idx
+        if phys in (PT_INT32, PT_INT64, PT_FLOAT, PT_DOUBLE):
+            np_vals = _numeric_np(values, phys)
+            ints = np_vals.view(np.int64) if np_vals.dtype.kind == "f" and \
+                np_vals.dtype.itemsize == 8 else np_vals
+            idx, d = factorize(np.ascontiguousarray(ints), "numeric")
+            dv = pa.array(d).cast(values.type) if not pa.types.is_decimal(
+                values.type) else None
+            if dv is None:
+                raise TypeError("RLE_DICTIONARY override unsupported for "
+                                f"{values.type}")
+            return ENC_RLE_DICT, dv, idx
+        raise TypeError(f"RLE_DICTIONARY override unsupported for {values.type}")
+    ok = {
+        ENC_PLAIN: True,
+        ENC_RLE: phys == PT_BOOLEAN,
+        ENC_DELTA_BP: phys in (PT_INT32, PT_INT64),
+        ENC_DELTA_LBA: phys == PT_BYTE_ARRAY,
+        ENC_DELTA_BA: phys == PT_BYTE_ARRAY,
+        ENC_BSS: phys in (PT_INT32, PT_INT64, PT_FLOAT, PT_DOUBLE, PT_FLBA),
+    }.get(user_enc, False)
+    if not ok:
+        raise TypeError(f"encoding override {user_enc} invalid for physical "
+                        f"type {phys}")
+    return user_enc, None, None
+
+
 def _write_column_chunk(out: bytearray, arr: pa.Array, leaf: _Leaf, codec: int,
                         use_dictionary: bool, page_bytes: int,
-                        bloom: bool = False):
+                        bloom: bool = False, user_enc: int | None = None,
+                        statistics: bool = True):
     d, r, values = _compute_levels(arr, leaf)
     n_slots = len(d)
-    encoding, dict_vals, indexes = _pick_encoding(values, leaf.phys, use_dictionary)
+    if user_enc is not None:
+        encoding, dict_vals, indexes = _forced_encoding(values, leaf.phys, user_enc)
+    else:
+        encoding, dict_vals, indexes = _pick_encoding(values, leaf.phys, use_dictionary)
 
     chunk_start = len(out)
     dict_offset = None
@@ -821,7 +899,8 @@ def _write_column_chunk(out: bytearray, arr: pa.Array, leaf: _Leaf, codec: int,
         comp = _compress(raw, codec)
         null_count, mn_raw, mx_raw, mn_b, mx_b = _stats_raw(
             vv, leaf.phys, len(dd), leaf.type_length)
-        stats = [(3, CT_I64, null_count), (5, CT_BINARY, mx_b), (6, CT_BINARY, mn_b)]
+        stats = ([(3, CT_I64, null_count), (5, CT_BINARY, mx_b), (6, CT_BINARY, mn_b)]
+                 if statistics else None)
         header = _page_header_v2(
             num_values=len(dd),
             num_nulls=len(dd) - len(vv),
@@ -857,7 +936,8 @@ def _write_column_chunk(out: bytearray, arr: pa.Array, leaf: _Leaf, codec: int,
         "data_offset": data_offset,
         "dict_offset": dict_offset,
         "encodings": sorted({ENC_RLE, enc_final} | set(encodings)),
-        "stats_all": _statistics(values, leaf.phys, n_slots, leaf.type_length),
+        "stats_all": (_statistics(values, leaf.phys, n_slots, leaf.type_length)
+                      if statistics else None),
         "pages": pages_info,
     }
     if bloom:
@@ -980,7 +1060,15 @@ def _file_metadata(schema: pa.Schema, leaves: list[_Leaf], row_groups, n_rows: i
             return
         phys, conv, tlen, logical, dec_ps = _physical_of(t)
         hint = (logical_hints or {}).get(name)
-        if hint is not None:
+        if hint == "RAW":
+            # suppress auto annotations (e.g. the FLBA(16) -> UUID default)
+            conv, logical = None, None
+        elif hint == "UUID":
+            if phys != PT_FLBA or tlen != 16:
+                raise TypeError(f"UUID hint needs a 16-byte fixed column, "
+                                f"got {t} for {name}")
+            logical = (LT_UUID, [])
+        elif hint is not None:
             if hint not in _HINT_TYPES:
                 raise ValueError(f"unknown logical hint {hint!r} for {name}")
             if phys != PT_BYTE_ARRAY:

@@ -625,3 +625,62 @@ def test_logical_hints_enum_json_bson_footer_tags():
     with pytest.raises(TypeError, match="string/binary"):
         write_parquet_bytes(pa.table({"x": pa.array([1, 2])}),
                             logical_hints={"x": "ENUM"})
+
+
+def test_explicit_column_encodings():
+    """Per-column encoding pins (reference ColumnSource.encoding,
+    src/column.js:71, test/write.splitstream.test.js): BYTE_STREAM_SPLIT on
+    float/double/int32/int64/FLBA, DELTA pins, forced dictionary -- every
+    file decodes exactly in pyarrow + DuckDB."""
+    n = 5000
+    t = pa.table({
+        "f": pa.array(RNG.normal(size=n).astype(np.float32)),
+        "d": pa.array(RNG.normal(size=n)),
+        "i32": pa.array(RNG.integers(-10**6, 10**6, n).astype(np.int32)),
+        "i64": pa.array(RNG.integers(-10**12, 10**12, n)),
+        "u": pa.array([f"u{i:07d}" for i in range(n)]),
+        "s": pa.array([f"s{i % 7}" for i in range(n)]),
+        "x16": pa.array([RNG.bytes(16) for _ in range(n)], type=pa.binary(16)),
+    })
+    buf = write_parquet_bytes(t, column_encodings={
+        "f": "BYTE_STREAM_SPLIT", "d": "BYTE_STREAM_SPLIT",
+        "i64": "DELTA_BINARY_PACKED",
+        "u": "DELTA_BYTE_ARRAY", "s": "RLE_DICTIONARY",
+    }, logical_hints={"x16": "RAW"})  # generic 16-byte binary, not UUID
+    _assert_equal(buf, t)
+    md = pq.ParquetFile(io.BytesIO(buf)).metadata
+    encs = {md.schema.column(i).name: md.row_group(0).column(i).encodings
+            for i in range(md.num_columns)}
+    assert "BYTE_STREAM_SPLIT" in encs["f"]
+    assert "DELTA_BINARY_PACKED" in encs["i64"]
+    assert "DELTA_BYTE_ARRAY" in encs["u"]
+    assert "RLE_DICTIONARY" in encs["s"]
+    # BSS on INT32/INT64/FLBA is parquet-format 2.11 (reference
+    # src/splitstream.js supports it; pyarrow reads it, DuckDB's reader
+    # still limits BSS to FLOAT/DOUBLE -- checked via pyarrow only)
+    buf2 = write_parquet_bytes(t.select(["i32", "i64", "x16"]), column_encodings={
+        "i32": "BYTE_STREAM_SPLIT", "i64": "BYTE_STREAM_SPLIT",
+        "x16": "BYTE_STREAM_SPLIT",
+    })
+    back2 = pq.read_table(io.BytesIO(buf2))
+    assert back2.equals(t.select(["i32", "i64", "x16"]))
+    md2 = pq.ParquetFile(io.BytesIO(buf2)).metadata
+    assert "BYTE_STREAM_SPLIT" in md2.row_group(0).column(2).encodings
+    with pytest.raises(TypeError, match="invalid for physical"):
+        write_parquet_bytes(t, column_encodings={"u": "DELTA_BINARY_PACKED"})
+    with pytest.raises(ValueError, match="unknown encoding"):
+        write_parquet_bytes(t, column_encodings={"u": "NOPE"})
+
+
+def test_statistics_off():
+    """statistics=False omits Statistics structs (reference parquetWrite
+    option, src/write.js:22; the 170-byte regression pin is measured with
+    stats off, test/write.buffer.test.js:101-112)."""
+    t = pa.table({"s": pa.array(["aaaa", "bbbb"] * 50000)})
+    on = write_parquet_bytes(t)
+    off = write_parquet_bytes(t, statistics=False)
+    assert len(off) < len(on)
+    md = pq.ParquetFile(io.BytesIO(off)).metadata
+    st = md.row_group(0).column(0).statistics
+    assert st is None or st.min is None
+    _assert_equal(off, t)
