@@ -194,6 +194,62 @@ def _dedup_simhash(spark, sf_dir):
     return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _pack_sequences(spark, sf_dir):
+    """Training-sequence packing: greedy contiguous fill of per-source
+    token streams into 2048-token sequences, one window aggregation
+    partitioned by source (parallel by source at 100 TB -- no global
+    ordering bottleneck).  Oracle: the same ANSI window sum in DuckDB."""
+    from sparkcodec.pipeline.packing import pack_sequences
+    from sparkcodec.tokens import tokens_table
+
+    return pack_sequences(tokens_table(spark, sf_dir), seq_budget=2048)
+
+
+def _pack_sequences_oracle() -> str:
+    from sparkcodec.pipeline.packing import pack_sequences_oracle_sql
+    from sparkcodec.tokens import tokens_table_oracle_sql
+
+    return f"""
+        WITH t AS ({tokens_table_oracle_sql()})
+        {pack_sequences_oracle_sql(2048, "t")}
+    """
+
+
+def _scrub_pii(spark, sf_dir):
+    """PII redaction before tokenization: emails/phones/IPv4 replaced by
+    typed mask tokens, pure codegen regexp_replace chain (patterns chosen
+    to behave identically in Java regex and RE2, so the DuckDB oracle is
+    byte-exact)."""
+    from sparkcodec.pipeline.textstats import scrub_pii
+
+    return scrub_pii(_docs(spark, sf_dir))
+
+
+def _decontaminate(spark, sf_dir):
+    """GPT-3-style benchmark decontamination: drop corpus documents
+    sharing any word 8-gram with the eval set (here: doc_id % 50 == 0).
+    The eval gram set broadcasts; the corpus is scanned once."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.pipeline.packing import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    eval_docs = docs.filter(F.expr("doc_id % 50 = 0"))
+    return decontaminate(docs, eval_docs, n=8)
+
+
+def _decontaminate_oracle() -> str:
+    from sparkcodec.pipeline.packing import decontaminate_oracle_sql
+
+    return decontaminate_oracle_sql(n=8, eval_pred="doc_id % 50 = 0")
+
+
+def _scrub_pii_oracle() -> str:
+    from sparkcodec.pipeline.textstats import scrub_pii_oracle_sql
+
+    return scrub_pii_oracle_sql()
+
+
 def _lang_id(spark, sf_dir):
     from sparkcodec.pipeline.textstats import lang_id
 
@@ -584,6 +640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_end_to_end": _pipeline_end_to_end,
         "bloom_point_lookup": _bloom_point_lookup,
         "stats_range_scan": _stats_range_scan,
+        "pack_sequences": _pack_sequences,
+        "scrub_pii": _scrub_pii,
+        "decontaminate": _decontaminate,
         "text_lang_id": _lang_id,
         "text_quality_score": _quality,
         "text_token_count": _token_count,
@@ -641,6 +700,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem "
             "WHERE l_orderkey BETWEEN 1000 AND 2000"
         ),
+        "pack_sequences": _pack_sequences_oracle(),
+        "scrub_pii": _scrub_pii_oracle(),
+        "decontaminate": _decontaminate_oracle(),
         "text_lang_id": _textstats_oracle("lang_id"),
         "text_quality_score": _textstats_oracle("quality"),
         "text_token_count": _textstats_oracle("token_count"),

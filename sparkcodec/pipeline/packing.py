@@ -1,0 +1,117 @@
+"""Training-sequence packing and benchmark decontamination.
+
+Two operators every large-scale LLM data pipeline runs downstream of
+curation:
+
+* :func:`pack_sequences` -- assign documents to fixed-token-budget
+  training sequences (greedy contiguous fill in a deterministic order).
+  Spark-first: one window aggregation PARTITIONED BY source (each source
+  packs independently, so no global ordering bottleneck at 100 TB) with
+  the bin id a closed-form function of the running token count.
+* :func:`decontaminate` -- drop corpus documents sharing any word n-gram
+  with a held-out evaluation set (the GPT-3-style n-gram overlap rule).
+  Spark-first: the eval side's gram set is tiny, so the contamination
+  test is a broadcast-able left-semi join on the gram; the corpus is
+  never self-joined.
+
+Both are exactly mirrored in DuckDB SQL (window sums / gram joins are
+ANSI), so the driver grades them hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pack_sequences(toks: DataFrame, seq_budget: int = 2048,
+                   source_col: str = "source", id_col: str = "doc_id",
+                   weight_col: str = "n_tok") -> DataFrame:
+    """(doc_id, source, n_tok, tok_start, seq_id): greedy contiguous fill
+    of per-source token streams into ``seq_budget``-token sequences.
+
+    ``tok_start`` is the document's offset in its source's concatenated
+    token stream; ``seq_id`` = floor(tok_start / seq_budget) -- the
+    training sequence the document STARTS in (documents may straddle a
+    boundary; the split is a reader-side slice, as in standard packed
+    pretraining).  Deterministic: the fill order is (source, doc_id).
+    """
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    cum = F.sum(weight_col).over(w)
+    return toks.select(
+        id_col, source_col, weight_col,
+        (cum - F.col(weight_col)).cast("long").alias("tok_start"),
+        F.floor((cum - F.col(weight_col)) / seq_budget).cast("long").alias("seq_id"),
+    )
+
+
+def pack_sequences_oracle_sql(seq_budget: int = 2048, table: str = "t",
+                              source_col: str = "source",
+                              id_col: str = "doc_id",
+                              weight_col: str = "n_tok") -> str:
+    return f"""
+        SELECT {id_col}, {source_col}, {weight_col},
+               CAST(sum({weight_col}) OVER w - {weight_col} AS BIGINT) AS tok_start,
+               CAST(floor((sum({weight_col}) OVER w - {weight_col})
+                    / {seq_budget}) AS BIGINT) AS seq_id
+        FROM {table}
+        WINDOW w AS (PARTITION BY {source_col} ORDER BY {id_col}
+                     ROWS UNBOUNDED PRECEDING)
+    """
+
+
+def _word_grams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(
+            f"CASE WHEN size(filter(split({text_col}, ' '), w -> w <> '')) >= {n} "
+            f"THEN transform(sequence(0, size(filter(split({text_col}, ' '), w -> w <> '')) - {n}), "
+            f"i -> concat_ws(' ', slice(filter(split({text_col}, ' '), w -> w <> ''), i + 1, {n}))) "
+            f"ELSE CAST(array() AS array<string>) END"
+        )).alias("gram"),
+    ).distinct()
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus documents that share NO word ``n``-gram with the eval set
+    (GPT-3-style decontamination).  The eval gram set is small relative to
+    the corpus, so Spark resolves the contamination probe as a broadcast
+    left-semi join on the gram -- the corpus is scanned once, never
+    self-joined."""
+    corpus_grams = _word_grams(docs, n, text_col, id_col)
+    eval_grams = _word_grams(eval_docs, n, text_col, id_col).select("gram").distinct()
+    contaminated = (corpus_grams
+                    .join(F.broadcast(eval_grams), "gram", "left_semi")
+                    .select("id").distinct())
+    return (docs.join(contaminated.withColumnRenamed("id", id_col),
+                      id_col, "left_anti")
+            .select(id_col))
+
+
+def decontaminate_oracle_sql(n: int = 8, table: str = "documents",
+                             eval_pred: str = "doc_id % 50 = 0") -> str:
+    """Oracle with the eval set defined as a predicate over the same
+    table (the graded query uses ``doc_id % 50 = 0``)."""
+    grams = f"""
+          SELECT DISTINCT doc_id AS id, gram FROM (
+            SELECT doc_id, unnest(list_transform(
+              generate_series(1, greatest(len(words) - {n - 1}, 0)),
+              i -> array_to_string(list_slice(words, i, i + {n - 1}), ' '))) AS gram
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS words
+                  FROM {table}))
+    """
+    return f"""
+        WITH grams AS ({grams}),
+        eval_grams AS (
+          SELECT DISTINCT gram FROM grams WHERE id IN
+            (SELECT doc_id FROM {table} WHERE {eval_pred})
+        ),
+        contaminated AS (
+          SELECT DISTINCT id FROM grams JOIN eval_grams USING (gram)
+        )
+        SELECT doc_id FROM {table}
+        WHERE doc_id NOT IN (SELECT id FROM contaminated)
+    """

@@ -155,3 +155,42 @@ def fingerprint_oracle_sql(table: str = "documents") -> str:
                ELSE 0 END AS fp
         FROM {table}
     """
+
+
+# PII masks shared by the Spark and DuckDB implementations: the patterns
+# are valid (and behave identically) in BOTH Java regex and RE2, so the
+# two engines produce byte-identical scrubbed text.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    """(doc_id, clean_text, n_masked): emails, phone numbers, and IPv4
+    addresses replaced by typed mask tokens -- the redaction pass a
+    training pipeline runs before tokenization.  Pure codegen
+    (regexp_replace chain); no Python in the hot path."""
+    c = F.col("text")
+    for pat, repl in PII_PATTERNS:
+        # functional form: the pattern is passed as a literal, bypassing
+        # SQL string parsing (which would eat the backslashes)
+        c = F.regexp_replace(c, pat, repl)
+    return docs.select(
+        "doc_id",
+        c.alias("clean_text"),
+        (F.length(c) - F.length("text")).cast("long").alias("len_delta"),
+    )
+
+
+def scrub_pii_oracle_sql(table: str = "documents") -> str:
+    expr = "text"
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"""
+        SELECT doc_id,
+               {expr} AS clean_text,
+               CAST(length({expr}) - length(text) AS BIGINT) AS len_delta
+        FROM {table}
+    """

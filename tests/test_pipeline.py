@@ -272,3 +272,93 @@ def test_image_channel_sums_match_closed_form_oracle(spark):
     exp = sorted(tuple(r) for r in
                  con.execute(image_channel_sums_oracle_sql()).fetchall())
     assert got == exp and len(got) > 0
+
+
+def test_scrub_pii_masks_planted_pii(spark):
+    """Planted emails/phones/IPs are masked identically by Spark (Java
+    regex) and DuckDB (RE2) -- the patterns are chosen for dialect
+    overlap."""
+    import duckdb
+    import pandas as pd
+
+    from sparkcodec.pipeline.textstats import scrub_pii, scrub_pii_oracle_sql
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "contact john.doe+x@example.co.uk today",
+            "call 555-123-4567 or 555 987 6543 now",
+            "server at 192.168.0.1 and 10.0.0.255 down",
+            "clean text with no pii at all",
+        ],
+    })
+    sdf = spark.createDataFrame(pdf)
+    got = {r["doc_id"]: (r["clean_text"], r["len_delta"])
+           for r in scrub_pii(sdf).collect()}
+    assert got[1][0] == "contact <EMAIL> today"
+    assert got[2][0] == "call <PHONE> or <PHONE> now"
+    assert got[3][0] == "server at <IP> and <IP> down"
+    assert got[4][0] == pdf["text"][3] and got[4][1] == 0
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = {r[0]: (r[1], r[2])
+           for r in con.execute(scrub_pii_oracle_sql()).fetchall()}
+    assert got == exp
+
+
+def test_pack_sequences_matches_duckdb_and_budget(spark):
+    import duckdb
+    import pandas as pd
+
+    from sparkcodec.pipeline.packing import pack_sequences, pack_sequences_oracle_sql
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i:04d}" for i in range(300)],
+        "source": [f"s{i % 5}" for i in range(300)],
+        "n_tok": rng.integers(1, 700, 300),
+    })
+    sdf = spark.createDataFrame(pdf)
+    got = pack_sequences(sdf, seq_budget=1000).toPandas()
+    # every document starts inside its seq_id's window
+    assert ((got["tok_start"] // 1000) == got["seq_id"]).all()
+    # per source the stream is gapless: tok_start is the running sum
+    for s, grp in got.sort_values("doc_id").groupby("source"):
+        run = 0
+        for _, row in grp.iterrows():
+            assert row["tok_start"] == run
+            run += row["n_tok"]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute(pack_sequences_oracle_sql(1000, "t")).df()
+    a = sorted(map(tuple, got[sorted(got.columns)].itertuples(index=False)))
+    b = sorted(map(tuple, exp[sorted(exp.columns)].itertuples(index=False)))
+    assert a == b
+
+
+def test_decontaminate_drops_planted_overlap(spark):
+    import duckdb
+    import pandas as pd
+
+    from sparkcodec.pipeline.packing import decontaminate, decontaminate_oracle_sql
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        (0, base + " iota"),                      # eval doc (doc_id % 50 == 0)
+        (1, "totally different words here one two three four five"),
+        (2, base + " something else entirely"),   # shares the 8-gram -> drop
+        (3, "clean document with its own eight words exactly here"),
+        (50, "another eval doc with unique phrasing of eight words"),
+        (51, "another eval doc with unique phrasing of eight words tail"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+    import pyspark.sql.functions as F
+    eval_docs = sdf.filter(F.expr("doc_id % 50 = 0"))
+    kept = sorted(r["doc_id"] for r in decontaminate(sdf, eval_docs, n=8).collect())
+    assert kept == [1, 3]  # eval docs + overlap victims dropped
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = sorted(r[0] for r in con.execute(
+        decontaminate_oracle_sql(8, eval_pred="doc_id % 50 = 0")).fetchall())
+    assert kept == exp
