@@ -119,3 +119,27 @@ def running_source_stats(stream_df, *, source_col: str = "source",
         .applyInPandasWithState(update, out_schema, state_schema,
                                 "update", GroupStateTimeout.NoTimeout)
     )
+
+
+def windowed_token_stats(stream_df, *, time_col: str = "event_time",
+                         window: str = "1 minute",
+                         watermark: str = "2 minutes",
+                         source_col: str = "source",
+                         weight_col: str = "n_tok"):
+    """Event-time windowed ingest stats with a watermark for late data:
+    per (window, source), document and token counts.  Rows later than
+    ``watermark`` behind the max observed event time are dropped and
+    their windows finalized -- bounded state at 10^12-sequence scale
+    (watermark + windowed agg, the standard Structured Streaming shape).
+    Append output mode: each window emits once, when it closes."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("win"), source_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(weight_col).alias("n_tokens"))
+        .select(F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"),
+                source_col, "n_docs", "n_tokens")
+    )

