@@ -406,3 +406,28 @@ def test_bloom_probe_reads_only_bloom_columns(spark, toks, tmp_path):
     # roundtrip of the full encoded table still exact with bloom columns present
     dec = decode_dataframe(enc)
     assert dec.count() == toks.count()
+
+
+def test_stats_blooms_and_source_file_column_order(spark, toks, tmp_path):
+    """stat_columns + bloom_columns + include_source_file together: the
+    output DDL must match the worker's record-batch column order
+    (source_file is appended LAST after bloom/stat columns)."""
+    from sparkcodec.engine import encode_parquet_dataset
+
+    src = str(tmp_path / "in.parquet")
+    toks.write.parquet(src)
+    enc = encode_parquet_dataset(
+        spark, src, chunk_rows=128,
+        bloom_columns=("doc_id",), stat_columns=("n_tok",),
+        include_source_file=True)
+    rows = enc.collect()
+    assert len(rows) > 1
+    cols = enc.columns
+    assert cols.index("bloom_doc_id") < cols.index("min_n_tok") < cols.index("source_file")
+    for r in rows:
+        assert r["source_file"].endswith(".parquet")
+        assert r["min_n_tok"] is not None and r["min_n_tok"] <= r["max_n_tok"]
+        assert r["bloom_doc_id"] is None or len(r["bloom_doc_id"]) > 0
+    # decode still exact with all the extra metadata columns present
+    dec = decode_dataframe(enc)
+    assert dec.count() == toks.count()
