@@ -503,8 +503,6 @@ def _roundtrip_parquet_typed(spark, sf_dir):
     from the source."""
     import tempfile
 
-    from pyspark.sql import functions as F
-
     from sparkcodec.parquet.writer import write_partitioned_parquet
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(

@@ -99,10 +99,12 @@ def main() -> None:
         encode_dataframe(inp, auto_fastpath=False).agg(F.sum("bytes_out")).collect()
         queries["encode_mapinarrow"] = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
         enc_path = f"{tmp}/encoded.parquet"
-        encode_parquet_dataset(spark, src_path).write.mode("overwrite").parquet(enc_path)
-        queries["encode_write"] = time.perf_counter() - t0
+        wtimes = reps(lambda: encode_parquet_dataset(spark, src_path)
+                      .write.mode("overwrite").parquet(enc_path))
+        queries["encode_write"] = min(wtimes)
+        queries["encode_write_median"] = sorted(wtimes)[1]
+        extras["encode_write_runs"] = [round(x, 3) for x in wtimes]
 
         enc = spark.read.parquet(enc_path)
         agg = enc.agg(
@@ -151,15 +153,8 @@ def main() -> None:
         queries["parquet_baseline_write"] = min(btimes)
         queries["parquet_baseline_write_median"] = sorted(btimes)[1]
         extras["baseline_runs"] = [round(x, 3) for x in btimes]
-        # like-for-like: engine encode + write, same 3-rep protocol
-        # (separate dir: {tmp}/encoded.parquet is still referenced lazily
-        # by the later pruned-decode query)
-        wtimes = reps(lambda: encode_parquet_dataset(spark, src_path)
-                      .write.mode("overwrite").parquet(f"{tmp}/encoded_rep.parquet"))
-        queries["encode_write_min3"] = min(wtimes)
-        queries["encode_write_median3"] = sorted(wtimes)[1]
-        extras["encode_write_runs"] = [round(x, 3) for x in wtimes]
-        extras["encode_write_vs_baseline"] = round(min(wtimes) / min(btimes), 4)
+        extras["encode_write_vs_baseline"] = round(
+            queries["encode_write"] / min(btimes), 4)
         pq_bytes = sum(
             os.path.getsize(os.path.join(r, f))
             for r, _, fs in os.walk(pq_path) for f in fs if f.endswith(".parquet")
