@@ -27,7 +27,8 @@ from pyspark.sql.window import Window
 
 def pack_sequences(toks: DataFrame, seq_budget: int = 2048,
                    source_col: str = "source", id_col: str = "doc_id",
-                   weight_col: str = "n_tok") -> DataFrame:
+                   weight_col: str = "n_tok",
+                   shard_col: str | None = None) -> DataFrame:
     """(doc_id, source, n_tok, tok_start, seq_id): greedy contiguous fill
     of per-source token streams into ``seq_budget``-token sequences.
 
@@ -36,8 +37,16 @@ def pack_sequences(toks: DataFrame, seq_budget: int = 2048,
     training sequence the document STARTS in (documents may straddle a
     boundary; the split is a reader-side slice, as in standard packed
     pretraining).  Deterministic: the fill order is (source, doc_id).
-    """
-    w = Window.partitionBy(source_col).orderBy(id_col)
+
+    Scale note: the window sorts WITHIN each partition key.  With a few
+    giant sources (3 sources x 33 TB), partitioning by source alone makes
+    each window a single task -- pass ``shard_col`` (any deterministic
+    column, e.g. a doc-id-derived bucket) to pack independent
+    (source, shard) streams in parallel; each shard then has its own
+    sequence numbering, which packed-pretraining readers are indifferent
+    to."""
+    keys = [source_col] + ([shard_col] if shard_col else [])
+    w = Window.partitionBy(*keys).orderBy(id_col)
     cum = F.sum(weight_col).over(w)
     return toks.select(
         id_col, source_col, weight_col,

@@ -362,3 +362,29 @@ def test_decontaminate_drops_planted_overlap(spark):
     exp = sorted(r[0] for r in con.execute(
         decontaminate_oracle_sql(8, eval_pred="doc_id % 50 = 0")).fetchall())
     assert kept == exp
+
+
+def test_pack_sequences_sharded_parallel_windows(spark):
+    """shard_col splits one giant source into independently packed
+    streams (the 100-TB shape: no single-task window); within each
+    (source, shard) the stream is still gapless and budget-consistent."""
+    import pandas as pd
+
+    from sparkcodec.pipeline.packing import pack_sequences
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i:05d}" for i in range(400)],
+        "source": ["web"] * 400,  # ONE giant source
+        "n_tok": rng.integers(1, 500, 400),
+        "shard": [i % 8 for i in range(400)],
+    })
+    sdf = spark.createDataFrame(pdf)
+    got = pack_sequences(sdf, seq_budget=1000, shard_col="shard").toPandas()
+    got = got.merge(pdf[["doc_id", "shard"]], on="doc_id")
+    assert ((got["tok_start"] // 1000) == got["seq_id"]).all()
+    for sh, grp in got.sort_values("doc_id").groupby("shard"):
+        run = 0
+        for _, row in grp.iterrows():
+            assert row["tok_start"] == run
+            run += row["n_tok"]
