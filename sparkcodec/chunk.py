@@ -320,9 +320,13 @@ def _rank_encode(ints: np.ndarray, compress) -> bytes | None:
     order = np.argsort(-counts[nz], kind="stable")
     dict_vals = nz[order]
     ndv = len(dict_vals)
-    rank_of = np.empty(span, dtype=np.int64)
-    rank_of[dict_vals] = np.arange(ndv)
+    # ranks fit in uint32 (span < 2**22): a little-endian view of the rank
+    # array IS its byte planes -- each plane is one strided copy, no
+    # shift/mask temporaries over the full column
+    rank_of = np.empty(span, dtype="<u4")
+    rank_of[dict_vals] = np.arange(ndv, dtype="<u4")
     r = rank_of[shifted]
+    planes_mat = r.view("u1").reshape(-1, 4)
     out = bytearray()
     write_uvarint(out, n)
     write_uvarint(out, zigzag_int(ref))
@@ -333,7 +337,7 @@ def _rank_encode(ints: np.ndarray, compress) -> bytes | None:
     n_planes = max(1, (bit_widths(np.array([max(ndv - 1, 0)], dtype=np.uint64))[0] + 7) // 8)
     out.append(int(n_planes))
     for p in range(n_planes):
-        plane = ((r >> (8 * p)) & 0xFF).astype("u1").tobytes()
+        plane = np.ascontiguousarray(planes_mat[:, p]).tobytes()
         tag, comp = _compress(plane, compress)
         out.append(tag)
         write_uvarint(out, len(comp))
