@@ -8,9 +8,10 @@ fixtures and the driver query generate real PPM payloads, so
 ``strict=True`` passes end to end.  Payloads in other containers (JPEG,
 PNG, ...) fall back to a deterministic byte-derived fake unless
 ``strict=True``, which raises -- swapping in PIL/pyav changes only
-:func:`decode_image`'s fallback branch.  Video frame EXTRACTION stays
-stubbed (no container parser in this environment); the frame-sampling
-plumbing (explode + batch kernel) is real.
+:func:`decode_image`'s fallback branch.  Video frame EXTRACTION is real
+for the fixture container (a concatenated-PPM stream, MJPEG-like): frames
+are demuxed and per-frame features computed from actual pixels; mp4/webm
+and friends would need pyav and fall back (or raise under strict).
 """
 
 from __future__ import annotations
@@ -91,6 +92,24 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgb[::-1] if bottom_up else rgb)
 
 
+def decode_ppm_stream(buf: bytes) -> list[np.ndarray]:
+    """Concatenated binary PPM frames (the fixture 'video' container, an
+    MJPEG-like stream with a stdlib-parsable codec) -> list of (H, W, 3)
+    frames.  Each frame is self-delimiting: header + w*h*3 body bytes."""
+    frames: list[np.ndarray] = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        magic, (w, h, maxval), off = _ppm_header(buf[pos:pos + 64])
+        if magic != b"P6" or maxval != 255:
+            raise ValueError(f"bad PPM frame at offset {pos}")
+        body_off = pos + off
+        frames.append(np.frombuffer(buf, dtype="u1", count=w * h * 3,
+                                    offset=body_off).reshape(h, w, 3))
+        pos = body_off + w * h * 3
+    return frames
+
+
 def decode_image(payload: bytes, strict: bool = False) -> np.ndarray | None:
     """payload -> (H, W, 3) uint8 pixels.  Real decode for PPM/PGM/BMP;
     None (or raise, if strict) for containers this environment can't parse
@@ -132,27 +151,35 @@ def synth_media_table(spark, docs: DataFrame, kind: str = "image") -> DataFrame:
     Dims are plain modular functions of the id (not hash-derived) so an
     ANSI-SQL oracle can recompute every pixel closed-form
     (:func:`image_channel_sums_oracle_sql`)."""
+    # videos are short (<=12 frames) so the concatenated-PPM payloads stay
+    # small; images carry a single frame
+    n_frames = (F.pmod(F.col("doc_id") * 13, F.lit(12)) + 1 if kind == "video"
+                else F.lit(1))
     meta = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit(kind).alias("kind"),
         (F.pmod(F.col("doc_id"), F.lit(48)) + 16).cast("int").alias("width"),
         (F.pmod(F.col("doc_id") * 7, F.lit(48)) + 16).cast("int").alias("height"),
         F.lit(16000).cast("int").alias("sample_rate"),
-        (F.pmod(F.col("doc_id") * 13, F.lit(240)) + 1).cast("int").alias("n_frames"),
+        n_frames.cast("int").alias("n_frames"),
     )
+
+    def frame_pixels(mid: int, w: int, h: int, f: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.int64)
+        base = np.int64(mid) + np.int64(f) * 7
+        return np.stack([
+            (xx * 3 + base) % 256,
+            (yy * 5 + base * 7) % 256,
+            (xx + yy + base * 13) % 256,
+        ], axis=2).astype(np.uint8)
 
     def gen(it):
         for pdf in it:
             payloads = []
-            for mid, w, h in zip(pdf["media_id"], pdf["width"], pdf["height"]):
-                yy, xx = np.mgrid[0:h, 0:w].astype(np.int64)
-                base = np.int64(mid)
-                px = np.stack([
-                    (xx * 3 + base) % 256,
-                    (yy * 5 + base * 7) % 256,
-                    (xx + yy + base * 13) % 256,
-                ], axis=2).astype(np.uint8)
-                payloads.append(encode_ppm(px))
+            for mid, w, h, nf in zip(pdf["media_id"], pdf["width"],
+                                     pdf["height"], pdf["n_frames"]):
+                payloads.append(b"".join(
+                    encode_ppm(frame_pixels(mid, w, h, f)) for f in range(nf)))
             out = pdf.copy()
             out["payload"] = payloads
             yield out[["media_id", "kind", "payload", "width", "height",
@@ -270,28 +297,45 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
         .mapInPandas(rs, "media_id long, payload binary, width int, height int")
 
 
-def sample_frames(media: DataFrame, every_n: int = 10,
+def sample_frames(media: DataFrame, every_n: int = 10, feat_dim: int = 16,
                   strict: bool = False) -> DataFrame:
-    """Frame sampling for video rows: one output row per kept frame index
-    (explode is JVM-side).  Frame EXTRACTION is stubbed -- no video
-    container parser ships here -- so per-frame features use the
-    deterministic byte fallback (strict raises)."""
-    frames = media.filter(F.col("kind") == "video").select(
-        "media_id", "payload", "n_frames",
-        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)))
-        .alias("frame_idx"),
-    )
+    """Frame sampling for video rows with REAL frame extraction: the
+    fixture container is a concatenated-PPM stream (MJPEG-like, stdlib
+    parsable), decoded ONCE per video inside the batch kernel -- each
+    kept frame's features come from its actual pixels.  The payload is
+    never exploded per frame (a per-frame explode would shuffle the whole
+    video once per kept frame).  Containers needing a real demuxer
+    (mp4/webm) fall back to the deterministic byte fake, or raise under
+    ``strict``."""
 
     def fr(it):
         for pdf in it:
-            if strict:
-                raise NotImplementedError(
-                    "video frame extraction needs a container parser (pyav)")
-            feats = [_fake_features(p, 16) for p in pdf["payload"]]
+            mids, idxs, feats = [], [], []
+            for mid, p, nf in zip(pdf["media_id"], pdf["payload"],
+                                  pdf["n_frames"]):
+                p = bytes(p)
+                frames = None
+                if p[:2] == b"P6":
+                    frames = decode_ppm_stream(p)
+                elif strict:
+                    raise NotImplementedError(
+                        f"video container {p[:2]!r} needs a demuxer "
+                        "(pyav) not present here; concatenated-PPM "
+                        "streams decode natively")
+                for f in range(0, int(nf), every_n):
+                    mids.append(mid)
+                    idxs.append(f)
+                    if frames is not None and f < len(frames):
+                        feats.append(image_features(frames[f], feat_dim).tolist())
+                    else:
+                        feats.append(_fake_features(p, feat_dim).tolist())
             yield pd.DataFrame({
-                "media_id": pdf["media_id"].to_numpy(),
-                "frame_idx": pdf["frame_idx"].to_numpy(),
-                "frame_feat": [f.tolist() for f in feats],
+                "media_id": np.array(mids, dtype=np.int64),
+                "frame_idx": np.array(idxs, dtype=np.int32),
+                "frame_feat": feats,
             })
 
-    return frames.mapInPandas(fr, "media_id long, frame_idx int, frame_feat array<float>")
+    return (media.filter(F.col("kind") == "video")
+            .select("media_id", "payload", "n_frames")
+            .mapInPandas(fr, "media_id long, frame_idx int, "
+                             "frame_feat array<float>"))

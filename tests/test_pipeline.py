@@ -388,3 +388,31 @@ def test_pack_sequences_sharded_parallel_windows(spark):
         for _, row in grp.iterrows():
             assert row["tok_start"] == run
             run += row["n_tok"]
+
+
+def test_video_frame_extraction_is_real(spark):
+    """The video fixture is a concatenated-PPM stream; sample_frames
+    demuxes it and computes per-frame features from ACTUAL pixels --
+    strict mode passes, and the frame-0 features equal image_features of
+    the independently recomputed frame-0 pixels."""
+    from sparkcodec.pipeline.multimodal import (
+        image_features, sample_frames, synth_media_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
+    video = synth_media_table(spark, docs, kind="video")
+    fr = sample_frames(video, every_n=1, feat_dim=16, strict=True).toPandas()
+    meta = {r["media_id"]: (r["width"], r["height"], r["n_frames"])
+            for r in video.collect()}
+    assert len(fr) == sum(nf for _, _, nf in meta.values())
+    # recompute one frame closed-form and compare features exactly
+    mid = sorted(meta)[1]
+    w, h, nf = meta[mid]
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.int64)
+    base = np.int64(mid) + 7 * np.int64(2 % nf)
+    px = np.stack([(xx * 3 + base) % 256, (yy * 5 + base * 7) % 256,
+                   (xx + yy + base * 13) % 256], axis=2).astype(np.uint8)
+    want = image_features(px, 16).tolist()
+    got = fr[(fr["media_id"] == mid) & (fr["frame_idx"] == (2 % nf))]
+    assert len(got) == 1
+    assert list(got.iloc[0]["frame_feat"]) == pytest.approx(want)
