@@ -318,6 +318,23 @@ def _media_features(spark, sf_dir):
     return image_channel_sums(media, strict=True)
 
 
+def _media_audio_features(spark, sf_dir):
+    """Audio pipeline with a full value oracle: fixture payloads are REAL
+    RIFF/WAVE PCM16 (pure-numpy decoder; strict on), samples a closed-form
+    function of (media_id, i) -- DuckDB recomputes the exact integer sums,
+    proving the decode read every sample."""
+    from sparkcodec.pipeline.multimodal import extract_audio_features, synth_media_table
+
+    media = synth_media_table(spark, _docs(spark, sf_dir), kind="audio")
+    return extract_audio_features(media, strict=True)
+
+
+def _media_audio_oracle() -> str:
+    from sparkcodec.pipeline.multimodal import audio_features_oracle_sql
+
+    return audio_features_oracle_sql()
+
+
 def _roundtrip_parquet_file(spark, sf_dir):
     """lineitem written as REAL parquet by OUR writer (thrift footer,
     DataPageV2, own encoders), read back by Spark's builtin reader."""
@@ -649,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "media_image_features": _media_features,
+        "media_audio_features": _media_audio_features,
         "roundtrip_parquet_file": _roundtrip_parquet_file,
         "roundtrip_parquet_typed": _roundtrip_parquet_typed,
         "roundtrip_parquet_nested": _roundtrip_parquet_nested,
@@ -729,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": _dedup_embedding_oracle(),
         "dedup_embedding_cosine": _dedup_embedding_oracle(),
         "media_image_features": _media_sums_oracle(),
+        "media_audio_features": _media_audio_oracle(),
     }
 
 

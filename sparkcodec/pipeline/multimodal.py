@@ -92,6 +92,48 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgb[::-1] if bottom_up else rgb)
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """PCM16 mono -> RIFF/WAVE bytes (stdlib-parsable audio container)."""
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    return (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + sample_rate.to_bytes(4, "little")
+            + (sample_rate * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + len(data).to_bytes(4, "little") + data)
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> ((n, channels) int16 samples, sample_rate).
+    Pure-numpy chunk walker; raises on compressed/float WAV."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        size = int.from_bytes(buf[pos + 4:pos + 8], "little")
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            if fmt != 1:
+                raise ValueError(f"only PCM WAV supported, format={fmt}")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if bits != 16:
+                raise ValueError(f"only 16-bit PCM supported, bits={bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, channels), rate
+
+
 def decode_ppm_stream(buf: bytes) -> list[np.ndarray]:
     """Concatenated binary PPM frames (the fixture 'video' container, an
     MJPEG-like stream with a stdlib-parsable codec) -> list of (H, W, 3)
@@ -173,13 +215,23 @@ def synth_media_table(spark, docs: DataFrame, kind: str = "image") -> DataFrame:
             (xx + yy + base * 13) % 256,
         ], axis=2).astype(np.uint8)
 
+    def audio_samples(mid: int) -> np.ndarray:
+        # closed-form PCM16 so a SQL oracle can recompute every sample
+        n = (int(mid) % 50 + 10) * 80
+        i = np.arange(n, dtype=np.int64)
+        return ((i * 31 + int(mid) * 17) % 65536 - 32768).astype("<i2")
+
     def gen(it):
         for pdf in it:
             payloads = []
             for mid, w, h, nf in zip(pdf["media_id"], pdf["width"],
                                      pdf["height"], pdf["n_frames"]):
-                payloads.append(b"".join(
-                    encode_ppm(frame_pixels(mid, w, h, f)) for f in range(nf)))
+                if kind == "audio":
+                    payloads.append(encode_wav(audio_samples(mid), 16000))
+                else:
+                    payloads.append(b"".join(
+                        encode_ppm(frame_pixels(mid, w, h, f))
+                        for f in range(nf)))
             out = pdf.copy()
             out["payload"] = payloads
             yield out[["media_id", "kind", "payload", "width", "height",
@@ -295,6 +347,63 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
     return media.filter(F.col("kind") == "image") \
         .select("media_id", "payload", "width", "height") \
         .mapInPandas(rs, "media_id long, payload binary, width int, height int")
+
+
+def extract_audio_features(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Exact audio stats from REAL decoded PCM: (media_id, sample_rate,
+    n_samples, sum_samples, max_abs).  The fixture samples are a
+    closed-form function of (media_id, i), so a DuckDB oracle recomputes
+    these integers exactly (:func:`audio_features_oracle_sql`) -- equality
+    proves the WAV decode read every sample."""
+
+    def feats(it):
+        for pdf in it:
+            rows = {"media_id": pdf["media_id"].to_numpy(),
+                    "sample_rate": [], "n_samples": [],
+                    "sum_samples": [], "max_abs": []}
+            for p in pdf["payload"]:
+                p = bytes(p)
+                if p[:4] == b"RIFF":
+                    samples, rate = decode_wav(p)
+                    mono = samples.astype(np.int64).sum(axis=1)
+                elif strict:
+                    raise NotImplementedError(
+                        f"audio container {p[:4]!r} needs an audio library; "
+                        "RIFF/WAVE PCM decodes natively")
+                else:
+                    mono, rate = np.zeros(0, dtype=np.int64), 0
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(mono))
+                rows["sum_samples"].append(int(mono.sum()))
+                rows["max_abs"].append(int(np.abs(mono).max(initial=0)))
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "payload") \
+        .mapInPandas(feats, "media_id long, sample_rate int, n_samples int, "
+                            "sum_samples long, max_abs long")
+
+
+def audio_features_oracle_sql(table: str = "documents") -> str:
+    """DuckDB recomputation of :func:`extract_audio_features` over the
+    synth_media_table audio fixture: sample i of media m is
+    (31i + 17m) % 65536 - 32768 with n = (m % 50 + 10) * 80."""
+    return f"""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 (doc_id % 50 + 10) * 80 AS n FROM {table}
+        ), s AS (
+          SELECT media_id, n,
+                 list_transform(range(0, n),
+                   i -> (31 * i + 17 * media_id) % 65536 - 32768) AS vals
+          FROM m
+        )
+        SELECT media_id,
+               CAST(16000 AS INT) AS sample_rate,
+               CAST(n AS INT) AS n_samples,
+               CAST(list_sum(vals) AS BIGINT) AS sum_samples,
+               CAST(list_max(list_transform(vals, v -> abs(v))) AS BIGINT) AS max_abs
+        FROM s
+    """
 
 
 def sample_frames(media: DataFrame, every_n: int = 10, feat_dim: int = 16,

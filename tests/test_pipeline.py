@@ -416,3 +416,34 @@ def test_video_frame_extraction_is_real(spark):
     got = fr[(fr["media_id"] == mid) & (fr["frame_idx"] == (2 % nf))]
     assert len(got) == 1
     assert list(got.iloc[0]["frame_feat"]) == pytest.approx(want)
+
+
+def test_audio_wav_roundtrip_and_oracle(spark):
+    """RIFF/WAVE PCM16 codec round-trips bit-exactly, and
+    extract_audio_features equals the closed-form DuckDB recomputation --
+    the audio decode reads every sample."""
+    import duckdb
+
+    from sparkcodec.pipeline.multimodal import (
+        audio_features_oracle_sql,
+        decode_wav,
+        encode_wav,
+        extract_audio_features,
+        synth_media_table,
+    )
+
+    rng = np.random.default_rng(4)
+    samples = rng.integers(-32768, 32768, 5000).astype("<i2")
+    back, rate = decode_wav(encode_wav(samples, 22050))
+    assert rate == 22050 and back.shape == (5000, 1)
+    np.testing.assert_array_equal(back[:, 0], samples)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = synth_media_table(spark, docs, kind="audio")
+    got = sorted(tuple(r) for r in extract_audio_features(media, strict=True).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    exp = sorted(tuple(r) for r in
+                 con.execute(audio_features_oracle_sql()).fetchall())
+    assert got == exp and len(got) > 0
