@@ -250,6 +250,21 @@ def _scrub_pii_oracle() -> str:
     return scrub_pii_oracle_sql()
 
 
+def _gopher_repetition(spark, sf_dir):
+    """Gopher-rule repetition filters (duplicate-line ratio, top word-
+    2-gram mass, no-alpha word fraction): per-doc aggregations only, no
+    cross-document joins."""
+    from sparkcodec.pipeline.textstats import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf_dir))
+
+
+def _gopher_repetition_oracle() -> str:
+    from sparkcodec.pipeline.textstats import gopher_repetition_oracle_sql
+
+    return gopher_repetition_oracle_sql()
+
+
 def _lang_id(spark, sf_dir):
     from sparkcodec.pipeline.textstats import lang_id
 
@@ -658,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "scrub_pii": _scrub_pii,
         "decontaminate": _decontaminate,
+        "text_gopher_repetition": _gopher_repetition,
         "text_lang_id": _lang_id,
         "text_quality_score": _quality,
         "text_token_count": _token_count,
@@ -719,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_oracle(),
         "scrub_pii": _scrub_pii_oracle(),
         "decontaminate": _decontaminate_oracle(),
+        "text_gopher_repetition": _gopher_repetition_oracle(),
         "text_lang_id": _textstats_oracle("lang_id"),
         "text_quality_score": _textstats_oracle("quality"),
         "text_token_count": _textstats_oracle("token_count"),

@@ -194,3 +194,75 @@ def scrub_pii_oracle_sql(table: str = "documents") -> str:
                CAST(length({expr}) - length(text) AS BIGINT) AS len_delta
         FROM {table}
     """
+
+
+def gopher_repetition(docs: DataFrame) -> DataFrame:
+    """Gopher-rule repetition signals (Rae et al. 2021, table A1):
+    duplicate-line ratio, top word-2-gram mass, and the fraction of words
+    with no alphabetic character.  One explode + per-doc aggregation for
+    the 2-gram mass (shuffle keyed by doc -- no cross-document join);
+    line stats are pure array expressions in codegen."""
+    words = F.expr("filter(split(text, ' '), w -> w <> '')")
+    lines = F.expr("filter(split(text, '\n'), l -> l <> '')")
+    base = docs.select(
+        "doc_id",
+        words.alias("w"),
+        F.when(F.size(lines) > 0,
+               F.round(1 - F.size(F.array_distinct(lines)) / F.size(lines), 6))
+        .otherwise(F.lit(0.0)).alias("dup_line_ratio"),
+        F.when(F.size(words) > 0,
+               F.round(F.size(F.expr(
+                   "filter(filter(split(text, ' '), w -> w <> ''), "
+                   "w -> w NOT RLIKE '[A-Za-z]')")) / F.size(words), 6))
+        .otherwise(F.lit(0.0)).alias("frac_words_no_alpha"),
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), "
+            "i -> concat_ws(' ', slice(w, i + 1, 2))) "
+            "ELSE CAST(array() AS array<string>) END")).alias("gram"),
+    )
+    top = (grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("doc_id")
+           .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_2gram_ratio")))
+    return (base.select("doc_id", "dup_line_ratio", "frac_words_no_alpha")
+            .join(top, "doc_id", "left")
+            .fillna({"top_2gram_ratio": 0.0})
+            .select("doc_id", "dup_line_ratio", "top_2gram_ratio",
+                    "frac_words_no_alpha"))
+
+
+def gopher_repetition_oracle_sql(table: str = "documents") -> str:
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS w,
+                 list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+          FROM {table}
+        ), lstats AS (
+          SELECT doc_id,
+                 CASE WHEN len(lines) > 0 THEN
+                   round(1 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+                 ELSE 0.0 END AS dup_line_ratio,
+                 CASE WHEN len(w) > 0 THEN
+                   round(CAST(len(list_filter(w, x -> NOT regexp_matches(x, '[A-Za-z]')))
+                         AS DOUBLE) / len(w), 6)
+                 ELSE 0.0 END AS frac_words_no_alpha
+          FROM base
+        ), grams AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(w) - 1, 0)),
+            i -> concat(w[i], ' ', w[i + 1]))) AS gram
+          FROM base
+        ), counts AS (
+          SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+        ), top AS (
+          SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_2gram_ratio
+          FROM counts GROUP BY doc_id
+        )
+        SELECT l.doc_id, l.dup_line_ratio,
+               coalesce(t.top_2gram_ratio, 0.0) AS top_2gram_ratio,
+               l.frac_words_no_alpha
+        FROM lstats l LEFT JOIN top t ON l.doc_id = t.doc_id
+    """

@@ -447,3 +447,37 @@ def test_audio_wav_roundtrip_and_oracle(spark):
     exp = sorted(tuple(r) for r in
                  con.execute(audio_features_oracle_sql()).fetchall())
     assert got == exp and len(got) > 0
+
+
+def test_gopher_repetition_matches_duckdb(spark):
+    """Gopher repetition filters equal the DuckDB recomputation, including
+    planted repeated-line / repeated-2-gram / symbol-soup documents."""
+    import duckdb
+    import pandas as pd
+
+    from sparkcodec.pipeline.textstats import (
+        gopher_repetition,
+        gopher_repetition_oracle_sql,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "spam spam spam spam spam spam",
+            "line one\nline two\nline one\nline two\nline three",
+            "100 200 %%% ### abc def",
+            "",
+            "a normal sentence with mostly unique words in it",
+        ],
+    })
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(tuple(r) for r in gopher_repetition(sdf).collect())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = sorted(tuple(r) for r in
+                 con.execute(gopher_repetition_oracle_sql()).fetchall())
+    assert got == exp
+    d = {r[0]: r for r in got}
+    assert d[1][2] > 0.8      # "spam spam" dominates the 2-grams
+    assert d[2][1] > 0.3      # duplicate lines detected
+    assert d[3][3] > 0.5      # symbol-soup words flagged
