@@ -250,6 +250,25 @@ def _scrub_pii_oracle() -> str:
     return scrub_pii_oracle_sql()
 
 
+def _bpe_tokenize(spark, sf_dir):
+    """From-scratch BPE: ONE distributed word-count pass over the corpus,
+    driver-side merge learning on the (tiny) word-frequency table, then
+    distributed encode with broadcast merge ranks.  Iterative training is
+    not SQL-expressible -> rows-only here; the pytest oracle checks the
+    merges and encodings against a pure-Python reference
+    (tests/test_pipeline.py::test_bpe_learns_classic_merges_and_encodes)."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.pipeline.bpe import bpe_encode, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe(docs, n_merges=100)
+    return (bpe_encode(docs, merges)
+            .select("doc_id", "n_bpe",
+                    F.expr("array_join(slice(bpe_tokens, 1, 5), '|')")
+                    .alias("head_tokens")))
+
+
 def _gopher_repetition(spark, sf_dir):
     """Gopher-rule repetition filters (duplicate-line ratio, top word-
     2-gram mass, no-alpha word fraction): per-doc aggregations only, no
@@ -674,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _scrub_pii,
         "decontaminate": _decontaminate,
         "text_gopher_repetition": _gopher_repetition,
+        "bpe_tokenize": _bpe_tokenize,
         "text_lang_id": _lang_id,
         "text_quality_score": _quality,
         "text_token_count": _token_count,

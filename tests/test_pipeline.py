@@ -481,3 +481,62 @@ def test_gopher_repetition_matches_duckdb(spark):
     assert d[1][2] > 0.8      # "spam spam" dominates the 2-grams
     assert d[2][1] > 0.3      # duplicate lines detected
     assert d[3][3] > 0.5      # symbol-soup words flagged
+
+
+def test_bpe_learns_classic_merges_and_encodes(spark):
+    """BPE on the classic low/lower/newest corpus: the distributed
+    word-count + driver merge-learning must reproduce the merges a
+    pure-Python reference derives, and the distributed encode must equal
+    per-word reference encoding."""
+    import pandas as pd
+
+    from sparkcodec.pipeline.bpe import (
+        bpe_encode, encode_word, learn_merges, train_bpe, word_counts,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": range(4),
+        "text": ["low low low low low",
+                 "lower lower",
+                 "newest newest newest newest newest newest",
+                 "widest widest widest"],
+    })
+    sdf = spark.createDataFrame(pdf)
+    wc = word_counts(sdf)
+    assert dict(wc) == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe(sdf, n_merges=10)
+    # reference merge learning on the same counts must agree exactly
+    assert merges == learn_merges(wc, 10)
+    # training converges the frequent words to single tokens, and the
+    # learned 'est</w>' suffix generalizes to unseen words
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode_word("newest", ranks) == ["newest</w>"]
+    assert "est</w>" in encode_word("tallest", ranks)
+    enc = {r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe"])
+           for r in bpe_encode(sdf, merges).collect()}
+    for i, text in enumerate(pdf["text"]):
+        want = []
+        for w in text.split():
+            want.extend(encode_word(w, ranks))
+        assert enc[i][0] == want and enc[i][1] == len(want)
+    # lossless: concatenating tokens restores the words
+    joined = "".join(enc[2][0]).replace("</w>", " ").strip()
+    assert joined == pdf["text"][2]
+
+
+def test_bpe_deterministic_on_fixture_corpus(spark):
+    """Training twice on the real documents table yields identical merges
+    (deterministic tie-breaks) and encode is exact on every doc."""
+    from sparkcodec.pipeline.bpe import bpe_encode, train_bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    m1 = train_bpe(docs, n_merges=50)
+    m2 = train_bpe(docs, n_merges=50)
+    assert m1 == m2 and len(m1) == 50
+    out = bpe_encode(docs, m1)
+    rows = out.collect()
+    assert len(rows) == 100
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in rows:
+        restored = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
+        assert restored == " ".join(w for w in orig[r["doc_id"]].split(" ") if w)
