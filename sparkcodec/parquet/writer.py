@@ -827,16 +827,12 @@ def _forced_encoding(values: pa.Array, phys: int, user_enc: int):
             return ENC_RLE_DICT, (d.cast(values.type) if as_bin is not values
                                   else d), idx
         if phys in (PT_INT32, PT_INT64, PT_FLOAT, PT_DOUBLE):
-            np_vals = _numeric_np(values, phys)
-            ints = np_vals.view(np.int64) if np_vals.dtype.kind == "f" and \
-                np_vals.dtype.itemsize == 8 else np_vals
-            idx, d = factorize(np.ascontiguousarray(ints), "numeric")
-            dv = pa.array(d).cast(values.type) if not pa.types.is_decimal(
-                values.type) else None
-            if dv is None:
-                raise TypeError("RLE_DICTIONARY override unsupported for "
-                                f"{values.type}")
-            return ENC_RLE_DICT, dv, idx
+            # same shape as the auto path: the dict page is written from
+            # the raw numpy values (plain_encode_numeric), so no arrow
+            # casting that would CONVERT float values instead of keeping
+            # their bit patterns
+            idx, d = factorize(_numeric_np(values, phys), "numeric")
+            return ENC_RLE_DICT, d, idx
         raise TypeError(f"RLE_DICTIONARY override unsupported for {values.type}")
     ok = {
         ENC_PLAIN: True,
