@@ -451,7 +451,7 @@ def group_may_contain(blob, column: str, value) -> bool:
     """Bloom probe on an encoded chunk group WITHOUT decoding the data.
     True if the chunk may contain ``value`` in ``column`` (always True when
     the column carries no bloom filter)."""
-    from .kernels.bloom import SplitBlockBloom, xxhash64_int64, xxhash64_matrix
+    from .kernels.bloom import SplitBlockBloom
 
     mv = memoryview(blob)
     if bytes(mv[:4]) != GROUP_MAGIC:
@@ -474,15 +474,7 @@ def group_may_contain(blob, column: str, value) -> bool:
             if bloom_len == 0:
                 return True
             bloom = SplitBlockBloom.from_bytes(bytes(bloom_buf))
-            if isinstance(value, (int, np.integer)):
-                h = xxhash64_int64(np.array([value], dtype=np.int64))
-            else:
-                b = value.encode() if isinstance(value, str) else bytes(value)
-                mat = np.zeros((1, max(len(b), 1)), dtype="u1")
-                if b:
-                    mat[0, : len(b)] = np.frombuffer(b, dtype="u1")
-                h = xxhash64_matrix(mat, np.array([len(b)]))
-            return bool(bloom.might_contain(h)[0])
+            return bool(bloom.might_contain(_probe_hash(value))[0])
         pos += blen
     return True
 

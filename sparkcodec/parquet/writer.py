@@ -175,7 +175,7 @@ def _physical_of(t: pa.DataType):
         ])
         return PT_INT64, conv, None, logical, None
     if pa.types.is_time32(t) or pa.types.is_time64(t):
-        unit = t.unit
+        unit = "ms" if t.unit == "s" else t.unit  # s scaled to ms in _numeric_np
         conv = {"ms": CONV_TIME_MILLIS, "us": CONV_TIME_MICROS,
                 "ns": None}[unit]
         logical = (LT_TIME, [
@@ -374,6 +374,8 @@ def _numeric_np(values: pa.Array, phys: int) -> np.ndarray:
             values = values.cast(pa.timestamp("ms", tz=t.tz))
         values = values.cast(pa.int64())
     elif pa.types.is_time32(t):
+        if t.unit == "s":  # footer says millis; scale the values to match
+            values = values.cast(pa.time32("ms"))
         values = values.cast(pa.int32())
     elif pa.types.is_time64(t):
         values = values.cast(pa.int64())
@@ -425,8 +427,13 @@ def _stats_raw(values: pa.Array, phys: int, n_logical: int,
             scale = values.type.scale
 
             def enc(d):
-                return int(d.scaleb(scale)).to_bytes(type_length, "big",
-                                                     signed=True)
+                # exact unscaled int from the digit tuple -- scaleb would
+                # round past the Decimal context's 28 significant digits
+                sign, digits, exp = d.as_tuple()
+                unscaled = int("".join(map(str, digits)) or "0") \
+                    * 10 ** (exp + scale)
+                return (-unscaled if sign else unscaled).to_bytes(
+                    type_length, "big", signed=True)
 
             return null_count, mn_v, mx_v, enc(mn_v), enc(mx_v)
         if pa.types.is_float16(values.type) or len(values) == 0:
@@ -666,9 +673,18 @@ class ParquetWriter:
         # page indexes: all ColumnIndexes, then all OffsetIndexes, after the
         # row groups and before the footer (reference: src/indexes.js:15-22);
         # skipped for single-page chunks (reference: src/indexes.js:31)
+        def indexable(info) -> bool:
+            # a ColumnIndex encodes "no min/max" as null_pages=true, which
+            # MEANS all-null to readers: chunks whose stats were omitted
+            # (statistics=False, uint32/64, float16) but whose pages hold
+            # live values must not get a ColumnIndex at all
+            return len(info["pages"]) > 1 and all(
+                p["min_bytes"] is not None or p["null_count"] == p["n_values"]
+                for p in info["pages"])
+
         for chunk_infos, _, _ in self.row_groups:
             for info in chunk_infos:
-                if len(info["pages"]) > 1:
+                if indexable(info):
                     ci = _column_index_bytes(info)
                     info["column_index_offset"] = len(out)
                     info["column_index_length"] = len(ci)
@@ -893,10 +909,17 @@ def _write_column_chunk(out: bytearray, arr: pa.Array, leaf: _Leaf, codec: int,
             raw = _encode_values(vv, leaf.phys, encoding, leaf.type_length)
             enc_tag = encoding
         comp = _compress(raw, codec)
-        null_count, mn_raw, mx_raw, mn_b, mx_b = _stats_raw(
-            vv, leaf.phys, len(dd), leaf.type_length)
-        stats = ([(3, CT_I64, null_count), (5, CT_BINARY, mx_b), (6, CT_BINARY, mn_b)]
-                 if statistics else None)
+        if statistics:
+            null_count, mn_raw, mx_raw, mn_b, mx_b = _stats_raw(
+                vv, leaf.phys, len(dd), leaf.type_length)
+            stats = [(3, CT_I64, null_count), (5, CT_BINARY, mx_b),
+                     (6, CT_BINARY, mn_b)]
+        else:
+            # statistics=False skips the min/max computation entirely, not
+            # just the footer structs
+            null_count = len(dd) - len(vv)
+            mn_raw = mx_raw = mn_b = mx_b = None
+            stats = None
         header = _page_header_v2(
             num_values=len(dd),
             num_nulls=len(dd) - len(vv),
@@ -914,6 +937,7 @@ def _write_column_chunk(out: bytearray, arr: pa.Array, leaf: _Leaf, codec: int,
         pages_info.append({
             "offset": page_offset, "size": len(out) - page_offset,
             "first_row": first_row, "null_count": null_count,
+            "n_values": len(dd),
             "min_raw": mn_raw, "max_raw": mx_raw,
             "min_bytes": mn_b, "max_bytes": mx_b,
         })

@@ -168,10 +168,12 @@ PII_PATTERNS = (
 
 
 def scrub_pii(docs: DataFrame) -> DataFrame:
-    """(doc_id, clean_text, n_masked): emails, phone numbers, and IPv4
+    """(doc_id, clean_text, len_delta): emails, phone numbers, and IPv4
     addresses replaced by typed mask tokens -- the redaction pass a
-    training pipeline runs before tokenization.  Pure codegen
-    (regexp_replace chain); no Python in the hot path."""
+    training pipeline runs before tokenization; ``len_delta`` is the
+    character-count change from masking (negative when PII was longer
+    than its mask).  Pure codegen (regexp_replace chain); no Python in
+    the hot path."""
     c = F.col("text")
     for pat, repl in PII_PATTERNS:
         # functional form: the pattern is passed as a literal, bypassing

@@ -117,10 +117,19 @@ def _write_value(out: bytearray, val, key_index: dict[str, int]) -> None:
         out.extend(struct.pack("<d", val))
     elif isinstance(val, decimal.Decimal):
         # smallest of decimal4/8/16 that fits the unscaled value; scale is
-        # the decimal's own exponent (negative exponents only)
+        # the decimal's own exponent (negative exponents only).  The
+        # unscaled value is derived EXACTLY from the digit tuple --
+        # int(val.scaleb(scale)) would silently round past the default
+        # Decimal context's 28 significant digits.
         sign, digits, exp = val.as_tuple()
+        if not isinstance(exp, int):
+            raise ValueError(f"cannot encode non-finite decimal {val}")
         scale = max(-exp, 0)
-        unscaled = int(val.scaleb(scale))
+        if scale > 38:
+            raise OverflowError(f"variant decimal scale out of range: {val}")
+        unscaled = int("".join(map(str, digits)) or "0") * 10 ** (exp + scale)
+        if sign:
+            unscaled = -unscaled
         for tid, w in ((_DEC4, 4), (_DEC8, 8), (_DEC16, 16)):
             if -(1 << (8 * w - 1)) <= unscaled < (1 << (8 * w - 1)):
                 out.append(tid << 2)
@@ -277,7 +286,10 @@ def _read_value(buf: bytes, pos: int, dictionary: list[str]):
         w = {_DEC4: 4, _DEC8: 8, _DEC16: 16}[tid]
         scale = buf[pos]
         unscaled = int.from_bytes(buf[pos + 1:pos + 1 + w], "little", signed=True)
-        return decimal.Decimal(unscaled).scaleb(-scale), pos + 1 + w
+        # tuple constructor: exact regardless of the Decimal context
+        # (scaleb would round decimal16 values past 28 significant digits)
+        digits = tuple(int(c) for c in str(abs(unscaled)))
+        return decimal.Decimal((1 if unscaled < 0 else 0, digits, -scale)), pos + 1 + w
     if tid == _DATE:
         days = int.from_bytes(buf[pos:pos + 4], "little", signed=True)
         return _EPOCH + datetime.timedelta(days=days), pos + 4

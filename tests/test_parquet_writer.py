@@ -684,3 +684,48 @@ def test_statistics_off():
     st = md.row_group(0).column(0).statistics
     assert st is None or st.min is None
     _assert_equal(off, t)
+
+
+def test_wide_decimal_stats_exact_past_28_digits():
+    """Decimal stats must be exact beyond Python's default 28-digit
+    Decimal context: int(scaleb) would round the unscaled value and write
+    wrong min/max into the footer (code-review r3 finding)."""
+    import decimal
+
+    lo = decimal.Decimal("-98765432109876543210.000000001")   # 29 sig digits
+    hi = decimal.Decimal("12345678901234567890123456.789012")  # 32 sig digits
+    t = pa.table({"d": pa.array([lo, hi, None], type=pa.decimal128(38, 9))})
+    buf = write_parquet_bytes(t, use_dictionary=False)
+    st = pq.ParquetFile(io.BytesIO(buf)).metadata.row_group(0).column(0).statistics
+    assert st.min == lo and st.max == hi and st.null_count == 1
+
+
+def test_time32_seconds_lowers_to_millis():
+    t = pa.table({"t": pa.array([1, 2, None, 86399], type=pa.time32("s"))})
+    back = _roundtrip(t)
+    assert back.schema.field("t").type == pa.time32("ms")
+    assert back.column("t").to_pylist() == \
+        t.column("t").cast(pa.time32("ms")).to_pylist()
+
+
+def test_stats_omitted_pages_get_no_column_index():
+    """uint64 stats are omitted (UNSIGNED sort order); a ColumnIndex would
+    have to mark live pages null_pages=true, which readers treat as
+    all-null -- so no ColumnIndex may be written for such chunks
+    (code-review r3 finding)."""
+    n = 400000
+    t = pa.table({"u": pa.array(
+        np.arange(n, dtype=np.uint64) + (1 << 63), type=pa.uint64())})
+    buf = write_parquet_bytes(t, use_dictionary=False, page_bytes=1 << 18)
+    pf = pq.ParquetFile(io.BytesIO(buf))
+    # values decode exactly despite omitted stats
+    assert pq.read_table(io.BytesIO(buf)).equals(t)
+    # our own thrift reader: the chunk must carry NO column_index_offset
+    from sparkcodec.parquet.thrift_read import read_struct
+
+    mv = memoryview(buf)
+    flen = int.from_bytes(buf[-8:-4], "little")
+    footer, _ = read_struct(mv, len(buf) - 8 - flen)
+    chunk = footer[4][0][1][0]
+    assert chunk.get(6) is None  # no ColumnIndex offset
+    assert chunk.get(4) is not None  # OffsetIndex still present

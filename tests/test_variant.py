@@ -220,3 +220,18 @@ def test_variant_to_json_handles_non_json_primitives(spark):
     assert parsed["ts"].startswith("2024-01-01T12:00:00")
     import base64
     assert base64.b64decode(parsed["blob"]) == b"\x00\x01binary"
+
+
+def test_variant_decimal_exact_past_28_digits_and_scale_bounds():
+    """Decimal encode derives the unscaled value from the digit tuple --
+    int(scaleb) would silently round >28 significant digits -- and
+    out-of-range scales raise instead of writing spec-invalid bytes."""
+    from sparkcodec.variant import decode_variant, encode_variant_rows
+
+    v = decimal.Decimal("1234567890123456789012345678.90")  # 30 sig digits
+    meta, vals = encode_variant_rows([v])
+    assert decode_variant(meta, vals[0]) == v
+    with pytest.raises(OverflowError, match="scale"):
+        encode_variant_rows([decimal.Decimal("1E-300")])
+    with pytest.raises(OverflowError, match="decimal16|scale"):
+        encode_variant_rows([decimal.Decimal(10) ** 50])
