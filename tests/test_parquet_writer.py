@@ -729,3 +729,20 @@ def test_stats_omitted_pages_get_no_column_index():
     chunk = footer[4][0][1][0]
     assert chunk.get(6) is None  # no ColumnIndex offset
     assert chunk.get(4) is not None  # OffsetIndex still present
+
+
+def test_forced_dictionary_on_floats_bit_exact():
+    """RLE_DICTIONARY pinned on float columns must write the raw values
+    (an arrow cast from int bit patterns would CONVERT them); round-trips
+    bit-exactly in both readers."""
+    t = pa.table({
+        "f64": pa.array(np.tile(RNG.normal(size=8), 1000)),
+        "f32": pa.array(np.tile(RNG.normal(size=8).astype(np.float32), 1000)),
+        "i": pa.array(np.tile(RNG.integers(0, 9, 8), 1000).astype(np.int32)),
+    })
+    buf = write_parquet_bytes(t, column_encodings={
+        "f64": "RLE_DICTIONARY", "f32": "RLE_DICTIONARY", "i": "RLE_DICTIONARY"})
+    _assert_equal(buf, t)
+    md = pq.ParquetFile(io.BytesIO(buf)).metadata
+    for c in range(3):
+        assert "RLE_DICTIONARY" in md.row_group(0).column(c).encodings
