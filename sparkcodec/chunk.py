@@ -402,25 +402,45 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
     # TIMESTAMP -> INT64 epoch units, DATE -> INT32 days; reference analog
     # src/unconvert.js:29-48) and restored from the type tag on decode
     dec_params = b""
+    # stats captured on the ORIGINAL values when the lowering changes the
+    # value ORDER (decimal -> unscaled ints, float16 -> bit patterns):
+    # stats on the lowered representation would record wrong bounds
+    pre_minmax: tuple | None = None
+
+    def _orig_minmax() -> tuple | None:
+        if not (stats and len(dense)):
+            return None
+        import pyarrow.compute as pc
+
+        mm = pc.min_max(dense)
+        return (mm["min"].as_py(), mm["max"].as_py())
+
     if type_tag in (T_TIMESTAMP_US, T_TIMESTAMP_NS):
+        # normalize to the tag's unit first: a timestamp[s]/[ms] column
+        # cast straight to int64 would store raw s/ms ints tagged as us
+        unit = "us" if type_tag == T_TIMESTAMP_US else "ns"
+        if dense.type.unit != unit:
+            dense = dense.cast(pa.timestamp(unit, tz=dense.type.tz))
         dense = dense.cast(pa.int64())
     elif type_tag == T_DATE32:
         dense = dense.cast(pa.int32())
     elif type_tag == T_DECIMAL:
         dec_params = bytes([arr.type.precision, arr.type.scale])
+        pre_minmax = _orig_minmax()
         dense = _decimal_unscaled(dense)
     elif type_tag == T_DECIMAL_WIDE:
         dec_params = bytes([arr.type.precision, arr.type.scale])
-        if stats and len(dense):
-            import pyarrow.compute as pc
-
-            _mm = pc.min_max(dense)
-            wide_minmax = (_mm["min"].as_py(), _mm["max"].as_py())
-        else:
-            wide_minmax = None
+        pre_minmax = _orig_minmax()
         dense = _decimal_wide_binary(dense)
     elif type_tag == T_FLOAT16:
-        # half-float bit patterns as small ints (FOR packs them at <=16 bits)
+        # half-float bit patterns as small ints (FOR packs them at <=16 bits);
+        # stats from the float VALUES via numpy (pyarrow has no halffloat
+        # min_max kernel), NaN-skipped like numeric_stats
+        if stats and len(dense):
+            f = np.asarray(dense, dtype=np.float16)
+            finite = f[~np.isnan(f)]
+            pre_minmax = ((float(finite.min()), float(finite.max()))
+                          if len(finite) else None)
         bits16 = np.asarray(dense).view("<u2").astype(np.int32)
         dense = pa.array(bits16, type=pa.int32())
     elif type_tag == T_FIXED:
@@ -448,8 +468,8 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
         if type_tag == T_DECIMAL_WIDE:
             # byte-lexicographic order is wrong for two's-complement
             # decimals; real min/max computed on the decimal values above
-            st = (ChunkStats(n, null_count, *wide_minmax)
-                  if stats and wide_minmax else ChunkStats(n, null_count))
+            st = (ChunkStats(n, null_count, *pre_minmax)
+                  if stats and pre_minmax else ChunkStats(n, null_count))
         else:
             st = binary_stats(offsets, data, n) if stats else ChunkStats(n, null_count)
         fsst_table = None
@@ -481,7 +501,12 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
         st = numeric_stats(vals, n) if stats else ChunkStats(n, null_count)
         if codec is None:
             samp = S.sample_numeric(vals.astype(np.int64))
-            codec = S.pick(S.estimate_costs_numeric(samp, "b"))
+            costs = S.estimate_costs_numeric(samp, "b")
+            # booleans only have PLAIN/RLE encoders: drop whatever else
+            # the generic numeric cost model offers (DICT of 2 values
+            # would otherwise win on run-heavy columns and crash)
+            codec = S.pick({c: v for c, v in costs.items()
+                            if c in (S.PLAIN, S.RLE)})
         if codec == S.PLAIN:
             payload = plain_encode_bool(vals)
         elif codec == S.RLE:
@@ -491,6 +516,10 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
     else:
         vals = np.asarray(dense)
         st = numeric_stats(vals, n) if stats else ChunkStats(n, null_count)
+        if pre_minmax is not None:
+            # decimal/float16 meta stats carry the ORIGINAL values, not the
+            # unscaled-int / bit-pattern lowering (whose order is wrong)
+            st = ChunkStats(n, null_count, *pre_minmax)
         kind = vals.dtype.kind
         ints = _bits_of(vals) if kind == "f" else vals.astype(np.int64)
         if codec is None:

@@ -380,14 +380,26 @@ def _column_hashes(col: pa.Array) -> np.ndarray | None:
         from .kernels.plain import binary_buffers
 
         offsets, data = binary_buffers(dense)
-        lens = np.diff(offsets)
-        width = int(lens.max(initial=1))
-        mat = np.zeros((len(lens), max(width, 1)), dtype="u1")
-        valid = np.arange(max(width, 1))[None, :] < lens[:, None]
-        if data.size:
-            gather = offsets[:-1, None] + np.arange(max(width, 1))
-            mat[valid] = data[np.minimum(gather, len(data) - 1)][valid]
-        return xxhash64_matrix(mat, lens.astype(np.int64))
+        lens = np.diff(offsets).astype(np.int64)
+        n = len(lens)
+        if n == 0:
+            return np.zeros(0, dtype=np.uint64)
+        # hash in equal-length groups: memory stays O(total bytes), never
+        # O(n x longest value) -- one megabyte document in a chunk must
+        # not inflate every other row's padded width
+        out = None
+        for length in np.unique(lens):
+            idx = np.flatnonzero(lens == length)
+            length = int(length)
+            if length == 0:
+                mat = np.zeros((len(idx), 1), dtype="u1")
+            else:
+                mat = data[offsets[:-1][idx][:, None] + np.arange(length)]
+            h = xxhash64_matrix(mat, np.full(len(idx), length, dtype=np.int64))
+            if out is None:
+                out = np.empty(n, dtype=h.dtype)
+            out[idx] = h
+        return out
     return None
 
 
@@ -561,6 +573,7 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
 
     seq = seq_start
     pending: list[pa.RecordBatch] = []
+    pending_ws: list[np.ndarray] = []  # per-batch weights, computed ONCE
     pending_rows = 0
     pending_weight = 0
 
@@ -582,7 +595,7 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
     out_schema = base_schema
     stat_fields: list[tuple[str, pa.DataType]] = []
 
-    def flush(tbl: pa.Table) -> Iterator[pa.RecordBatch]:
+    def flush(tbl: pa.Table, w: np.ndarray) -> Iterator[pa.RecordBatch]:
         nonlocal seq, out_schema, stat_fields
         bucket = part_id
         if partition_col is not None and len(tbl):
@@ -592,7 +605,6 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
             stat_fields = _stat_fields(tbl.schema, stat_columns)
             out_schema = pa.schema(list(base_schema)
                                    + [pa.field(n, t) for n, t in stat_fields])
-        w = weights_of(tbl) if len(tbl) else np.zeros(0, dtype=np.int64)
         for s, e in _window_boundaries(w, chunk_rows, token_budget):
             window = tbl.slice(s, e - s)
             bytes_in = sum(c.nbytes for c in window.columns)
@@ -640,23 +652,31 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
         return [b.slice(bounds[i], bounds[i + 1] - bounds[i])
                 for i in range(len(bounds) - 1)]
 
+    def flush_pending() -> Iterator[pa.RecordBatch]:
+        nonlocal pending, pending_ws, pending_rows, pending_weight
+        w = (np.concatenate(pending_ws) if pending_ws
+             else np.zeros(0, dtype=np.int64))
+        yield from flush(pa.Table.from_batches(pending), w)
+        pending, pending_ws = [], []
+        pending_rows = pending_weight = 0
+
     cur_bucket = None
     for raw in batches:
         for b in split_by_bucket(raw):
             if partition_col is not None and len(b):
                 bval = b.column(b.schema.get_field_index(partition_col))[0].as_py()
                 if cur_bucket is not None and bval != cur_bucket and pending:
-                    yield from flush(pa.Table.from_batches(pending))
-                    pending, pending_rows, pending_weight = [], 0, 0
+                    yield from flush_pending()
                 cur_bucket = bval
+            wb = weights_of(b)
             pending.append(b)
+            pending_ws.append(wb)
             pending_rows += len(b)
-            pending_weight += int(weights_of(b).sum())
+            pending_weight += int(wb.sum())
             if pending_rows >= chunk_rows or pending_weight >= token_budget:
-                yield from flush(pa.Table.from_batches(pending))
-                pending, pending_rows, pending_weight = [], 0, 0
+                yield from flush_pending()
     if pending:
-        yield from flush(pa.Table.from_batches(pending))
+        yield from flush_pending()
 
 
 def _bare_parquet_scan(df) -> tuple[list[str], list[str] | None] | None:
@@ -828,8 +848,7 @@ def _pa_type_of_spark(dt) -> pa.DataType:
     raise TypeError(f"unsupported stat column spark type {dt}")
 
 
-def _plan_parquet_splits(path, n_splits: int,
-                         columns: list[str] | None = None) -> list[dict]:
+def _plan_parquet_splits(path, n_splits: int) -> list[dict]:
     """Driver-side split planning: list parquet fragments and pack their
     row groups into ~``n_splits`` row-balanced splits.  Only footers are
     read (one metadata fetch per file) -- no data moves to the driver.
@@ -888,7 +907,7 @@ def encode_parquet_dataset(spark, path, *,
     """
     if n_splits is None:
         n_splits = max(spark.sparkContext.defaultParallelism * 2, 2)
-    splits = _plan_parquet_splits(path, n_splits, columns)
+    splits = _plan_parquet_splits(path, n_splits)
     # column order must track the worker's record batches: base, blooms,
     # stats, then source_file LAST (it is append_column'd after the encode
     # stream, so it must also come last in the DDL)
@@ -1045,6 +1064,11 @@ def range_scan_rows(enc_df, column: str, lo=None, hi=None,
     decode only survivors, exact-filter."""
     from pyspark.sql import functions as F
 
+    # infer the decoded schema from the UN-pruned table: if pruning
+    # eliminates every chunk (nothing in range) the query must return an
+    # empty result, not crash on schema inference over zero rows
+    if schema is None:
+        schema = infer_decoded_schema(enc_df)
     pruned = filter_chunks_by_range(enc_df, column, lo, hi, dtype)
     dec = decode_dataframe(pruned, schema=schema)
     keep = F.lit(True)
@@ -1062,6 +1086,11 @@ def lookup_rows(enc_df, column: str, value, schema=None):
     any decompression happens."""
     from pyspark.sql import functions as F
 
+    # schema from the UN-pruned table: a miss (the common case for a
+    # needle query) prunes every chunk and must return empty, not crash --
+    # and inferring here avoids running the bloom-probe pipeline twice
+    if schema is None:
+        schema = infer_decoded_schema(enc_df)
     pruned = filter_chunks_may_contain(enc_df, column, value)
     dec = decode_dataframe(pruned, schema=schema)
     return dec.filter(F.col(column) == F.lit(value))
@@ -1083,7 +1112,7 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
     os.makedirs(out_dir, exist_ok=True)
     if n_splits is None:
         n_splits = max(spark.sparkContext.defaultParallelism * 2, 2)
-    splits = _plan_parquet_splits(enc_path, n_splits, ["schema_json", "payload"])
+    splits = _plan_parquet_splits(enc_path, n_splits)
     if not splits:
         return spark.createDataFrame([], "path STRING, n_rows LONG, n_bytes LONG")
     desc = spark.createDataFrame(

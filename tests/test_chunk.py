@@ -506,3 +506,46 @@ def test_sliced_nested_chunk_group_roundtrip():
     back = decode_chunk_group(blob, pairs)
     for i, c in enumerate(back.schema.names):
         assert back.column(i).to_pylist() == t.column(c).to_pylist(), c
+
+
+def test_bool_run_heavy_selector_never_crashes():
+    """Run-heavy booleans: the generic numeric cost model offers DICT, but
+    booleans only have PLAIN/RLE encoders -- the selector must stay within
+    them (code-review r3 finding: ValueError 'codec 2 not valid')."""
+    b = pa.array(np.repeat([True, False] * 50, 16))
+    buf, meta = encode_array(b)
+    assert meta["codec"] in ("PLAIN", "RLE")
+    assert decode_array(buf).to_pylist() == b.to_pylist()
+
+
+def test_timestamp_ms_and_s_rescale_to_tag_unit():
+    """timestamp[ms]/[s] columns share the timestamp_us tag: values must be
+    normalized to microseconds on encode, or decode returns instants 1000x
+    too early (code-review r3 finding: 2023 decoded as 1970)."""
+    from sparkcodec.engine import decode_chunk_group, encode_chunk_group
+
+    t = pa.table({
+        "ms": pa.array([1699999999123, None, 5], type=pa.timestamp("ms")),
+        "s": pa.array([1699999999, None, 5], type=pa.timestamp("s")),
+        "tz": pa.array([77, None, 5], type=pa.timestamp("us", tz="UTC")),
+    })
+    blob, _, pairs, _ = encode_chunk_group(t)
+    back = pa.Table.from_batches([decode_chunk_group(blob, pairs, None)])
+    for c in t.column_names:
+        assert back.column(c).combine_chunks().equals(
+            t.column(c).combine_chunks()), c
+
+
+def test_decimal_and_float16_meta_stats_are_value_ordered():
+    """Meta min/max must carry the ORIGINAL values: unscaled ints /
+    float16 bit patterns order differently (code-review r3 findings)."""
+    import decimal
+
+    d = pa.array([decimal.Decimal("-0.50"), decimal.Decimal("-0.25")],
+                 type=pa.decimal128(10, 2))
+    _, m = encode_array(d)
+    assert m["min"] == decimal.Decimal("-0.50")
+    assert m["max"] == decimal.Decimal("-0.25")
+    f16 = pa.array(np.array([-2.0, 1.0, np.nan], dtype=np.float16))
+    _, m2 = encode_array(f16)
+    assert float(m2["min"]) == -2.0 and float(m2["max"]) == 1.0

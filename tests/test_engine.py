@@ -431,3 +431,41 @@ def test_stats_blooms_and_source_file_column_order(spark, toks, tmp_path):
     # decode still exact with all the extra metadata columns present
     dec = decode_dataframe(enc)
     assert dec.count() == toks.count()
+
+
+def test_lookup_miss_returns_empty_not_crash(spark, toks):
+    """A needle query for an absent key prunes every chunk: it must return
+    an EMPTY result, not crash on schema inference over zero rows
+    (code-review r3 finding)."""
+    from sparkcodec.engine import lookup_rows, range_scan_rows
+
+    enc = encode_dataframe(range_repartition(toks, 4), chunk_rows=64,
+                           bloom_columns=("doc_id",),
+                           auto_fastpath=False).cache()
+    enc.count()
+    miss = lookup_rows(enc, "doc_id", "zzz-no-such-doc")
+    assert miss.count() == 0
+    assert "doc_id" in miss.columns  # schema still the decoded one
+    empty_range = range_scan_rows(
+        encode_dataframe(toks, auto_fastpath=False), "n_tok",
+        10**9, 2 * 10**9, "long")
+    assert empty_range.count() == 0
+    enc.unpersist()
+
+
+def test_column_hashes_bounded_by_total_bytes(spark):
+    """One megabyte-long value must not inflate every row's padded hash
+    width (code-review r3 finding: n x max_len matrix)."""
+    import pyarrow as pa
+
+    from sparkcodec.engine import _column_hashes
+    from sparkcodec.kernels.bloom import xxhash64_matrix
+
+    vals = ["short"] * 5000 + ["x" * 1_000_000]
+    arr = pa.array(vals, type=pa.large_string())
+    h = _column_hashes(arr)
+    assert len(h) == 5001 and len(set(h.tolist())) == 2
+    # equals the reference single-row hash of the long value
+    big = np.frombuffer(b"x" * 1_000_000, dtype="u1")[None, :]
+    ref = xxhash64_matrix(big, np.array([1_000_000]))
+    assert h[-1] == ref[0]
