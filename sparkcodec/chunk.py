@@ -241,6 +241,8 @@ def _type_tag_of(arr: pa.Array) -> int:
     if pa.types.is_date32(t):
         return T_DATE32
     if pa.types.is_decimal(t):
+        if not pa.types.is_decimal128(t):
+            raise TypeError(f"only decimal128 supported, got {t}")
         if t.precision > 38:
             raise TypeError(f"decimal precision > 38 unsupported: {t}")
         return T_DECIMAL_WIDE if t.precision > 18 else T_DECIMAL

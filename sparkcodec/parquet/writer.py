@@ -34,7 +34,7 @@ from ..kernels.dictionary import factorize
 from ..kernels.plain import binary_buffers, plain_encode_binary, plain_encode_bool, plain_encode_numeric
 from ..kernels.rle import rle_hybrid_encode
 from ..kernels.strings import byte_stream_split_encode
-from ..stats import binary_stats, numeric_stats, truncate_max, truncate_min
+from ..stats import binary_stats, numeric_stats
 from .thrift import CT_BINARY, CT_BYTE, CT_I32, CT_I64, CT_LIST, CT_STRUCT, CT_TRUE, serialize_struct
 
 MAGIC = b"PAR1"
@@ -196,6 +196,10 @@ def _physical_of(t: pa.DataType):
         phys = PT_INT64 if bits == 64 else PT_INT32
         return phys, conv, None, logical, None
     if pa.types.is_decimal(t):
+        if not pa.types.is_decimal128(t):
+            # decimal256 storage is 32 bytes; the 16-byte lowering would
+            # silently reinterpret value pairs
+            raise TypeError(f"only decimal128 supported, got {t}")
         # precision <= 9 -> INT32, <= 18 -> INT64 unscaled; wider -> FLBA
         # two's-complement (reference: src/schema.js:146-156,
         # src/unconvert.js:21-28, 279-307)
@@ -525,7 +529,7 @@ def _pick_encoding(values: pa.Array, phys: int, use_dictionary: bool):
         costs.pop(S.DICT, None)
     pick = S.pick(costs)
     if pick == S.DICT:
-        idx, d = factorize(np_vals if kind != "f" else np_vals, "numeric")
+        idx, d = factorize(np_vals, "numeric")
         return ENC_RLE_DICT, d, idx
     return {S.PLAIN: ENC_PLAIN, S.DELTA_BP: ENC_DELTA_BP,
             S.BSS: ENC_BSS}.get(pick, ENC_PLAIN), None, None

@@ -107,6 +107,7 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
     learned merges broadcast to the executors; per-word results are
     memoized within each batch (Zipf input -> high hit rate)."""
     ranks = {p: i for i, p in enumerate(merges)}
+    id_type = dict(docs.dtypes)[id_col]  # honor the actual id column type
 
     def enc(it):
         import pandas as pd
@@ -129,4 +130,4 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
                                 "n_bpe": [len(t) for t in toks_col]})
 
     return docs.select(id_col, text_col).mapInPandas(
-        enc, f"{id_col} long, bpe_tokens array<string>, n_bpe long")
+        enc, f"{id_col} {id_type}, bpe_tokens array<string>, n_bpe long")

@@ -121,13 +121,14 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 64,
                     # (n_shingles, num_perm) permuted hashes, then segmented min
                     ph = ((hashes[:, None] * a[None, :] + b[None, :])
                           % np.uint64(MERSENNE)).astype(np.int64)
+                # reduceat over NONEMPTY segment starts only: empty
+                # segments occupy no hash slots, so the nonempty starts are
+                # exactly the segment boundaries.  (Clamping every start to
+                # len-1 would split the final segment when trailing docs
+                # are empty, corrupting the last nonempty doc's signature.)
                 nonempty = np.diff(sh_off) > 0
-                idx = np.minimum(sh_off[:-1], len(hashes) - 1)
-                mins = np.minimum.reduceat(ph, idx, axis=0)
-                # reduceat quirk: empty segments return the element at the
-                # index; mask them back to sentinel
-                mins[~nonempty] = np.iinfo(np.int64).max
-                sigs = mins
+                mins = np.minimum.reduceat(ph, sh_off[:-1][nonempty], axis=0)
+                sigs[nonempty] = mins
             yield pd.DataFrame({"sig": list(sigs)})
 
     return docs.select(id_col, text_col).mapInPandas(
@@ -154,7 +155,10 @@ def minhash_lsh_candidates(docs: DataFrame, num_perm: int = 64, bands: int = 16,
     band hash -> bucket join.  The self-join is per (band, bucket) -- never
     an all-pairs product -- and emits (id_a < id_b, est_jaccard)."""
     num_rows = num_perm // bands
-    sigs = minhash_signatures(docs, num_perm, text_col, id_col, seed)
+    # the signature kernel (UTF-8 encode + rolling hash + 64 permutations
+    # per doc) is referenced three times below (banding + two re-joins):
+    # persist so the most expensive stage runs once per corpus pass
+    sigs = minhash_signatures(docs, num_perm, text_col, id_col, seed).persist()
     # band rows carry only (id, band, bucket): the 64-long signatures are
     # NOT shuffled 16x through the explode+join -- they re-join once per
     # side after candidate dedup (shuffle hygiene at 10^9 docs)
@@ -265,12 +269,14 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
             if len(hashes):
                 bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                         & np.uint64(1)).astype(np.int32) * 2 - 1
-                idx = np.minimum(sh_off[:-1], len(hashes) - 1)
-                votes = np.add.reduceat(bits, idx, axis=0)
-                votes[np.diff(sh_off) == 0] = 0
+                # nonempty starts only (see sig_iter: clamping corrupts the
+                # final segment when trailing docs are empty)
+                nonempty = np.diff(sh_off) > 0
+                votes = np.add.reduceat(bits, sh_off[:-1][nonempty], axis=0)
                 sim = (votes > 0).astype(np.uint64)
-                out = (sim << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                packed = (sim << np.arange(64, dtype=np.uint64)[None, :]).sum(
                     axis=1, dtype=np.uint64).view(np.int64)
+                out[nonempty] = packed
             yield pd.DataFrame({"sig": out})
 
     return docs.select(id_col, text_col).mapInPandas(

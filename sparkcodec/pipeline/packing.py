@@ -46,7 +46,11 @@ def pack_sequences(toks: DataFrame, seq_budget: int = 2048,
     sequence numbering, which packed-pretraining readers are indifferent
     to."""
     keys = [source_col] + ([shard_col] if shard_col else [])
-    w = Window.partitionBy(*keys).orderBy(id_col)
+    # ROWS frame pinned explicitly: Spark's default for an ordered window
+    # is RANGE, which makes tied order keys peers (both rows would get the
+    # same cumulative sum); the oracle SQL pins ROWS too
+    w = (Window.partitionBy(*keys).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum(weight_col).over(w)
     return toks.select(
         id_col, source_col, weight_col,
@@ -71,12 +75,18 @@ def pack_sequences_oracle_sql(seq_budget: int = 2048, table: str = "t",
 
 
 def _word_grams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
-    return df.select(
+    # words projected once (a sub-select, as dedup.ngram_jaccard_pairs
+    # does) so the split+filter runs once per row, not three times
+    words = df.select(
         F.col(id_col).alias("id"),
+        F.expr(f"filter(split({text_col}, ' '), w -> w <> '')").alias("w"),
+    )
+    return words.select(
+        "id",
         F.explode(F.expr(
-            f"CASE WHEN size(filter(split({text_col}, ' '), w -> w <> '')) >= {n} "
-            f"THEN transform(sequence(0, size(filter(split({text_col}, ' '), w -> w <> '')) - {n}), "
-            f"i -> concat_ws(' ', slice(filter(split({text_col}, ' '), w -> w <> ''), i + 1, {n}))) "
+            f"CASE WHEN size(w) >= {n} THEN "
+            f"transform(sequence(0, size(w) - {n}), "
+            f"i -> concat_ws(' ', slice(w, i + 1, {n}))) "
             f"ELSE CAST(array() AS array<string>) END"
         )).alias("gram"),
     ).distinct()

@@ -98,7 +98,7 @@ def hyperplane_signatures(emb: DataFrame, n_planes: int = 16, seed: int = 42,
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sig": sig})
 
     return emb.select(id_col, vec_col).mapInPandas(
-        sig_iter, f"{id_col} long, sig long")
+        sig_iter, f"{id_col} {dict(emb.dtypes)[id_col]}, sig long")
 
 
 def train_ivf_centroids(emb: DataFrame, n_centroids: int = 16, iters: int = 5,
@@ -143,7 +143,7 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray, id_col: str = "vec_id",
             ids = np.repeat(pdf[id_col].to_numpy(), r)
             yield pd.DataFrame({id_col: ids, "cluster": top.ravel()})
 
-    return emb.select(id_col, vec_col).mapInPandas(assign, f"{id_col} long, cluster int")
+    return emb.select(id_col, vec_col).mapInPandas(assign, f"{id_col} {dict(emb.dtypes)[id_col]}, cluster int")
 
 
 def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,

@@ -42,8 +42,11 @@ def write_batch(batch_df, batch_id: int, output_dir: str, *,
         # and the read-back below would fail with 'unable to infer schema'.
         # Nothing to (over)write -- the batch produced no chunks.
         return
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    enc.write.mode("overwrite").partitionBy("batch_id").parquet(chunks_dir)
+    # per-write option, NOT spark.conf.set: mutating the session conf
+    # would silently switch every later overwrite in the session to
+    # dynamic mode
+    (enc.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(chunks_dir))
     chunks = spark.read.parquet(chunks_dir).filter(F.col("batch_id") == batch_id)
     (
         chunks.agg(
@@ -56,7 +59,8 @@ def write_batch(batch_df, batch_id: int, output_dir: str, *,
         .withColumn("batch_id", F.lit(batch_id))
         .withColumn("completed_at", F.lit(time.time()))
         .withColumn("wall_sec", F.lit(time.time() - t0))
-        .write.mode("overwrite").partitionBy("batch_id").parquet(manifest_dir)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(manifest_dir)
     )
 
 

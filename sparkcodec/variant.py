@@ -520,7 +520,7 @@ def json_to_variant_column(df, json_col: str, id_col: str):
                                 "metadata": metas, "value": vals})
 
     return df.select(id_col, json_col).mapInPandas(
-        enc, f"{id_col} long, metadata binary, value binary")
+        enc, f"{id_col} {dict(df.dtypes)[id_col]}, metadata binary, value binary")
 
 
 _SHRED_SPARK_TYPES = {
@@ -553,7 +553,7 @@ def json_to_shredded_column(df, json_col: str, id_col: str, shredding):
     shredding = normalize_shredding(shredding)
     if shredding is None:
         raise ValueError("shredding config normalized to empty")
-    ddl = (f"{id_col} long, metadata binary, value binary, "
+    ddl = (f"{id_col} {dict(df.dtypes)[id_col]}, metadata binary, value binary, "
            f"typed_value {shred_spark_ddl(shredding)}")
 
     def enc(it):
@@ -572,8 +572,15 @@ def json_to_shredded_column(df, json_col: str, id_col: str, shredding):
 
 def _from_spark(x):
     """Normalize Arrow->pandas struct values back to plain Python."""
+    import numpy as np
+
     if isinstance(x, dict):
         return {k: _from_spark(v) for k, v in x.items()}
+    if isinstance(x, np.ndarray):
+        # BEFORE the .item() fallback: a 1-element object ndarray would
+        # otherwise collapse into its inner wrapper dict and the list
+        # branch of decode_shredded would iterate the dict's keys
+        return [_from_spark(i) for i in x.tolist()]
     if isinstance(x, (list, tuple)):
         return [_from_spark(i) for i in x]
     if isinstance(x, bytearray):
@@ -604,7 +611,7 @@ def shredded_to_json_column(df, id_col: str, shredding):
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "json": js})
 
     return df.select(id_col, "metadata", "value", "typed_value").mapInPandas(
-        dec, f"{id_col} long, json string")
+        dec, f"{id_col} {dict(df.dtypes)[id_col]}, json string")
 
 
 def _json_default(o):
@@ -634,4 +641,4 @@ def variant_to_json_column(df, id_col: str, *, sort_keys: bool = False):
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "json": js})
 
     return df.select(id_col, "metadata", "value").mapInPandas(
-        dec, f"{id_col} long, json string")
+        dec, f"{id_col} {dict(df.dtypes)[id_col]}, json string")

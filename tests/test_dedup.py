@@ -261,3 +261,24 @@ def test_minhash_candidates_match_duckdb(spark):
     exp = sorted(tuple(r) for r in
                  con.execute(minhash_candidates_oracle_sql()).fetchall())
     assert got == exp and len(got) > 0
+
+
+def test_trailing_empty_doc_does_not_corrupt_signatures(spark):
+    """A batch ending in an empty document must not corrupt the preceding
+    doc's minhash/simhash signature (code-review r3: clamped reduceat
+    indices split the final segment)."""
+    from sparkcodec.pipeline.dedup import minhash_signatures, simhash_signatures
+
+    a = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["abcdefgh", ""]}))
+    b = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["abcdefgh"]}))
+    sig_with_empty = minhash_signatures(a.coalesce(1)).collect()
+    sig_alone = minhash_signatures(b.coalesce(1)).collect()
+    d = {r["doc_id"]: list(r["sig"]) for r in sig_with_empty}
+    assert d[1] == list(sig_alone[0]["sig"])  # unchanged by the neighbor
+    assert d[2] == [np.iinfo(np.int64).max] * 64  # empty doc sentinel
+    sh_with = {r["doc_id"]: r["sig"] for r in
+               simhash_signatures(a.coalesce(1)).collect()}
+    sh_alone = simhash_signatures(b.coalesce(1)).collect()[0]["sig"]
+    assert sh_with[1] == sh_alone and sh_with[2] == 0

@@ -235,3 +235,18 @@ def test_variant_decimal_exact_past_28_digits_and_scale_bounds():
         encode_variant_rows([decimal.Decimal("1E-300")])
     with pytest.raises(OverflowError, match="decimal16|scale"):
         encode_variant_rows([decimal.Decimal(10) ** 50])
+
+
+def test_shredded_single_element_array_roundtrip(spark):
+    """Array shreds deliver numpy ndarrays to the decode kernel: a
+    1-element array must stay a list (code-review r3: the .item()
+    fallback collapsed it into its wrapper dict)."""
+    from sparkcodec.variant import json_to_shredded_column, shredded_to_json_column
+
+    df = spark.createDataFrame(
+        [(1, "[5]"), (2, "[1, 2, 3]"), (3, "[]")],
+        "id long, js string")
+    enc = json_to_shredded_column(df, "js", "id", shredding=["INT64"])
+    out = {r["id"]: json.loads(r["json"])
+           for r in shredded_to_json_column(enc, "id", ["INT64"]).collect()}
+    assert out == {1: [5], 2: [1, 2, 3], 3: []}
