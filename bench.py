@@ -6,7 +6,7 @@ Prints ONE JSON line:
 
 Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 8; see the bandwidth note in main())
   SPARK_GRAFT_BENCH_ROWS  synthetic F1 rows (default 100000, ~50M tokens)
 
 Workload: the FIXTURES.md F1 deterministic synthetic tokens table (the

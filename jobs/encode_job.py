@@ -38,6 +38,7 @@ def main() -> None:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--chunk-rows", type=int, default=None)
     ap.add_argument("--token-budget", type=int, default=None)
+    # (bloom columns parsed below with whitespace stripped: 'a, b' == 'a,b')
     ap.add_argument("--bloom-columns", default="",
                     help="comma-separated columns to build bloom filters for")
     ap.add_argument("--mode", choices=("buckets", "files"), default="buckets",
@@ -54,7 +55,7 @@ def main() -> None:
         .getOrCreate()
     )
 
-    blooms = tuple(c for c in args.bloom_columns.split(",") if c)
+    blooms = tuple(c.strip() for c in args.bloom_columns.split(",") if c.strip())
     if args.mode == "files":
         from sparkcodec.manifest import run_encode_files_job
 

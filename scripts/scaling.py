@@ -85,12 +85,19 @@ def main() -> None:
     script = _RUN_ONE % {"repo": REPO}
     samples = {n: [], n4: []}
     rounds = args.reps
+    # PYTHONPATH so the PySpark daemon workers (not just the subprocess
+    # driver) can import sparkcodec regardless of the launch cwd
+    env = {**os.environ,
+           "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
     # interleave: (N, 4N) x rounds, one timed rep per subprocess invocation
     for r in range(rounds):
         for level in (n, n4):
             out = subprocess.run(
                 [sys.executable, "-c", script, str(level), path, "1"],
-                capture_output=True, text=True, check=True)
+                capture_output=True, text=True, env=env)
+            if out.returncode != 0:
+                sys.stderr.write(out.stderr)
+                raise SystemExit(f"scaling rep failed at local[{level}]")
             t = json.loads(out.stdout.strip().splitlines()[-1])[0]
             samples[level].append(t)
 
@@ -173,18 +180,11 @@ design.  N={r['n']} vs 4N={r['n4']} keeps both levels inside the host's
 linear-bandwidth region, which is the regime a real multi-executor
 cluster (per-executor bandwidth constant) actually operates in.
 
-## Headline single-run metrics (bench.py at sf0.1 defaults)
+## Headline single-run metrics
 
-See BENCH_r*.json recorded by the driver; representative clean run at
-local[8], 400k rows / 198.9M tokens:
-
-* encode (compute): 6.7 s -> 29.5M tokens/s
-* decode + checksum: 5.3-7.4 s -> 27-37M tokens/s
-* round-trip checksum equality: true (bit-identical per-row tokens)
-* compressed size: 316.3 MB vs Spark parquet+snappy 374.7 MB of the same
-  data -> 0.84x (<= reference-writer criterion met)
-* single-core kernel ceiling: 7.3M tokens/s encode, 13.3M decode
-  (4M-token chunk, auto-selected FOR + DELTA_FOR + DICT + FSST mix)
+See BENCH.md and the driver-recorded BENCH_r*.json for the current
+bench.py numbers (this report intentionally carries only the scaling
+measurement it just ran).
 """
 
 

@@ -77,22 +77,25 @@ def _write_geometry(out: bytearray, geometry: dict) -> None:
         out.extend(struct.pack("<I", len(c)))
         for ring in c:
             _write_line(out, ring, dim)
-    elif gtype == "MultiPoint":
-        out.extend(struct.pack("<I", len(c)))
-        for p in c:
-            _write_geometry(out, {"type": "Point", "coordinates": p})
-    elif gtype == "MultiLineString":
-        out.extend(struct.pack("<I", len(c)))
-        for line in c:
-            _write_geometry(out, {"type": "LineString", "coordinates": line})
-    elif gtype == "MultiPolygon":
-        out.extend(struct.pack("<I", len(c)))
-        for poly in c:
-            _write_geometry(out, {"type": "Polygon", "coordinates": poly})
-    else:  # GeometryCollection
-        children = geometry.get("geometries", [])
+    elif gtype in ("MultiPoint", "MultiLineString", "MultiPolygon",
+                   "GeometryCollection"):
+        # ISO WKB: nested children carry their own headers, and their dim
+        # flags must MATCH the parent's -- a 2D child inside an XYZ Multi*
+        # would make external readers misparse the stream, so mixed
+        # dimensions raise instead of emitting malformed bytes
+        inner_type = {"MultiPoint": "Point", "MultiLineString": "LineString",
+                      "MultiPolygon": "Polygon"}.get(gtype)
+        children = (geometry.get("geometries", [])
+                    if gtype == "GeometryCollection"
+                    else [{"type": inner_type, "coordinates": part}
+                          for part in c])
         out.extend(struct.pack("<I", len(children)))
         for child in children:
+            child_dim = _infer_dim(child)
+            if child_dim != dim:
+                raise ValueError(
+                    f"dimension mismatch inside {gtype}: child has "
+                    f"{child_dim} dims, parent inferred {dim}")
             _write_geometry(out, child)
 
 
@@ -248,6 +251,10 @@ def wkb_points_to_xy_column(df, id_col: str, wkb_col: str = "wkb"):
         for pdf in it:
             xs, ys = [], []
             for b in pdf[wkb_col]:
+                if b is None:  # null geometries propagate as null x/y
+                    xs.append(None)
+                    ys.append(None)
+                    continue
                 g = wkb_to_geojson(bytes(b))
                 xs.append(g["coordinates"][0])
                 ys.append(g["coordinates"][1])

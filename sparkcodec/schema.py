@@ -27,15 +27,10 @@ class SchemaError(TypeError):
     pass
 
 
-_RANK = {"bool": 0, "int32": 1, "int64": 2, "float64": 3}
 _WIDEN = {
     ("int32", "int64"): "int64",
     ("int32", "float64"): "float64",   # INT32 -> DOUBLE widening
     ("int64", "float64"): "float64",
-    ("int32", "int32"): "int32",
-    ("int64", "int64"): "int64",
-    ("float64", "float64"): "float64",
-    ("bool", "bool"): "bool",
 }
 
 _PA = {
@@ -104,6 +99,10 @@ def infer_column_type(values, override: pa.DataType | None = None) -> tuple[pa.D
         # all-null column -> OPTIONAL BYTE_ARRAY (reference: src/schema.js:234-239)
         return pa.large_binary(), True
     if kind == "list":
+        if elem_kind is not None and elem_kind not in _PA:
+            raise SchemaError(
+                f"cannot infer nested list element type {elem_kind!r}; "
+                "pass an explicit override for this column")
         return pa.list_(_PA[elem_kind or "int32"]), nullable
     return _PA[kind], nullable
 
@@ -150,8 +149,21 @@ def rows_to_table(rows, overrides: dict[str, pa.DataType] | None = None,
                 break
         if not window_rows:
             return
-        cols = {k: [r.get(k) for r in window_rows] for k in window_rows[0]}
         if schema is None:
+            # keys from the UNION over the first window's rows (not just
+            # the first row: rows may carry heterogeneous key sets)
+            keys: list[str] = []
+            seen = set()
+            for r in window_rows:
+                for k in r:
+                    if k not in seen:
+                        seen.add(k)
+                        keys.append(k)
+            cols = {k: [r.get(k) for r in window_rows] for k in keys}
             schema = infer_schema(cols, overrides)
-        arrays = [pa.array(cols[f.name], type=f.type) for f in schema]
+        # later windows fill the FROZEN schema: missing keys are nulls,
+        # unknown keys are ignored (the schema is fixed after window 1,
+        # as in the reference's row adapter)
+        arrays = [pa.array([r.get(f.name) for r in window_rows], type=f.type)
+                  for f in schema]
         yield pa.Table.from_arrays(arrays, schema=schema)

@@ -28,7 +28,10 @@ TOKENIZE_DUCKDB = (
 )
 
 DOC_ID_SPARK = "format_string('%s-%012d', source, doc_id)"
-DOC_ID_DUCKDB = "source || '-' || lpad(CAST(doc_id AS VARCHAR), 12, '0')"
+# printf mirrors Spark's format_string exactly: no truncation past 12
+# digits and correct sign placement (lpad would first-digit-truncate ids
+# >= 10^12 and render -1 as '0000000000-1')
+DOC_ID_DUCKDB = "source || '-' || printf('%012d', doc_id)"
 
 
 def tokens_table(spark: SparkSession, sf_dir: str) -> DataFrame:

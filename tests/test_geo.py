@@ -125,3 +125,24 @@ def test_decode_external_xym_linestring():
     geo = wkb_to_geojson(buf)
     assert geo["type"] == "LineString"
     assert geo["coordinates"] == [[0.0, 0.0, 1.0], [3.0, 4.0, 2.0]]
+
+
+def test_mixed_dimension_multi_raises():
+    """A 2D child inside an XYZ Multi* would emit ISO-WKB that external
+    readers misparse; mixed dims raise instead (code-review r3)."""
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        geojson_to_wkb({"type": "MultiPoint",
+                        "coordinates": [[1.0, 2.0], [1.0, 2.0, 3.0]]})
+
+
+def test_wkb_xy_column_propagates_nulls(spark):
+    from sparkcodec.geo import wkb_points_to_xy_column
+
+    df = spark.createDataFrame(
+        [(1, geojson_to_wkb({"type": "Point", "coordinates": [1.5, 2.5]})),
+         (2, None)],
+        "id long, wkb binary")
+    rows = {r["id"]: (r["x"], r["y"])
+            for r in wkb_points_to_xy_column(df, "id").collect()}
+    assert rows[1] == (1.5, 2.5)
+    assert rows[2] == (None, None)

@@ -193,3 +193,31 @@ def test_map_column_local_edges():
     back = decode_chunk_group(blob, pairs)
     assert back.column(0).to_pylist() == m.to_pylist()
     assert metas["m"]["kind"] == "map"
+
+
+def test_rows_to_table_heterogeneous_keys():
+    """Rows with differing key sets: the schema freezes from the FIRST
+    window's key union; later windows fill missing keys with nulls and
+    ignore unknown keys (code-review r3 finding: KeyError on windows whose
+    first row lacked a column)."""
+    from sparkcodec.schema import rows_to_table
+
+    rows = [{"a": 1, "b": 2}] * 3 + [{"a": 3}] * 2 + [{"a": 4, "c": 9}]
+    tables = list(rows_to_table(iter(rows), window=3))
+    assert len(tables) == 2
+    assert tables[0].column_names == ["a", "b"]
+    assert tables[1].column("b").to_pylist() == [None, None, None]
+    assert "c" not in tables[1].column_names
+    # first-window union: a key missing from row 0 but present later
+    rows2 = [{"a": 1}, {"a": 2, "b": 5}]
+    t2 = next(rows_to_table(iter(rows2), window=10))
+    assert t2.column("b").to_pylist() == [None, 5]
+
+
+def test_nested_list_inference_raises_schema_error():
+    import pytest as _pytest
+
+    from sparkcodec.schema import SchemaError, infer_schema
+
+    with _pytest.raises(SchemaError, match="nested list"):
+        infer_schema({"c": [[[1, 2], [3]]]})
