@@ -43,6 +43,47 @@ def _tokens_oracle() -> str:
     """
 
 
+def _roundtrip_tokens_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column payload layout (split_payload=True): every source column's
+    encoded bytes live in their own payload_<col> BINARY column -- the
+    parquet-native "one column chunk per column" shape (reference:
+    src/parquet-writer.js:74-125) rather than one blob per row group.
+    Same exact-roundtrip oracle as roundtrip_tokens."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_dataframe, encode_dataframe, range_repartition
+    from sparkcodec.tokens import tokens_table
+
+    toks = tokens_table(spark, sf_dir)
+    enc = encode_dataframe(range_repartition(toks, 8), split_payload=True)
+    dec = decode_dataframe(enc)
+    return dec.select(
+        F.col("doc_id"),
+        F.array_join(F.transform("tokens", lambda x: x.cast("string")), ",").alias("tokens_str"),
+        F.col("n_tok"),
+        F.col("source"),
+    )
+
+
+def _pruned_projection_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar IO pruning on the split layout: decoding (doc_id, n_tok)
+    selects ONLY those payload_<col> columns, so over a persisted encoded
+    table the tokens bytes never leave storage (ReadSchema-asserted in
+    tests/test_split_payload.py).  Values must still be exact."""
+    from sparkcodec.engine import decode_dataframe, encode_dataframe, range_repartition
+    from sparkcodec.tokens import tokens_table
+
+    toks = tokens_table(spark, sf_dir)
+    enc = encode_dataframe(range_repartition(toks, 8), split_payload=True)
+    return decode_dataframe(enc, columns=["doc_id", "n_tok"])
+
+
+def _pruned_projection_split_oracle() -> str:
+    from sparkcodec.tokens import tokens_table_oracle_sql
+
+    return f"SELECT doc_id, n_tok FROM ({tokens_table_oracle_sql()})"
+
+
 def _roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -674,6 +715,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_tokens": _roundtrip_tokens,
+        "roundtrip_tokens_split": _roundtrip_tokens_split,
+        "pruned_projection_split": _pruned_projection_split,
         "roundtrip_lineitem": _roundtrip_lineitem,
         "roundtrip_events": _roundtrip_events,
         "roundtrip_documents": _roundtrip_documents,
@@ -717,6 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "roundtrip_tokens": _tokens_oracle(),
+        "roundtrip_tokens_split": _tokens_oracle(),
+        "pruned_projection_split": _pruned_projection_split_oracle(),
         "roundtrip_lineitem": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
             "l_returnflag, l_linestatus, epoch_us(l_shipdate) AS ship_us FROM lineitem"

@@ -208,6 +208,18 @@ def main() -> None:
                       .agg(F.sum("n_tok")).collect())
         queries["decode_pruned"] = min(ptimes)
 
+        # q8b: the same projection over the per-column payload layout
+        # (split_payload=True): the pruning reaches the parquet ReadSchema,
+        # so the tokens payload bytes are never READ from disk at all --
+        # the true columnar-IO shape for projections at 100 TB
+        enc_split_path = f"{tmp}/encoded_split.parquet"
+        encode_parquet_dataset(spark, src_path, split_payload=True).write.mode(
+            "overwrite").parquet(enc_split_path)
+        enc_split = spark.read.parquet(enc_split_path)
+        pstimes = reps(lambda: decode_dataframe(enc_split, columns=["doc_id", "n_tok"])
+                       .agg(F.sum("n_tok")).collect())
+        queries["decode_pruned_split"] = min(pstimes)
+
         out = {
             "metric": "encode_wall_sec_synthetic_tokens",
             "value": round(queries["encode"], 3),

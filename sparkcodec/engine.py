@@ -40,11 +40,12 @@ GROUP_VERSION = 2  # v2 adds an optional per-column bloom-filter section
 DEFAULT_CHUNK_ROWS = 65536
 DEFAULT_TOKEN_BUDGET = 1 << 22  # list elements per chunk group
 
-ENCODED_DDL = (
+ENCODED_BASE_DDL = (
     "part_id INT, bucket INT, chunk_seq INT, chunk_id LONG, n_rows LONG, "
     "n_tokens LONG, bytes_in LONG, bytes_out LONG, encode_ms DOUBLE, "
-    "schema_json STRING, meta_json STRING, payload BINARY"
+    "schema_json STRING, meta_json STRING"
 )
+ENCODED_DDL = ENCODED_BASE_DDL + ", payload BINARY"
 
 ENCODED_PA_SCHEMA = pa.schema([
     ("part_id", pa.int32()), ("bucket", pa.int32()), ("chunk_seq", pa.int32()),
@@ -403,33 +404,20 @@ def _column_hashes(col: pa.Array) -> np.ndarray | None:
     return None
 
 
-def encode_chunk_group(batch: pa.Table | pa.RecordBatch, compress: bool = True,
-                       bloom_columns: tuple[str, ...] = (),
-                       bloom_sink: dict[str, bytes] | None = None) -> tuple[bytes, dict, list[list[str]], int]:
-    """Encode all columns of a row window.  Returns
-    (blob, per-column meta, schema pairs, n_tokens).
-
-    ``bloom_columns`` opt in per-column split-block bloom filters stored in
-    the group blob (reference analog: per-chunk bloom, src/bloom.js), used
-    by :func:`group_may_contain` for chunk pruning without decode.
-    When ``bloom_sink`` is given, each built bloom's bytes are also stored
-    there (column name -> SBBF bytes) so callers can emit them as
-    dedicated top-level columns -- the IO-prunable probe path
-    (:func:`filter_chunks_may_contain` reads those kilobyte columns and
-    never scans ``payload``).
-    """
+def _encode_group_columns(batch: pa.Table | pa.RecordBatch, compress: bool,
+                          bloom_columns: tuple[str, ...] = (),
+                          bloom_sink: dict[str, bytes] | None = None,
+                          ) -> tuple[list[tuple[str, bytes, bytes]], dict, list[list[str]], int]:
+    """Per-column encode loop shared by both payload layouts.  Returns
+    ([(name, column blob, bloom bytes)], per-column meta, schema pairs,
+    n_tokens)."""
     from .kernels.bloom import build_bloom
 
-    out = bytearray()
-    out.extend(GROUP_MAGIC)
-    out.append(GROUP_VERSION)
-    names = batch.schema.names
-    write_uvarint(out, len(batch))
-    write_uvarint(out, len(names))
+    cols: list[tuple[str, bytes, bytes]] = []
     metas: dict[str, dict] = {}
     pairs: list[list[str]] = []
     n_tokens = 0
-    for name in names:
+    for name in batch.schema.names:
         col = batch.column(name)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -448,6 +436,38 @@ def encode_chunk_group(batch: pa.Table | pa.RecordBatch, compress: bool = True,
                     meta["bloom_bytes"] = len(bloom_bytes)
                     if bloom_sink is not None:
                         bloom_sink[name] = bloom_bytes
+        cols.append((name, blob, bloom_bytes))
+        metas[name] = meta
+    return cols, metas, pairs, n_tokens
+
+
+def encode_chunk_group(batch: pa.Table | pa.RecordBatch, compress: bool = True,
+                       bloom_columns: tuple[str, ...] = (),
+                       bloom_sink: dict[str, bytes] | None = None) -> tuple[bytes, dict, list[list[str]], int]:
+    """Encode all columns of a row window into ONE self-describing group
+    blob.  Returns (blob, per-column meta, schema pairs, n_tokens).
+
+    ``bloom_columns`` opt in per-column split-block bloom filters stored in
+    the group blob (reference analog: per-chunk bloom, src/bloom.js), used
+    by :func:`group_may_contain` for chunk pruning without decode.
+    When ``bloom_sink`` is given, each built bloom's bytes are also stored
+    there (column name -> SBBF bytes) so callers can emit them as
+    dedicated top-level columns -- the IO-prunable probe path
+    (:func:`filter_chunks_may_contain` reads those kilobyte columns and
+    never scans ``payload``).
+
+    For the per-column payload layout (one ``payload_<col>`` BINARY column
+    per source column, parquet-reader column pruning) see
+    ``split_payload=True`` on the encode entry points.
+    """
+    cols, metas, pairs, n_tokens = _encode_group_columns(
+        batch, compress, bloom_columns, bloom_sink)
+    out = bytearray()
+    out.extend(GROUP_MAGIC)
+    out.append(GROUP_VERSION)
+    write_uvarint(out, len(batch))
+    write_uvarint(out, len(cols))
+    for name, blob, bloom_bytes in cols:
         nb = name.encode()
         write_uvarint(out, len(nb))
         out.extend(nb)
@@ -455,7 +475,6 @@ def encode_chunk_group(batch: pa.Table | pa.RecordBatch, compress: bool = True,
         out.extend(bloom_bytes)
         write_uvarint(out, len(blob))
         out.extend(blob)
-        metas[name] = meta
     return bytes(out), metas, pairs, n_tokens
 
 
@@ -563,12 +582,18 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
                          partition_col: str | None,
                          bloom_columns: tuple[str, ...],
                          seq_start: int = 0,
-                         stat_columns: tuple[str, ...] = ()) -> Iterator[pa.RecordBatch]:
+                         stat_columns: tuple[str, ...] = (),
+                         payload_columns: tuple[str, ...] | None = None) -> Iterator[pa.RecordBatch]:
     """Shared worker-side encode loop: window incoming Arrow batches by row
     count + token weight, encode each window as one chunk group, emit one
     encoded row per chunk.  Used by both :func:`encode_dataframe` (data via
     the JVM Arrow bridge) and :func:`encode_parquet_dataset` (data read
-    directly from parquet by the Python task)."""
+    directly from parquet by the Python task).
+
+    ``payload_columns`` switches to the per-column payload layout: instead
+    of one concatenated ``payload`` blob, each source column's encoded
+    bytes land in their own ``payload_<col>`` BINARY output column (order
+    given by the tuple, which must equal the encoded columns)."""
     import time
 
     seq = seq_start
@@ -589,8 +614,14 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
         return np.ones(len(b), dtype=np.int64)
 
     # column order mirrors the DDL builders: base, bloom_<c>..., stats
+    if payload_columns is None:
+        base_fields = list(ENCODED_PA_SCHEMA)
+    else:
+        base_fields = ([f for f in ENCODED_PA_SCHEMA if f.name != "payload"]
+                       + [pa.field(f"payload_{c}", pa.binary())
+                          for c in payload_columns])
     base_schema = pa.schema(
-        list(ENCODED_PA_SCHEMA)
+        base_fields
         + [pa.field(f"bloom_{c}", pa.binary()) for c in bloom_columns])
     out_schema = base_schema
     stat_fields: list[tuple[str, pa.DataType]] = []
@@ -610,9 +641,22 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
             bytes_in = sum(c.nbytes for c in window.columns)
             t0 = time.perf_counter()
             bloom_sink: dict[str, bytes] = {}
-            blob, metas, pairs, n_tokens = encode_chunk_group(
-                window, compress, bloom_columns=bloom_columns,
-                bloom_sink=bloom_sink)
+            if payload_columns is None:
+                blob, metas, pairs, n_tokens = encode_chunk_group(
+                    window, compress, bloom_columns=bloom_columns,
+                    bloom_sink=bloom_sink)
+                bytes_out = len(blob)
+                pay_cells: dict[str, bytes] = {"payload": blob}
+            else:
+                if tuple(window.schema.names) != payload_columns:
+                    raise ValueError(
+                        "split_payload column mismatch: encoding "
+                        f"{window.schema.names} but the output schema was "
+                        f"declared for {list(payload_columns)}")
+                cols, metas, pairs, n_tokens = _encode_group_columns(
+                    window, compress, bloom_columns, bloom_sink)
+                pay_cells = {f"payload_{name}": cblob for name, cblob, _ in cols}
+                bytes_out = sum(len(cblob) for _, cblob, _ in cols)
             encode_ms = (time.perf_counter() - t0) * 1000.0
             row = {
                 "part_id": part_id,
@@ -622,11 +666,11 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
                 "n_rows": len(window),
                 "n_tokens": n_tokens,
                 "bytes_in": int(bytes_in),
-                "bytes_out": len(blob),
+                "bytes_out": bytes_out,
                 "encode_ms": encode_ms,
                 "schema_json": json.dumps(pairs),
                 "meta_json": json.dumps(metas, default=str),
-                "payload": blob,
+                **pay_cells,
             }
             for c in bloom_columns:
                 row[f"bloom_{c}"] = bloom_sink.get(c)
@@ -745,6 +789,17 @@ def _spark_ddl_of_pa(t: pa.DataType) -> str:
     raise TypeError(f"unsupported stat column type {t}")
 
 
+def _payloads_ddl(payload_columns: tuple[str, ...]) -> str:
+    """Per-column payload layout: one BINARY column per encoded source
+    column.  A ``decode_dataframe(columns=[...])`` over this layout selects
+    only the needed ``payload_<col>`` columns, so the projection reaches
+    the parquet reader's ReadSchema -- unselected columns' bytes are never
+    read from storage (true columnar IO pruning at 100 TB, the layout the
+    north rule's "encoded column chunks written back as binary columns"
+    describes)."""
+    return ", ".join(f"`payload_{c}` BINARY" for c in payload_columns)
+
+
 def _blooms_ddl(bloom_columns: tuple[str, ...]) -> str:
     """Dedicated top-level SBBF columns, one per bloomed input column:
     the probe path scans ONLY these (plus chunk_id), so at 100 TB a point
@@ -767,7 +822,8 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                      compress: bool = True, partition_col: str | None = None,
                      bloom_columns: tuple[str, ...] = (),
                      auto_fastpath: bool = True,
-                     stat_columns: tuple[str, ...] = ()):
+                     stat_columns: tuple[str, ...] = (),
+                     split_payload: bool = False):
     """DataFrame -> encoded chunk-group DataFrame (one row per chunk).
 
     ``partition_col`` names an int column carrying a deterministic bucket
@@ -789,6 +845,11 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
     the output: unlike the JSON stats in ``meta_json``, filters on these
     push down into the parquet scan of the ENCODED table, so range scans
     skip whole row groups of payload bytes.
+
+    ``split_payload=True`` emits the per-column payload layout (one
+    ``payload_<col>`` BINARY column per source column instead of a single
+    ``payload`` blob): decoding a projection then prunes unselected
+    columns' bytes at the parquet reader of the encoded table.
     """
     if auto_fastpath and partition_col is None:
         scan = _bare_parquet_scan(df)
@@ -798,9 +859,16 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                 df.sparkSession, files, chunk_rows=chunk_rows,
                 token_budget=token_budget, compress=compress,
                 columns=cols, bloom_columns=bloom_columns,
-                stat_columns=stat_columns)
+                stat_columns=stat_columns, split_payload=split_payload)
 
-    out_ddl = ENCODED_DDL + _blooms_ddl(bloom_columns)
+    payload_columns: tuple[str, ...] | None = None
+    if split_payload:
+        payload_columns = tuple(f.name for f in df.schema
+                                if f.name != partition_col)
+        out_ddl = (ENCODED_BASE_DDL + ", " + _payloads_ddl(payload_columns)
+                   + _blooms_ddl(bloom_columns))
+    else:
+        out_ddl = ENCODED_DDL + _blooms_ddl(bloom_columns)
     if stat_columns:
         pa_schema = pa.schema([
             (f.name, _pa_type_of_spark(f.dataType)) for f in df.schema
@@ -816,7 +884,8 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
         yield from _encode_batch_stream(batches, part_id, chunk_rows,
                                         token_budget, compress,
                                         partition_col, bloom_columns,
-                                        stat_columns=stat_columns)
+                                        stat_columns=stat_columns,
+                                        payload_columns=payload_columns)
 
     return df.mapInArrow(encode_partition, out_ddl)
 
@@ -888,7 +957,8 @@ def encode_parquet_dataset(spark, path, *,
                            batch_rows: int = 16384,
                            n_splits: int | None = None,
                            include_source_file: bool = False,
-                           stat_columns: tuple[str, ...] = ()):
+                           stat_columns: tuple[str, ...] = (),
+                           split_payload: bool = False):
     """Scan-side encode: parquet is read directly by pyarrow inside each
     Python task; only (file, row-groups) descriptors cross the JVM.
 
@@ -908,15 +978,24 @@ def encode_parquet_dataset(spark, path, *,
     if n_splits is None:
         n_splits = max(spark.sparkContext.defaultParallelism * 2, 2)
     splits = _plan_parquet_splits(path, n_splits)
-    # column order must track the worker's record batches: base, blooms,
-    # stats, then source_file LAST (it is append_column'd after the encode
-    # stream, so it must also come last in the DDL)
-    out_ddl = ENCODED_DDL + _blooms_ddl(bloom_columns)
-    if stat_columns:
+    # column order must track the worker's record batches: base, payloads
+    # (split mode), blooms, stats, then source_file LAST (it is
+    # append_column'd after the encode stream, so it must also come last
+    # in the DDL)
+    payload_columns: tuple[str, ...] | None = None
+    if split_payload or stat_columns:
         import pyarrow.dataset as ds
 
-        out_ddl += _stats_ddl(ds.dataset(path, format="parquet").schema,
-                              stat_columns)
+        ds_schema = ds.dataset(path, format="parquet").schema
+    if split_payload:
+        payload_columns = (tuple(columns) if columns is not None
+                           else tuple(ds_schema.names))
+        out_ddl = (ENCODED_BASE_DDL + ", " + _payloads_ddl(payload_columns)
+                   + _blooms_ddl(bloom_columns))
+    else:
+        out_ddl = ENCODED_DDL + _blooms_ddl(bloom_columns)
+    if stat_columns:
+        out_ddl += _stats_ddl(ds_schema, stat_columns)
     if include_source_file:
         out_ddl += ", source_file STRING"
     if not splits:
@@ -953,7 +1032,8 @@ def encode_parquet_dataset(spark, path, *,
             yield from _encode_batch_stream(read_all(), part_id, chunk_rows,
                                             token_budget, compress, None,
                                             bloom_columns,
-                                            stat_columns=stat_columns)
+                                            stat_columns=stat_columns,
+                                            payload_columns=payload_columns)
             return
 
         # file-tagged mode: one encode stream per file so chunks never
@@ -963,7 +1043,8 @@ def encode_parquet_dataset(spark, path, *,
             for rb in _encode_batch_stream(read_file(p, rgs), part_id,
                                            chunk_rows, token_budget, compress,
                                            None, bloom_columns, seq_start=seq,
-                                           stat_columns=stat_columns):
+                                           stat_columns=stat_columns,
+                                           payload_columns=payload_columns):
                 seq += len(rb)
                 tagged = rb.append_column(
                     "source_file", pa.array([p] * len(rb), type=pa.string()))
@@ -1020,6 +1101,12 @@ def filter_chunks_may_contain(enc_df, column: str, value):
                 .filter(may_contain(F.col(bloom_col)))
                 .select("chunk_id"))
         return enc_df.join(F.broadcast(keep), "chunk_id", "left_semi")
+
+    if "payload" not in enc_df.columns:
+        # split-payload layout without a bloom_<col> column: the group
+        # blob (and its embedded bloom section) does not exist, so there
+        # is no pruning information -- every chunk may contain the value
+        return enc_df
 
     def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -1121,6 +1208,25 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
     ).repartition(len(splits))
     col_set = set(columns) if columns is not None else None
 
+    import pyarrow.dataset as _ds
+
+    enc_names = _ds.dataset(enc_path, format="parquet").schema.names
+    split_layout = "payload" not in enc_names
+    if split_layout:
+        read_cols = ["schema_json"] + [
+            n for n in enc_names if n.startswith("payload_")
+            and (col_set is None or n[len("payload_"):] in col_set)]
+    else:
+        read_cols = ["schema_json", "payload"]
+
+    def _decode_split_row(enc_b: pa.RecordBatch, i: int) -> pa.RecordBatch:
+        types = dict(json.loads(enc_b.column(0)[i].as_py()))
+        sel = [n[len("payload_"):] for n in enc_b.schema.names[1:]]
+        arrays = [_decode_any_column(enc_b.column(j + 1)[i].as_py(),
+                                     _type_from_name(types[name]))
+                  for j, name in enumerate(sel)]
+        return pa.RecordBatch.from_arrays(arrays, names=sel)
+
     def decode_split(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import uuid
 
@@ -1138,12 +1244,15 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
                 pf = pq.ParquetFile(p)
                 try:
                     for enc_b in pf.iter_batches(batch_size=64, row_groups=rgs,
-                                                 columns=["schema_json", "payload"]):
+                                                 columns=read_cols):
                         schemas = enc_b.column(0)
-                        payloads = enc_b.column(1)
+                        payloads = None if split_layout else enc_b.column(1)
                         for i in range(len(enc_b)):
-                            pairs = json.loads(schemas[i].as_py())
-                            rb = decode_chunk_group(payloads[i].as_py(), pairs, col_set)
+                            if split_layout:
+                                rb = _decode_split_row(enc_b, i)
+                            else:
+                                pairs = json.loads(schemas[i].as_py())
+                                rb = decode_chunk_group(payloads[i].as_py(), pairs, col_set)
                             if writer is None:
                                 writer = ParquetWriter(
                                     rb.schema, compression=compression,
@@ -1186,8 +1295,12 @@ def infer_decoded_schema(enc_df):
 def decode_dataframe(enc_df, schema=None, columns: list[str] | None = None):
     """Encoded chunk-group DataFrame -> original rows (exact values).
 
-    ``columns`` selects a subset to decode: other columns' payloads are
-    never decompressed (chunk-internal column pruning).
+    ``columns`` selects a subset to decode.  On the single-blob layout,
+    other columns' payload sections are never decompressed (chunk-internal
+    column pruning); on the per-column layout (``split_payload=True`` at
+    encode time) the projection goes further -- only the selected
+    ``payload_<col>`` columns are scanned at all, so the parquet reader of
+    the encoded table skips the other columns' bytes on disk.
     """
     if schema is None:
         schema = infer_decoded_schema(enc_df)
@@ -1203,6 +1316,9 @@ def decode_dataframe(enc_df, schema=None, columns: list[str] | None = None):
         schema = StructType([f for f in schema.fields if f.name in wanted])
     col_set = set(columns) if columns is not None else None
 
+    if "payload" not in enc_df.columns:
+        return _decode_split_dataframe(enc_df, schema)
+
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             payloads = b.column(b.schema.get_field_index("payload"))
@@ -1214,6 +1330,34 @@ def decode_dataframe(enc_df, schema=None, columns: list[str] | None = None):
     # project before mapInArrow so the scan reads only these two columns
     # (column pruning reaches the parquet ReadSchema)
     return enc_df.select("schema_json", "payload").mapInArrow(decode_partition, schema)
+
+
+def _decode_split_dataframe(enc_df, schema):
+    """Decode the per-column payload layout: select ONLY schema_json plus
+    the payload_<col> columns the caller asked for -- that projection is
+    what pushes column pruning into the encoded table's parquet scan."""
+    names = [f.name for f in schema.fields]
+    missing = [n for n in names if f"payload_{n}" not in enc_df.columns]
+    if missing:
+        raise ValueError(
+            f"encoded DataFrame has no payload_<col> column for {missing}; "
+            f"available: {[c for c in enc_df.columns if c.startswith('payload_')]}")
+
+    def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            schemas = b.column(0)
+            pay_cols = [b.column(j + 1) for j in range(len(names))]
+            for i in range(len(b)):
+                types = dict(json.loads(schemas[i].as_py()))
+                arrays = [
+                    _decode_any_column(pay_cols[j][i].as_py(),
+                                       _type_from_name(types[name]))
+                    for j, name in enumerate(names)
+                ]
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    proj = enc_df.select("schema_json", *[f"`payload_{n}`" for n in names])
+    return proj.mapInArrow(decode_partition, schema)
 
 
 # ---------- partitioning / skew defusal ----------

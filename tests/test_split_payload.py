@@ -1,0 +1,169 @@
+"""Per-column payload layout (``split_payload=True``): each source column's
+encoded bytes land in their own ``payload_<col>`` BINARY column, so decoding
+a projection prunes unselected columns at the parquet reader of the encoded
+table (ReadSchema-level IO pruning) -- the "encoded column chunks written
+back as binary columns" layout of the north rule.
+
+Reference analog: one parquet column chunk per column per row group
+(reference: src/parquet-writer.js:74-125); the single-blob layout is the
+row-group-as-one-cell shape, this is the column-chunk-as-one-cell shape.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcodec.engine import (
+    decode_dataframe,
+    decode_to_parquet,
+    encode_dataframe,
+    encode_parquet_dataset,
+    filter_chunks_may_contain,
+    lookup_rows,
+    range_repartition,
+    range_scan_rows,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def toks(spark):
+    from sparkcodec.tokens import tokens_table
+
+    return tokens_table(spark, SF_DIR).cache()
+
+
+def _checksum(df, cols):
+    expr = ", ".join(cols)
+    return df.agg(F.expr(f"bit_xor(xxhash64({expr}))")).collect()[0][0]
+
+
+def test_split_roundtrip_bridge_path(spark, toks):
+    enc = encode_dataframe(range_repartition(toks, 4), chunk_rows=128,
+                           auto_fastpath=False, split_payload=True)
+    assert "payload" not in enc.columns
+    for c in ("doc_id", "tokens", "n_tok", "source"):
+        assert f"payload_{c}" in enc.columns
+    dec = decode_dataframe(enc)
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    assert _checksum(dec, cols) == _checksum(toks, cols)
+    assert dec.count() == toks.count()
+
+
+def test_split_roundtrip_scan_path_with_blooms_and_stats(spark, toks, tmp_path):
+    src = str(tmp_path / "src.parquet")
+    toks.write.parquet(src)
+    enc = encode_parquet_dataset(spark, src, split_payload=True,
+                                 chunk_rows=128,
+                                 bloom_columns=("doc_id",),
+                                 stat_columns=("doc_id",))
+    assert {"bloom_doc_id", "min_doc_id", "max_doc_id"} <= set(enc.columns)
+    dec = decode_dataframe(enc)
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    assert _checksum(dec, cols) == _checksum(toks, cols)
+
+
+def test_split_pruned_decode_prunes_parquet_readschema(spark, toks, tmp_path):
+    """The point of the layout: a 2-column decode over the persisted
+    encoded table must not read the tokens payload from disk at all."""
+    enc_dir = str(tmp_path / "enc")
+    encode_dataframe(range_repartition(toks, 4), chunk_rows=128,
+                     auto_fastpath=False,
+                     split_payload=True).write.parquet(enc_dir)
+    enc = spark.read.parquet(enc_dir)
+    pruned = decode_dataframe(enc, columns=["doc_id", "n_tok"])
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted")
+    scans = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert scans and "payload_tokens" not in scans[0], plan
+    assert "payload_doc_id" in scans[0] and "payload_n_tok" in scans[0]
+    # values exact
+    got = dict(pruned.collect())
+    exp = dict(toks.select("doc_id", "n_tok").collect())
+    assert got == exp
+
+
+def test_split_mixed_and_nested_types(spark):
+    df = spark.range(200).selectExpr(
+        "CAST(id AS INT) AS i32",
+        "id AS i64",
+        "CAST(id AS DOUBLE) / 7 AS f64",
+        "CAST(id % 2 = 0 AS BOOLEAN) AS flag",
+        "concat('s', CAST(id % 17 AS STRING)) AS s",
+        "CAST(concat(CAST(id AS STRING), '.25') AS DECIMAL(12,2)) AS dec",
+        "date_add(DATE'2020-01-01', CAST(id % 300 AS INT)) AS d",
+        "IF(id % 5 = 0, NULL, named_struct('a', id, 'b', "
+        "concat('x', CAST(id AS STRING)))) AS st",
+        "map(concat('k', CAST(id % 3 AS STRING)), id) AS m",
+        "IF(id % 7 = 0, NULL, sequence(0, CAST(id % 9 AS INT))) AS arr",
+    )
+    enc = encode_dataframe(df.repartition(3), chunk_rows=64,
+                           auto_fastpath=False, split_payload=True)
+    dec = decode_dataframe(enc)
+    got = sorted(dec.collect(), key=lambda r: r["i64"])
+    exp = sorted(df.collect(), key=lambda r: r["i64"])
+    assert got == exp
+
+
+def test_split_bloom_lookup_and_no_bloom_fallback(spark, toks):
+    enc = encode_dataframe(range_repartition(toks, 4), chunk_rows=64,
+                           auto_fastpath=False, split_payload=True,
+                           bloom_columns=("doc_id",))
+    target = toks.orderBy("doc_id").first()["doc_id"]
+    got = lookup_rows(enc, "doc_id", target).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == target
+    # without a bloom column there is no group blob to parse: the probe
+    # must pass every chunk through, and the lookup still answers exactly
+    enc_nb = encode_dataframe(range_repartition(toks, 4), chunk_rows=64,
+                              auto_fastpath=False, split_payload=True)
+    assert filter_chunks_may_contain(enc_nb, "doc_id", target).count() == \
+        enc_nb.count()
+    got2 = lookup_rows(enc_nb, "doc_id", target).collect()
+    assert len(got2) == 1 and got2[0]["doc_id"] == target
+
+
+def test_split_range_scan_typed_stats(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    enc = encode_dataframe(
+        li.repartitionByRange(4, "l_orderkey")
+        .sortWithinPartitions("l_orderkey"),
+        chunk_rows=512, auto_fastpath=False, split_payload=True,
+        stat_columns=("l_orderkey",))
+    got = sorted(tuple(r) for r in
+                 range_scan_rows(enc, "l_orderkey", 100, 140, "long").collect())
+    exp = sorted(tuple(r) for r in li.filter(
+        (F.col("l_orderkey") >= 100) & (F.col("l_orderkey") <= 140)).collect())
+    assert got == exp and len(got) > 0
+
+
+def test_split_decode_to_parquet(spark, toks, tmp_path):
+    enc_dir = str(tmp_path / "enc")
+    encode_dataframe(range_repartition(toks, 4), chunk_rows=128,
+                     auto_fastpath=False,
+                     split_payload=True).write.parquet(enc_dir)
+    out = str(tmp_path / "dec")
+    manifest = decode_to_parquet(spark, enc_dir, out).collect()
+    assert sum(r["n_rows"] for r in manifest) == toks.count()
+    back = spark.read.parquet(out)
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    assert _checksum(back, cols) == _checksum(toks, cols)
+    # column-subset decode reads only those payload columns
+    out2 = str(tmp_path / "dec2")
+    decode_to_parquet(spark, enc_dir, out2, columns=["doc_id", "n_tok"]).collect()
+    back2 = spark.read.parquet(out2)
+    assert back2.columns == ["doc_id", "n_tok"]
+    assert dict(back2.collect()) == dict(toks.select("doc_id", "n_tok").collect())
+
+
+def test_split_unknown_column_raises(spark, toks):
+    enc = encode_dataframe(range_repartition(toks, 2), chunk_rows=128,
+                           auto_fastpath=False, split_payload=True)
+    with pytest.raises(ValueError, match="unknown columns"):
+        decode_dataframe(enc, columns=["nope"])
+
+
+def test_split_empty_input(spark, toks):
+    enc = encode_dataframe(toks.filter(F.lit(False)).repartition(2),
+                           auto_fastpath=False, split_payload=True)
+    assert enc.count() == 0
