@@ -205,6 +205,34 @@ def _dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5, df_cap=100)
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering: connected components over the
+    char-5-gram Jaccard pair graph (min-label propagation, one hash join
+    per round, ids-only shuffles).  Every document maps to the MIN doc_id
+    reachable through pairs; singletons map to themselves.  The oracle is
+    a DuckDB recursive-CTE transitive closure -- exact equality proves
+    the iterative Spark propagation reached the fixpoint."""
+    from sparkcodec.pipeline.curation import NEAR_DF_CAP
+    from sparkcodec.pipeline.dedup import (
+        SHINGLE_K, char_ngram_jaccard_pairs, near_dup_clusters,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = char_ngram_jaccard_pairs(docs, SHINGLE_K, 0.8, df_cap=NEAR_DF_CAP)
+    return near_dup_clusters(pairs, docs)
+
+
+def _dedup_clusters_oracle() -> str:
+    from sparkcodec.pipeline.curation import NEAR_DF_CAP
+    from sparkcodec.pipeline.dedup import (
+        SHINGLE_K, char_ngram_jaccard_oracle_sql, near_dup_clusters_oracle_sql,
+    )
+
+    pairs_sql = char_ngram_jaccard_oracle_sql(SHINGLE_K, 0.8, "documents",
+                                              df_cap=NEAR_DF_CAP)
+    return near_dup_clusters_oracle_sql(pairs_sql)
+
+
 def _dedup_minhash_lsh(spark, sf_dir):
     """Recall-gated minhash LSH: the exact char-5-gram Jaccard >= 0.8 pairs
     that banded LSH candidate generation finds.  Full recall (miss prob
@@ -725,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_summary": _compression_summary,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_clusters": _dedup_clusters,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_minhash_candidates": _dedup_minhash_candidates,
         "dedup_simhash": _dedup_simhash,
@@ -780,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY text"
         ),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         # full LSH recall (verified at sf0.001/sf0.01) makes the minhash
         # gate equal the exact char-5-gram pair set
         "dedup_minhash_lsh": _minhash_recall_oracle(),

@@ -26,6 +26,10 @@ import tempfile
 import time
 
 
+def _median(times):
+    return sorted(times)[len(times) // 2]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # default local[8]: this host's aggregate memory bandwidth collapses
@@ -71,10 +75,13 @@ def main() -> None:
         toks.write.mode("overwrite").parquet(src_path)
         inp = spark.read.parquet(src_path)
 
-        def reps(fn, n=3) -> list[float]:
+        def reps(fn, n=5) -> list[float]:
             """Symmetric measurement protocol: n timed runs each for the
             engine AND the builtin baseline (run 1 absorbs worker spawn /
-            page-cache warmup for both), report min + median."""
+            page-cache warmup for both), report min + median.  n=5 because
+            this host carries 3-4x co-tenant noise bursts lasting whole
+            seconds: with 3 reps one burst can poison both min and median
+            of one side of a comparison."""
             times = []
             for _ in range(n):
                 t0 = time.perf_counter()
@@ -88,7 +95,7 @@ def main() -> None:
         times = reps(lambda: encode_parquet_dataset(spark, src_path)
                      .agg(F.sum("bytes_out")).collect())
         queries["encode"] = min(times)
-        queries["encode_median"] = sorted(times)[1]
+        queries["encode_median"] = _median(times)
         extras["encode_runs"] = [round(x, 3) for x in times]
 
         # q1b: the generic DataFrame-input path (any upstream plan, pays the
@@ -106,7 +113,7 @@ def main() -> None:
         enc_path = f"{tmp}/encoded.parquet"
         pq_path = f"{tmp}/baseline.parquet"
         wtimes, btimes = [], []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             encode_parquet_dataset(spark, src_path).write.mode(
                 "overwrite").parquet(enc_path)
@@ -116,7 +123,7 @@ def main() -> None:
                 "compression", "snappy").parquet(pq_path)
             btimes.append(time.perf_counter() - t0)
         queries["encode_write"] = min(wtimes)
-        queries["encode_write_median"] = sorted(wtimes)[1]
+        queries["encode_write_median"] = _median(wtimes)
         extras["encode_write_runs"] = [round(x, 3) for x in wtimes]
 
         enc = spark.read.parquet(enc_path)
@@ -130,7 +137,7 @@ def main() -> None:
         extras["n_chunks"] = int(agg["nc"])
         extras["tokens_per_sec_encode"] = round(agg["nt"] / queries["encode"], 1)
 
-        # q2: decode -- same 3-rep protocol as encode
+        # q2: decode -- same rep protocol as encode
         dec_checksums = []
         dtimes = reps(lambda: dec_checksums.append(
             decode_dataframe(enc)
@@ -138,7 +145,7 @@ def main() -> None:
             .collect()[0][0]))
         dec_checksum = dec_checksums[-1]
         queries["decode"] = min(dtimes)
-        queries["decode_median"] = sorted(dtimes)[1]
+        queries["decode_median"] = _median(dtimes)
         extras["decode_runs"] = [round(x, 3) for x in dtimes]
         extras["tokens_per_sec_decode"] = round(agg["nt"] / queries["decode"], 1)
 
@@ -161,7 +168,7 @@ def main() -> None:
         # timed above, interleaved rep-for-rep with the engine writes
         # (symmetric warmup AND symmetric noise exposure, judge r2 item #9)
         queries["parquet_baseline_write"] = min(btimes)
-        queries["parquet_baseline_write_median"] = sorted(btimes)[1]
+        queries["parquet_baseline_write_median"] = _median(btimes)
         extras["baseline_runs"] = [round(x, 3) for x in btimes]
         extras["encode_write_vs_baseline"] = round(
             queries["encode_write"] / min(btimes), 4)

@@ -543,3 +543,82 @@ def minhash_recall_pairs(docs: DataFrame, threshold: float = 0.8,
     exact = char_ngram_jaccard_pairs(docs, SHINGLE_K, threshold, text_col, id_col)
     cand = minhash_lsh_candidates(docs, num_perm, bands, text_col, id_col, seed)
     return exact.join(cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+
+
+# ---------- near-dup clustering (connected components) ----------
+
+def near_dup_clusters(pairs: DataFrame, docs: DataFrame | None = None,
+                      id_col: str = "doc_id", a_col: str = "id_a",
+                      b_col: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document gets
+    a ``cluster_id`` = the MIN document id reachable through the pair
+    graph (pairs are undirected).  Documents in ``docs`` that appear in no
+    pair become singleton clusters of themselves.
+
+    Pair emitters (`char_ngram_jaccard_pairs`, `minhash_lsh_candidates`,
+    `simhash_near_dups`) find EDGES; canonical-per-group dedup needs the
+    transitive closure -- A~B and B~C must collapse A,B,C into one group
+    even when A~C was never emitted.
+
+    Implementation is iterative min-label propagation (each vertex takes
+    the min of its own and its neighbors' labels), one hash-join + one
+    aggregation per round, converging in graph-diameter rounds.  Near-dup
+    components are shallow (duplicates of a common ancestor), so the
+    round count stays small at corpus scale; each round's shuffle is
+    keyed by 8-byte-ish ids, never documents.  Each round's labels are
+    ``localCheckpoint``-ed: without truncation the plan doubles per round
+    (labels appears twice in its own successor) and Catalyst OOMs after
+    ~15 rounds no matter how small the data is.
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .union(pairs.select(F.col(b_col).alias("src"),
+                                 F.col(a_col).alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .select("id", F.col("id").alias("label"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        msgs = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), "label"))
+        new_labels = (labels.union(msgs)
+                      .groupBy("id").agg(F.min("label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") < F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("id").alias(id_col),
+                        F.col("label").alias("cluster_id"))
+    if docs is not None:
+        out = (docs.select(id_col).join(out, id_col, "left")
+               .select(F.col(id_col),
+                       F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")))
+    return out
+
+
+def near_dup_clusters_oracle_sql(pairs_sql: str, table: str = "documents",
+                                 id_col: str = "doc_id") -> str:
+    """DuckDB recursive-CTE transitive closure mirroring
+    :func:`near_dup_clusters`: cluster_id = min id reachable through the
+    (undirected) pair graph, singletons map to themselves."""
+    return f"""
+        WITH RECURSIVE pr AS ({pairs_sql}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pr
+          UNION
+          SELECT id_b, id_a FROM pr
+        ),
+        reach(id, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        clusters AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+        SELECT d.{id_col} AS {id_col},
+               coalesce(c.cluster_id, d.{id_col}) AS cluster_id
+        FROM {table} d LEFT JOIN clusters c ON c.id = d.{id_col}
+    """

@@ -282,3 +282,49 @@ def test_trailing_empty_doc_does_not_corrupt_signatures(spark):
                simhash_signatures(a.coalesce(1)).collect()}
     sh_alone = simhash_signatures(b.coalesce(1)).collect()[0]["sig"]
     assert sh_with[1] == sh_alone and sh_with[2] == 0
+
+
+def test_near_dup_clusters_transitive_closure(spark):
+    """Connected components must collapse A~B, B~C, C~D into ONE cluster
+    (transitivity the pair emitters never materialize), keep separate
+    components apart, and map documents with no pair to themselves."""
+    from sparkcodec.pipeline.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        # chain d1-d2-d3-d4 (diameter 3), separate pair d6-d5 (reversed
+        # order: min propagates against edge direction too), singleton d7
+        [("d1", "d2"), ("d2", "d3"), ("d3", "d4"), ("d6", "d5")],
+        "id_a STRING, id_b STRING")
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(1, 8)], "doc_id STRING")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in near_dup_clusters(pairs, docs).collect()}
+    assert got == {"d1": "d1", "d2": "d1", "d3": "d1", "d4": "d1",
+                   "d5": "d5", "d6": "d5", "d7": "d7"}
+
+
+def test_near_dup_clusters_matches_recursive_cte(spark):
+    """Spark min-label propagation vs DuckDB recursive-CTE transitive
+    closure on a random-ish graph: exact equality proves the iteration
+    reaches the fixpoint."""
+    import duckdb
+
+    from sparkcodec.pipeline.dedup import (
+        near_dup_clusters, near_dup_clusters_oracle_sql,
+    )
+
+    rng = np.random.default_rng(7)
+    ids = [f"x{i:03d}" for i in range(60)]
+    raw = sorted({(ids[int(a)], ids[int(b)])
+                  for a, b in rng.integers(0, 60, size=(40, 2)) if a != b})
+    pdf = pd.DataFrame(raw, columns=["id_a", "id_b"])
+    docs_pdf = pd.DataFrame({"doc_id": ids})
+    got = sorted(tuple(r) for r in near_dup_clusters(
+        spark.createDataFrame(pdf),
+        spark.createDataFrame(docs_pdf)).collect())
+    con = duckdb.connect()
+    con.register("pr_in", pdf)
+    con.register("documents", docs_pdf)
+    exp = sorted(tuple(r) for r in con.execute(
+        near_dup_clusters_oracle_sql("SELECT * FROM pr_in")).fetchall())
+    assert got == exp
