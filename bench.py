@@ -151,12 +151,12 @@ def main() -> None:
 
         # q2b: decode straight back to REAL parquet via our own file writer
         # (scan-side out: decoded arrays never cross the Python->JVM bridge)
-        t0 = time.perf_counter()
         from sparkcodec.engine import decode_to_parquet
 
         dec_out = f"{tmp}/decoded.parquet"
-        decode_to_parquet(spark, enc_path, dec_out).collect()
-        queries["decode_write"] = time.perf_counter() - t0
+        dwtimes = reps(lambda: decode_to_parquet(spark, enc_path, dec_out)
+                       .collect(), n=3)
+        queries["decode_write"] = min(dwtimes)
 
         # q3: verify round-trip checksum equality against the source table
         t0 = time.perf_counter()
