@@ -107,24 +107,40 @@ def main() -> None:
         queries["encode_mapinarrow"] = time.perf_counter() - t0
 
         # engine encode+write vs builtin parquet+snappy, INTERLEAVED
-        # (engine, baseline, engine, baseline, ...) so co-tenant drift on
-        # this noisy host hits both sides equally -- the same protocol the
-        # scaling script uses
+        # (engine-direct, engine-jvm, baseline, repeat) so co-tenant drift
+        # on this noisy host hits every side equally -- the same protocol
+        # the scaling script uses.  encode_write (headline) is the
+        # TASK-SIDE sink (encode_to_parquet: pyarrow writes the encoded
+        # table inside each Python task, nothing crosses the JVM bridge);
+        # encode_write_jvm is the bridge path (encoded rows return to the
+        # JVM, Spark's writer persists them).
+        import shutil as _sh
+
+        from sparkcodec.engine import encode_to_parquet
+
         enc_path = f"{tmp}/encoded.parquet"
+        enc_direct = f"{tmp}/encoded_direct.parquet"
         pq_path = f"{tmp}/baseline.parquet"
-        wtimes, btimes = [], []
+        wtimes, jtimes, btimes = [], [], []
         for _ in range(5):
+            _sh.rmtree(enc_direct, ignore_errors=True)
+            t0 = time.perf_counter()
+            encode_to_parquet(spark, src_path, enc_direct).collect()
+            wtimes.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             encode_parquet_dataset(spark, src_path).write.mode(
                 "overwrite").parquet(enc_path)
-            wtimes.append(time.perf_counter() - t0)
+            jtimes.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             inp.write.mode("overwrite").option(
                 "compression", "snappy").parquet(pq_path)
             btimes.append(time.perf_counter() - t0)
         queries["encode_write"] = min(wtimes)
         queries["encode_write_median"] = _median(wtimes)
+        queries["encode_write_jvm"] = min(jtimes)
+        queries["encode_write_jvm_median"] = _median(jtimes)
         extras["encode_write_runs"] = [round(x, 3) for x in wtimes]
+        extras["encode_write_jvm_runs"] = [round(x, 3) for x in jtimes]
 
         enc = spark.read.parquet(enc_path)
         agg = enc.agg(

@@ -990,6 +990,10 @@ def encode_parquet_dataset(spark, path, *,
     if split_payload:
         payload_columns = (tuple(columns) if columns is not None
                            else tuple(ds_schema.names))
+        # pin the per-file read order to the unified dataset schema: files
+        # written at different times may order columns differently, and the
+        # payload_<col> output order is fixed at plan time
+        columns = list(payload_columns)
         out_ddl = (ENCODED_BASE_DDL + ", " + _payloads_ddl(payload_columns)
                    + _blooms_ddl(bloom_columns))
     else:
@@ -1051,6 +1055,110 @@ def encode_parquet_dataset(spark, path, *,
                 yield tagged
 
     return desc.mapInArrow(encode_split, out_ddl)
+
+
+def encode_to_parquet(spark, path, out_dir: str, *,
+                      chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                      token_budget: int = DEFAULT_TOKEN_BUDGET,
+                      compress: bool = True,
+                      columns: list[str] | None = None,
+                      bloom_columns: tuple[str, ...] = (),
+                      stat_columns: tuple[str, ...] = (),
+                      split_payload: bool = False,
+                      batch_rows: int = 16384,
+                      n_splits: int | None = None,
+                      container_compression: str = "zstd"):
+    """Scan-side encode with a TASK-SIDE sink: each Python task reads its
+    parquet splits with pyarrow, encodes, and streams the encoded chunk
+    rows straight into one parquet file in ``out_dir`` via pyarrow's
+    writer -- encoded payload bytes never cross the Python->JVM Arrow
+    bridge in either direction (the encode mirror of
+    :func:`decode_to_parquet`).  On a real cluster the same tasks write
+    directly to S3/HDFS.  Returns a DataFrame of
+    (path, n_chunks, n_rows, n_tokens, bytes_in, bytes_out) manifest rows
+    -- the only thing that crosses back to the JVM.
+
+    ``container_compression`` compresses the CONTAINER parquet file
+    (payload cells are already chunk-compressed; zstd-1 on top mostly
+    squeezes the JSON metadata columns).
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    if n_splits is None:
+        n_splits = max(spark.sparkContext.defaultParallelism * 2, 2)
+    splits = _plan_parquet_splits(path, n_splits)
+    manifest_ddl = ("path STRING, n_chunks LONG, n_rows LONG, "
+                    "n_tokens LONG, bytes_in LONG, bytes_out LONG")
+    if not splits:
+        return spark.createDataFrame([], manifest_ddl)
+    payload_columns: tuple[str, ...] | None = None
+    if split_payload:
+        import pyarrow.dataset as ds
+
+        payload_columns = (tuple(columns) if columns is not None
+                           else tuple(ds.dataset(path, format="parquet").schema.names))
+        columns = list(payload_columns)
+    desc = spark.createDataFrame(
+        [(s["path"], s["row_groups"]) for s in splits],
+        "path STRING, row_groups ARRAY<INT>",
+    ).repartition(len(splits))
+
+    def encode_split(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import uuid
+
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+
+        def read_all() -> Iterator[pa.RecordBatch]:
+            for b in batches:
+                for p, rgs in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                    pf = pq.ParquetFile(p)
+                    try:
+                        yield from pf.iter_batches(batch_size=batch_rows,
+                                                   row_groups=rgs, columns=columns)
+                    finally:
+                        pf.close()
+
+        writer = None
+        n_chunks = n_rows = n_tokens = bytes_in = bytes_out = 0
+        fpath = os.path.join(out_dir,
+                             f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
+        tmp_path = fpath + ".tmp"
+        for rb in _encode_batch_stream(read_all(), pid, chunk_rows,
+                                       token_budget, compress, None,
+                                       bloom_columns,
+                                       stat_columns=stat_columns,
+                                       payload_columns=payload_columns):
+            if writer is None:
+                writer = pq.ParquetWriter(tmp_path, rb.schema,
+                                          compression=container_compression,
+                                          compression_level=1)
+            writer.write_batch(rb)
+            n_chunks += len(rb)
+            tb = pa.Table.from_batches([rb])
+            n_rows += int(pa.compute.sum(tb.column("n_rows")).as_py() or 0)
+            n_tokens += int(pa.compute.sum(tb.column("n_tokens")).as_py() or 0)
+            bytes_in += int(pa.compute.sum(tb.column("bytes_in")).as_py() or 0)
+            bytes_out += int(pa.compute.sum(tb.column("bytes_out")).as_py() or 0)
+        if writer is None:
+            return
+        writer.close()
+        os.rename(tmp_path, fpath)
+        yield pa.RecordBatch.from_pylist(
+            [{"path": fpath, "n_chunks": n_chunks, "n_rows": n_rows,
+              "n_tokens": n_tokens, "bytes_in": bytes_in,
+              "bytes_out": bytes_out}],
+            schema=pa.schema([
+                ("path", pa.string()), ("n_chunks", pa.int64()),
+                ("n_rows", pa.int64()), ("n_tokens", pa.int64()),
+                ("bytes_in", pa.int64()), ("bytes_out", pa.int64()),
+            ]))
+
+    return desc.mapInArrow(encode_split, manifest_ddl)
 
 
 def _probe_hash(value) -> np.ndarray:

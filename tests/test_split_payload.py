@@ -167,3 +167,34 @@ def test_split_empty_input(spark, toks):
     enc = encode_dataframe(toks.filter(F.lit(False)).repartition(2),
                            auto_fastpath=False, split_payload=True)
     assert enc.count() == 0
+
+
+def test_encode_to_parquet_task_side_sink(spark, toks, tmp_path):
+    """encode_to_parquet: pyarrow writes the encoded table inside each
+    Python task (nothing crosses the JVM bridge); the manifest sums must
+    match the data, and decode must be exact -- both payload layouts."""
+    from sparkcodec.engine import encode_to_parquet
+
+    src = str(tmp_path / "src.parquet")
+    toks.write.parquet(src)
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    for split in (False, True):
+        out = str(tmp_path / f"enc_{split}")
+        manifest = encode_to_parquet(spark, src, out, chunk_rows=128,
+                                     split_payload=split,
+                                     bloom_columns=("doc_id",),
+                                     stat_columns=("doc_id",)).collect()
+        assert sum(r["n_rows"] for r in manifest) == toks.count()
+        enc = spark.read.parquet(out)
+        assert sum(r["n_chunks"] for r in manifest) == enc.count()
+        assert ("payload" in enc.columns) == (not split)
+        agg = enc.selectExpr("sum(bytes_out) bo", "sum(n_tokens) nt").first()
+        assert agg["bo"] == sum(r["bytes_out"] for r in manifest)
+        assert agg["nt"] == sum(r["n_tokens"] for r in manifest)
+        dec = decode_dataframe(enc)
+        assert _checksum(dec, cols) == _checksum(toks, cols)
+    # empty input -> empty manifest, no files
+    empty_src = str(tmp_path / "empty.parquet")
+    toks.filter(F.lit(False)).write.parquet(empty_src)
+    m = encode_to_parquet(spark, empty_src, str(tmp_path / "enc_empty")).collect()
+    assert m == []
