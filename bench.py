@@ -170,8 +170,12 @@ def main() -> None:
         from sparkcodec.engine import decode_to_parquet
 
         dec_out = f"{tmp}/decoded.parquet"
-        dwtimes = reps(lambda: decode_to_parquet(spark, enc_path, dec_out)
-                       .collect(), n=3)
+
+        def _decode_write_rep():
+            _sh.rmtree(dec_out, ignore_errors=True)
+            decode_to_parquet(spark, enc_path, dec_out).collect()
+
+        dwtimes = reps(_decode_write_rep, n=3)
         queries["decode_write"] = min(dwtimes)
 
         # q3: verify round-trip checksum equality against the source table

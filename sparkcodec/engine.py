@@ -789,6 +789,16 @@ def _spark_ddl_of_pa(t: pa.DataType) -> str:
     raise TypeError(f"unsupported stat column type {t}")
 
 
+def _resolve_split_columns(columns, schema_names) -> tuple[tuple[str, ...], list[str]]:
+    """Split-payload plan for scan-side encodes: the payload_<col> output
+    order, and the per-file read projection PINNED to it (files written at
+    different times may order columns differently; the output schema is
+    fixed at plan time)."""
+    payload_columns = (tuple(columns) if columns is not None
+                       else tuple(schema_names))
+    return payload_columns, list(payload_columns)
+
+
 def _payloads_ddl(payload_columns: tuple[str, ...]) -> str:
     """Per-column payload layout: one BINARY column per encoded source
     column.  A ``decode_dataframe(columns=[...])`` over this layout selects
@@ -988,12 +998,7 @@ def encode_parquet_dataset(spark, path, *,
 
         ds_schema = ds.dataset(path, format="parquet").schema
     if split_payload:
-        payload_columns = (tuple(columns) if columns is not None
-                           else tuple(ds_schema.names))
-        # pin the per-file read order to the unified dataset schema: files
-        # written at different times may order columns differently, and the
-        # payload_<col> output order is fixed at plan time
-        columns = list(payload_columns)
+        payload_columns, columns = _resolve_split_columns(columns, ds_schema.names)
         out_ddl = (ENCODED_BASE_DDL + ", " + _payloads_ddl(payload_columns)
                    + _blooms_ddl(bloom_columns))
     else:
@@ -1096,9 +1101,8 @@ def encode_to_parquet(spark, path, out_dir: str, *,
     if split_payload:
         import pyarrow.dataset as ds
 
-        payload_columns = (tuple(columns) if columns is not None
-                           else tuple(ds.dataset(path, format="parquet").schema.names))
-        columns = list(payload_columns)
+        payload_columns, columns = _resolve_split_columns(
+            columns, ds.dataset(path, format="parquet").schema.names)
     desc = spark.createDataFrame(
         [(s["path"], s["row_groups"]) for s in splits],
         "path STRING, row_groups ARRAY<INT>",
@@ -1125,29 +1129,40 @@ def encode_to_parquet(spark, path, out_dir: str, *,
 
         writer = None
         n_chunks = n_rows = n_tokens = bytes_in = bytes_out = 0
-        fpath = os.path.join(out_dir,
-                             f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
-        tmp_path = fpath + ".tmp"
-        for rb in _encode_batch_stream(read_all(), pid, chunk_rows,
-                                       token_budget, compress, None,
-                                       bloom_columns,
-                                       stat_columns=stat_columns,
-                                       payload_columns=payload_columns):
+        # deterministic final name per partition: a retried or speculative
+        # attempt re-produces the same bytes and atomically REPLACES the
+        # file instead of committing a duplicate; the tmp name is unique
+        # per attempt so concurrent attempts never clobber each other's
+        # in-progress writes
+        fpath = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+        tmp_path = f"{fpath}.{uuid.uuid4().hex[:8]}.tmp"
+        try:
+            for rb in _encode_batch_stream(read_all(), pid, chunk_rows,
+                                           token_budget, compress, None,
+                                           bloom_columns,
+                                           stat_columns=stat_columns,
+                                           payload_columns=payload_columns):
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp_path, rb.schema,
+                                              compression=container_compression,
+                                              compression_level=1)
+                writer.write_batch(rb)
+                n_chunks += len(rb)
+                tb = pa.Table.from_batches([rb])
+                n_rows += int(pa.compute.sum(tb.column("n_rows")).as_py() or 0)
+                n_tokens += int(pa.compute.sum(tb.column("n_tokens")).as_py() or 0)
+                bytes_in += int(pa.compute.sum(tb.column("bytes_in")).as_py() or 0)
+                bytes_out += int(pa.compute.sum(tb.column("bytes_out")).as_py() or 0)
             if writer is None:
-                writer = pq.ParquetWriter(tmp_path, rb.schema,
-                                          compression=container_compression,
-                                          compression_level=1)
-            writer.write_batch(rb)
-            n_chunks += len(rb)
-            tb = pa.Table.from_batches([rb])
-            n_rows += int(pa.compute.sum(tb.column("n_rows")).as_py() or 0)
-            n_tokens += int(pa.compute.sum(tb.column("n_tokens")).as_py() or 0)
-            bytes_in += int(pa.compute.sum(tb.column("bytes_in")).as_py() or 0)
-            bytes_out += int(pa.compute.sum(tb.column("bytes_out")).as_py() or 0)
-        if writer is None:
-            return
-        writer.close()
-        os.rename(tmp_path, fpath)
+                return
+            writer.close()
+            writer = None
+            os.replace(tmp_path, fpath)
+        finally:
+            if writer is not None:
+                writer.close()
+            if os.path.exists(tmp_path):
+                os.remove(tmp_path)
         yield pa.RecordBatch.from_pylist(
             [{"path": fpath, "n_chunks": n_chunks, "n_rows": n_rows,
               "n_tokens": n_tokens, "bytes_in": bytes_in,
@@ -1321,6 +1336,12 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
     enc_names = _ds.dataset(enc_path, format="parquet").schema.names
     split_layout = "payload" not in enc_names
     if split_layout:
+        available = {n[len("payload_"):] for n in enc_names
+                     if n.startswith("payload_")}
+        if col_set is not None and col_set - available:
+            raise ValueError(
+                f"unknown columns {sorted(col_set - available)}; "
+                f"encoded table has {sorted(available)}")
         read_cols = ["schema_json"] + [
             n for n in enc_names if n.startswith("payload_")
             and (col_set is None or n[len("payload_"):] in col_set)]
@@ -1330,10 +1351,8 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
     def _decode_split_row(enc_b: pa.RecordBatch, i: int) -> pa.RecordBatch:
         types = dict(json.loads(enc_b.column(0)[i].as_py()))
         sel = [n[len("payload_"):] for n in enc_b.schema.names[1:]]
-        arrays = [_decode_any_column(enc_b.column(j + 1)[i].as_py(),
-                                     _type_from_name(types[name]))
-                  for j, name in enumerate(sel)]
-        return pa.RecordBatch.from_arrays(arrays, names=sel)
+        return _decode_split_cells(
+            types, sel, [enc_b.column(j + 1)[i].as_py() for j in range(len(sel))])
 
     def decode_split(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import uuid
@@ -1380,11 +1399,17 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
         if writer is None:
             return
         buf = writer.finish()
-        path = os.path.join(out_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(buf)
-        os.rename(tmp, path)
+        # deterministic final name (retry/speculative attempts replace,
+        # never duplicate); unique tmp per attempt
+        path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        try:
+            with open(tmp, "wb") as f:
+                f.write(buf)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         yield pa.RecordBatch.from_pylist(
             [{"path": path, "n_rows": n_rows, "n_bytes": len(buf)}],
             schema=pa.schema([("path", pa.string()), ("n_rows", pa.int64()),
@@ -1440,6 +1465,15 @@ def decode_dataframe(enc_df, schema=None, columns: list[str] | None = None):
     return enc_df.select("schema_json", "payload").mapInArrow(decode_partition, schema)
 
 
+def _decode_split_cells(types: dict, names: list[str], cells: list) -> pa.RecordBatch:
+    """Decode one split-layout chunk row: per-column payload cells ->
+    RecordBatch.  Shared by :func:`_decode_split_dataframe` and the
+    :func:`decode_to_parquet` split path (one copy of the cell grammar)."""
+    arrays = [_decode_any_column(cells[j], _type_from_name(types[name]))
+              for j, name in enumerate(names)]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
 def _decode_split_dataframe(enc_df, schema):
     """Decode the per-column payload layout: select ONLY schema_json plus
     the payload_<col> columns the caller asked for -- that projection is
@@ -1457,12 +1491,9 @@ def _decode_split_dataframe(enc_df, schema):
             pay_cols = [b.column(j + 1) for j in range(len(names))]
             for i in range(len(b)):
                 types = dict(json.loads(schemas[i].as_py()))
-                arrays = [
-                    _decode_any_column(pay_cols[j][i].as_py(),
-                                       _type_from_name(types[name]))
-                    for j, name in enumerate(names)
-                ]
-                yield pa.RecordBatch.from_arrays(arrays, names=names)
+                yield _decode_split_cells(
+                    types, names, [pay_cols[j][i].as_py()
+                                   for j in range(len(names))])
 
     proj = enc_df.select("schema_json", *[f"`payload_{n}`" for n in names])
     return proj.mapInArrow(decode_partition, schema)

@@ -578,19 +578,31 @@ def near_dup_clusters(pairs: DataFrame, docs: DataFrame | None = None,
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .select("id", F.col("id").alias("label"))
               .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
         msgs = (edges.join(labels.withColumnRenamed("id", "src"), "src")
                 .select(F.col("dst").alias("id"), "label"))
+        # lazy checkpoint: the changed-count action below both materializes
+        # the new labels into checkpoint blocks AND tests convergence --
+        # one Spark job per round, not two.  Superseded rounds' blocks are
+        # reclaimed by the ContextCleaner once dereferenced.
         new_labels = (labels.union(msgs)
                       .groupBy("id").agg(F.min("label").alias("label"))
-                      .localCheckpoint(eager=True))
+                      .localCheckpoint(eager=False))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.label") < F.col("o.label"))
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds: the "
+            "pair graph has a connected component of diameter > max_iter "
+            "(e.g. a long drift chain of near-identical revisions).  "
+            "Raise max_iter; labels propagate one hop per round.")
     out = labels.select(F.col("id").alias(id_col),
                         F.col("label").alias("cluster_id"))
     if docs is not None:

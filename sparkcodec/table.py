@@ -22,19 +22,33 @@ __all__ = [
     "read_encoded_table",
 ]
 
+_MODES = ("append", "overwrite")
+_FMTS = ("auto", "iceberg", "parquet")
+
+
+def _is_identifier(target: str) -> bool:
+    """Heuristic: catalog table identifiers (``catalog.db.table``) carry no
+    path separators; anything with a '/' (or windows '\\\\') is a storage
+    path and always takes the parquet branch."""
+    return "/" not in target and "\\" not in target
+
 
 def iceberg_available(spark) -> bool:
     """True when the session can write Iceberg tables: the Iceberg Spark
     runtime is on the JVM classpath AND at least one catalog is configured
-    as an Iceberg SparkCatalog."""
+    as an Iceberg SparkCatalog.  Catalogs set at runtime via
+    ``spark.conf.set`` count (the SQL ``SET`` listing includes them, unlike
+    the static SparkContext conf)."""
     try:
         jvm = spark._jvm
         jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
     except Exception:
         return False
-    confs = spark.sparkContext.getConf().getAll()
-    return any(k.startswith("spark.sql.catalog.") and "iceberg" in v.lower()
-               for k, v in confs)
+    confs = {r["key"]: r["value"] for r in spark.sql("SET").collect()}
+    for k, v in spark.sparkContext.getConf().getAll():
+        confs.setdefault(k, v)
+    return any(k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
+               for k, v in confs.items())
 
 
 def write_encoded_table(enc_df, target: str, *, mode: str = "append",
@@ -45,15 +59,21 @@ def write_encoded_table(enc_df, target: str, *, mode: str = "append",
     the Iceberg path is taken, else a filesystem/object-store directory
     for parquet.  Returns the format actually used ("iceberg"/"parquet").
 
-    ``fmt="auto"`` picks Iceberg iff :func:`iceberg_available`;
-    ``fmt="iceberg"`` requires it and raises otherwise (clear error
+    ``fmt="auto"`` picks Iceberg iff :func:`iceberg_available` AND the
+    target looks like a table identifier (no path separators -- a path
+    target always means parquet, even on an Iceberg cluster);
+    ``fmt="iceberg"`` requires Iceberg and raises otherwise (clear error
     instead of a ClassNotFoundException buried in a JVM stack);
     ``fmt="parquet"`` pins the fallback.
     """
     spark = enc_df.sparkSession
-    if fmt not in ("auto", "iceberg", "parquet"):
-        raise ValueError(f"fmt must be auto|iceberg|parquet, got {fmt!r}")
-    use_iceberg = iceberg_available(spark) if fmt == "auto" else fmt == "iceberg"
+    if fmt not in _FMTS:
+        raise ValueError(f"fmt must be one of {_FMTS}, got {fmt!r}")
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    use_iceberg = (fmt == "iceberg"
+                   or (fmt == "auto" and _is_identifier(target)
+                       and iceberg_available(spark)))
     if use_iceberg:
         if not iceberg_available(spark):
             raise RuntimeError(
@@ -64,25 +84,24 @@ def write_encoded_table(enc_df, target: str, *, mode: str = "append",
         writer = enc_df.writeTo(target).using("iceberg")
         if mode == "overwrite":
             writer.createOrReplace()
+        elif spark.catalog.tableExists(target):
+            writer.append()
         else:
-            # append; create on first write
-            try:
-                writer.append()
-            except Exception:
-                writer.create()
+            writer.create()
         return "iceberg"
-    enc_df.write.mode("overwrite" if mode == "overwrite" else "append") \
-        .parquet(target)
+    enc_df.write.mode(mode).parquet(target)
     return "parquet"
 
 
 def read_encoded_table(spark, target: str, *, fmt: str = "auto"):
-    """Read an encoded chunk table written by :func:`write_encoded_table`."""
-    if fmt not in ("auto", "iceberg", "parquet"):
-        raise ValueError(f"fmt must be auto|iceberg|parquet, got {fmt!r}")
+    """Read an encoded chunk table written by :func:`write_encoded_table`.
+    Same resolution rule as the writer: Iceberg only for identifier-shaped
+    targets on an Iceberg-enabled session (or when pinned)."""
+    if fmt not in _FMTS:
+        raise ValueError(f"fmt must be one of {_FMTS}, got {fmt!r}")
     use_iceberg = (fmt == "iceberg"
-                   or (fmt == "auto" and iceberg_available(spark)
-                       and "/" not in target))
+                   or (fmt == "auto" and _is_identifier(target)
+                       and iceberg_available(spark)))
     if use_iceberg:
         return spark.read.table(target)
     return spark.read.parquet(target)

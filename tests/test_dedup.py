@@ -328,3 +328,18 @@ def test_near_dup_clusters_matches_recursive_cte(spark):
     exp = sorted(tuple(r) for r in con.execute(
         near_dup_clusters_oracle_sql("SELECT * FROM pr_in")).fetchall())
     assert got == exp
+
+
+def test_near_dup_clusters_raises_on_non_convergence(spark):
+    """A component of diameter > max_iter must raise, never silently
+    return intermediate labels (review finding: drift chains)."""
+    from sparkcodec.pipeline.dedup import near_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(8)],
+        "id_a STRING, id_b STRING")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(chain, max_iter=2)
+    # and with enough rounds the same chain is one cluster
+    got = {r["cluster_id"] for r in near_dup_clusters(chain).collect()}
+    assert got == {"d00"}

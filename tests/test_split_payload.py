@@ -198,3 +198,33 @@ def test_encode_to_parquet_task_side_sink(spark, toks, tmp_path):
     toks.filter(F.lit(False)).write.parquet(empty_src)
     m = encode_to_parquet(spark, empty_src, str(tmp_path / "enc_empty")).collect()
     assert m == []
+
+
+def test_split_decode_to_parquet_unknown_column_raises(spark, toks, tmp_path):
+    enc_dir = str(tmp_path / "enc")
+    encode_dataframe(range_repartition(toks, 2), chunk_rows=128,
+                     auto_fastpath=False,
+                     split_payload=True).write.parquet(enc_dir)
+    with pytest.raises(ValueError, match="unknown columns"):
+        decode_to_parquet(spark, enc_dir, str(tmp_path / "out"),
+                          columns=["doc_ids"])
+
+
+def test_task_side_sinks_use_deterministic_names(spark, toks, tmp_path):
+    """Retried/speculative attempts must REPLACE, not duplicate: final
+    file names are a pure function of the partition id, so running the
+    same sink twice into one directory yields the same file set."""
+    import os
+
+    from sparkcodec.engine import encode_to_parquet
+
+    src = str(tmp_path / "src.parquet")
+    toks.write.parquet(src)
+    out = str(tmp_path / "enc")
+    encode_to_parquet(spark, src, out, chunk_rows=128).collect()
+    first = sorted(os.listdir(out))
+    encode_to_parquet(spark, src, out, chunk_rows=128).collect()
+    assert sorted(os.listdir(out)) == first
+    assert not [f for f in first if f.endswith(".tmp")]
+    enc = spark.read.parquet(out)
+    assert decode_dataframe(enc).count() == toks.count()
