@@ -233,6 +233,36 @@ def _dedup_clusters_oracle() -> str:
     return near_dup_clusters_oracle_sql(pairs_sql)
 
 
+def _dedup_keep_canonical(spark, sf_dir):
+    """Transitive near-dup REMOVAL: keep one representative (min doc_id)
+    per connected component of the char-5-gram pair graph plus all
+    singletons -- the semantics pairwise dropping gets wrong on chains
+    (A~B, B~C with A,C never compared).  Oracle: recursive-CTE closure
+    filtered to canonical rows."""
+    from sparkcodec.pipeline.curation import NEAR_DF_CAP
+    from sparkcodec.pipeline.dedup import (
+        SHINGLE_K, char_ngram_jaccard_pairs, keep_cluster_canonical,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = char_ngram_jaccard_pairs(docs, SHINGLE_K, 0.8, df_cap=NEAR_DF_CAP)
+    kept = keep_cluster_canonical(docs, pairs)
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+def _dedup_keep_canonical_oracle() -> str:
+    from sparkcodec.pipeline.curation import NEAR_DF_CAP
+    from sparkcodec.pipeline.dedup import (
+        SHINGLE_K, char_ngram_jaccard_oracle_sql,
+        keep_cluster_canonical_oracle_sql,
+    )
+
+    pairs_sql = char_ngram_jaccard_oracle_sql(SHINGLE_K, 0.8, "documents",
+                                              df_cap=NEAR_DF_CAP)
+    inner = keep_cluster_canonical_oracle_sql(pairs_sql)
+    return f"SELECT doc_id, lang, source, n_chars FROM ({inner})"
+
+
 def _dedup_minhash_lsh(spark, sf_dir):
     """Recall-gated minhash LSH: the exact char-5-gram Jaccard >= 0.8 pairs
     that banded LSH candidate generation finds.  Full recall (miss prob
@@ -754,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_clusters": _dedup_clusters,
+        "dedup_keep_canonical": _dedup_keep_canonical,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_minhash_candidates": _dedup_minhash_candidates,
         "dedup_simhash": _dedup_simhash,
@@ -810,6 +841,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "dedup_keep_canonical": _dedup_keep_canonical_oracle(),
         # full LSH recall (verified at sf0.001/sf0.01) makes the minhash
         # gate equal the exact char-5-gram pair set
         "dedup_minhash_lsh": _minhash_recall_oracle(),

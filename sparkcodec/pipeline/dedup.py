@@ -612,6 +612,37 @@ def near_dup_clusters(pairs: DataFrame, docs: DataFrame | None = None,
     return out
 
 
+def keep_cluster_canonical(docs: DataFrame, pairs: DataFrame,
+                           id_col: str = "doc_id", a_col: str = "id_a",
+                           b_col: str = "id_b",
+                           max_iter: int = 50) -> DataFrame:
+    """Transitive near-dup removal: keep exactly ONE document per
+    connected component of the pair graph (the min id -- the cluster's
+    canonical representative) plus every untouched singleton.  This is
+    the semantics pairwise dropping gets wrong: with A~B and B~C, dropping
+    the greater id of each pair keeps only A, but with A~B and C~B
+    (C never compared to A) pairwise dropping keeps A AND C even though
+    all three are transitive duplicates."""
+    clusters = near_dup_clusters(pairs, docs, id_col=id_col, a_col=a_col,
+                                 b_col=b_col, max_iter=max_iter)
+    keep = (clusters.filter(F.col(id_col) == F.col("cluster_id"))
+            .select(id_col))
+    return docs.join(keep, id_col, "left_semi")
+
+
+def keep_cluster_canonical_oracle_sql(pairs_sql: str,
+                                      table: str = "documents",
+                                      id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`keep_cluster_canonical`: rows of ``table``
+    whose id equals its component's min reachable id."""
+    clusters = near_dup_clusters_oracle_sql(pairs_sql, table, id_col)
+    return f"""
+        SELECT t.* FROM {table} t
+        JOIN ({clusters}) c ON c.{id_col} = t.{id_col}
+        WHERE c.cluster_id = t.{id_col}
+    """
+
+
 def near_dup_clusters_oracle_sql(pairs_sql: str, table: str = "documents",
                                  id_col: str = "doc_id") -> str:
     """DuckDB recursive-CTE transitive closure mirroring

@@ -343,3 +343,18 @@ def test_near_dup_clusters_raises_on_non_convergence(spark):
     # and with enough rounds the same chain is one cluster
     got = {r["cluster_id"] for r in near_dup_clusters(chain).collect()}
     assert got == {"d00"}
+
+
+def test_keep_cluster_canonical_transitive_semantics(spark):
+    """A~B and C~B (A,C never compared): pairwise greater-id dropping
+    would keep A and C; cluster-canonical keeps ONLY A (+ singletons)."""
+    from sparkcodec.pipeline.dedup import keep_cluster_canonical
+
+    docs = spark.createDataFrame(
+        [("A", "x"), ("B", "x"), ("C", "x"), ("D", "y")],
+        "doc_id STRING, text STRING")
+    pairs = spark.createDataFrame(
+        [("A", "B"), ("C", "B")], "id_a STRING, id_b STRING")
+    kept = sorted(r["doc_id"] for r in
+                  keep_cluster_canonical(docs, pairs).collect())
+    assert kept == ["A", "D"]
