@@ -41,6 +41,9 @@ def main() -> None:
     # (bloom columns parsed below with whitespace stripped: 'a, b' == 'a,b')
     ap.add_argument("--bloom-columns", default="",
                     help="comma-separated columns to build bloom filters for")
+    ap.add_argument("--split-payload", action="store_true",
+                    help="per-column payload layout (payload_<col> BINARY "
+                         "columns; projections prune at the parquet reader)")
     ap.add_argument("--mode", choices=("buckets", "files"), default="buckets",
                     help="buckets: weight-proportional shuffle + bucket resume; "
                          "files: shuffle-free scan-side fast path, file-level resume")
@@ -66,6 +69,7 @@ def main() -> None:
             chunk_rows=args.chunk_rows,
             token_budget=args.token_budget,
             bloom_columns=blooms,
+            split_payload=args.split_payload,
         )
     else:
         from sparkcodec.manifest import run_encode_job
@@ -82,6 +86,7 @@ def main() -> None:
             chunk_rows=args.chunk_rows,
             token_budget=args.token_budget,
             bloom_columns=blooms,
+            split_payload=args.split_payload,
         )
     print(json.dumps(summary))
     spark.stop()

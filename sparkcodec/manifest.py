@@ -77,7 +77,8 @@ def run_encode_files_job(spark, input_path: str, output_dir: str, *,
                          chunk_rows: int | None = None,
                          token_budget: int | None = None,
                          bloom_columns: tuple[str, ...] = (),
-                         n_splits: int | None = None) -> dict:
+                         n_splits: int | None = None,
+                         split_payload: bool = False) -> dict:
     """Shuffle-FREE resumable encode over an existing parquet dataset:
     the resume unit is the input FILE, chunks are produced by the
     scan-side fast path (pyarrow reads each split inside its Python task,
@@ -117,6 +118,7 @@ def run_encode_files_job(spark, input_path: str, output_dir: str, *,
         bloom_columns=bloom_columns,
         n_splits=n_splits,
         include_source_file=True,
+        split_payload=split_payload,
     ).withColumn("file_key", F.xxhash64("source_file"))
     (
         enc.write.mode("overwrite")
@@ -164,7 +166,8 @@ def run_encode_job(spark, df, output_dir: str, *, num_partitions: int = 64,
                    weight_col: str = "n_tok", source_col: str = "source",
                    id_col: str = "doc_id", chunk_rows: int | None = None,
                    token_budget: int | None = None,
-                   bloom_columns: tuple[str, ...] = ()) -> dict:
+                   bloom_columns: tuple[str, ...] = (),
+                   split_payload: bool = False) -> dict:
     """Run (or resume) the encode job.  Returns a summary dict."""
     from pyspark.sql import functions as F
 
@@ -195,6 +198,7 @@ def run_encode_job(spark, df, output_dir: str, *, num_partitions: int = 64,
         token_budget=token_budget or DEFAULT_TOKEN_BUDGET,
         partition_col="_bucket",
         bloom_columns=bloom_columns,
+        split_payload=split_payload,
     )
     (
         enc.write.mode("overwrite")

@@ -18,11 +18,14 @@ import time
 
 def write_batch(batch_df, batch_id: int, output_dir: str, *,
                 chunk_rows: int | None = None,
-                token_budget: int | None = None) -> None:
+                token_budget: int | None = None,
+                split_payload: bool = False) -> None:
     """Encode one micro-batch idempotently: chunks and manifest rows land
     in a batch_id partition via dynamic partition overwrite, so a replayed
     delivery of the same batch REPLACES its prior output instead of
-    appending duplicates (foreachBatch is at-least-once, ADVICE r1)."""
+    appending duplicates (foreachBatch is at-least-once, ADVICE r1).
+    ``split_payload`` selects the per-column payload layout for the
+    encoded chunk rows (same option as the batch encode entry points)."""
     from pyspark.sql import functions as F
 
     from .engine import DEFAULT_CHUNK_ROWS, DEFAULT_TOKEN_BUDGET, encode_dataframe
@@ -35,6 +38,7 @@ def write_batch(batch_df, batch_id: int, output_dir: str, *,
         batch_df,
         chunk_rows=chunk_rows or DEFAULT_CHUNK_ROWS,
         token_budget=token_budget or DEFAULT_TOKEN_BUDGET,
+        split_payload=split_payload,
     ).withColumn("batch_id", F.lit(batch_id))
     if batch_df.isEmpty():
         # foreachBatch can deliver empty batches (some sources, recovery
@@ -66,13 +70,14 @@ def write_batch(batch_df, batch_id: int, output_dir: str, *,
 
 def encode_stream(stream_df, output_dir: str, checkpoint_dir: str, *,
                   chunk_rows: int | None = None, token_budget: int | None = None,
-                  trigger_once: bool = True):
+                  trigger_once: bool = True, split_payload: bool = False):
     """Attach an encode sink to a streaming DataFrame.  Returns the
     StreamingQuery (caller awaits termination)."""
 
     def sink(batch_df, batch_id: int):
         write_batch(batch_df, batch_id, output_dir,
-                    chunk_rows=chunk_rows, token_budget=token_budget)
+                    chunk_rows=chunk_rows, token_budget=token_budget,
+                    split_payload=split_payload)
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir)

@@ -122,3 +122,34 @@ def test_files_job_resume_and_decode(spark, tmp_path):
     a = sorted((r["doc_id"], tuple(r["tokens"] or ())) for r in dec.collect())
     b = sorted((r["doc_id"], tuple(r["tokens"] or ())) for r in toks.collect())
     assert a == b
+
+
+def test_encode_jobs_split_payload_roundtrip(spark, tmp_path):
+    """Both resumable jobs accept split_payload and the chunks decode
+    exactly (resume machinery is layout-agnostic)."""
+    from sparkcodec.engine import decode_dataframe
+    from sparkcodec.manifest import (
+        read_encoded, read_encoded_files, run_encode_files_job, run_encode_job,
+    )
+    from sparkcodec.tokens import tokens_table
+    from tests.conftest import SF_DIR
+
+    toks = tokens_table(spark, SF_DIR)
+    out_b = str(tmp_path / "buckets")
+    run_encode_job(spark, toks, out_b, num_partitions=4, split_payload=True)
+    enc_b = read_encoded(spark, out_b)
+    assert "payload_tokens" in enc_b.columns and "payload" not in enc_b.columns
+    assert decode_dataframe(
+        enc_b.drop("bucket")).count() == toks.count()
+
+    src = str(tmp_path / "src")
+    toks.write.parquet(src)
+    out_f = str(tmp_path / "files")
+    run_encode_files_job(spark, src, out_f, split_payload=True)
+    enc_f = read_encoded_files(spark, out_f)
+    assert "payload_tokens" in enc_f.columns
+    from pyspark.sql import functions as F
+    a = decode_dataframe(enc_f.drop("file_key", "source_file")) \
+        .agg(F.expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))")).collect()
+    b = toks.agg(F.expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))")).collect()
+    assert a == b

@@ -159,3 +159,22 @@ def test_windowed_token_stats_with_watermark(spark, tmp_path):
     # watermark 2 min can hold back up to 3 one-minute windows x 3 sources
     assert len(a) >= len(b) - 9
     assert len(a) > 0
+
+
+def test_streaming_encode_sink_split_payload(spark, tmp_path):
+    """The streaming sink supports the per-column payload layout: encoded
+    micro-batches carry payload_<col> columns and decode exactly."""
+    src_dir = str(tmp_path / "src")
+    toks = tokens_table(spark, SF_DIR)
+    toks.write.parquet(src_dir)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(toks.schema).parquet(src_dir)
+    q = encode_stream(stream, out, ckpt, split_payload=True)
+    q.awaitTermination(120)
+    enc = read_stream_encoded(spark, out)
+    assert "payload" not in enc.columns and "payload_tokens" in enc.columns
+    dec = decode_dataframe(enc.drop("batch_id"))
+    a = sorted((r["doc_id"], tuple(r["tokens"])) for r in dec.collect())
+    b = sorted((r["doc_id"], tuple(r["tokens"])) for r in toks.collect())
+    assert a == b
