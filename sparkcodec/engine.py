@@ -871,6 +871,14 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                 columns=cols, bloom_columns=bloom_columns,
                 stat_columns=stat_columns, split_payload=split_payload)
 
+    for c in (*bloom_columns, *stat_columns):
+        if "." in c or "`" in c:
+            raise ValueError(
+                f"bloom/stat column name {c!r} contains '.' or '`': the "
+                "derived bloom_<col>/min_<col> output columns are referenced "
+                "by unquoted name in the probe/prune paths; rename the "
+                "column first")
+
     payload_columns: tuple[str, ...] | None = None
     if split_payload:
         payload_columns = tuple(f.name for f in df.schema
@@ -886,11 +894,30 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
         ])
         out_ddl += _stats_ddl(pa_schema, stat_columns)
 
+    # Spark's mapInArrow re-selects its input columns by UNQUOTED name, so
+    # a top-level name containing '.' breaks analysis before our code ever
+    # runs.  Rename positionally to safe aliases for the bridge crossing
+    # and restore the real names inside the worker (schema_json and the
+    # payload_<col> DDL keep the ORIGINAL names).
+    orig_names = [f.name for f in df.schema]
+    needs_rename = any("." in n or "`" in n for n in orig_names)
+    if needs_rename:
+        from pyspark.sql import functions as F
+
+        # partition_col stays the ORIGINAL name: the worker restores real
+        # names before the encode stream ever sees a batch
+        df = df.select([F.col(f"`{n}`").alias(f"_c{i}")
+                        for i, n in enumerate(orig_names)])
+
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx is not None else 0
+        if needs_rename:
+            batches = (pa.RecordBatch.from_arrays(list(b.columns),
+                                                  names=orig_names)
+                       for b in batches)
         yield from _encode_batch_stream(batches, part_id, chunk_rows,
                                         token_budget, compress,
                                         partition_col, bloom_columns,
@@ -1496,6 +1523,10 @@ def _decode_split_dataframe(enc_df, schema):
                                    for j in range(len(names))])
 
     proj = enc_df.select("schema_json", *[f"`payload_{n}`" for n in names])
+    # mapInArrow re-selects by unquoted name: alias positionally so dotted
+    # source column names survive the bridge (the worker indexes columns
+    # by POSITION, and the output schema carries the real names)
+    proj = proj.toDF("schema_json", *[f"_p{i}" for i in range(len(names))])
     return proj.mapInArrow(decode_partition, schema)
 
 

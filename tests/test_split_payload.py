@@ -228,3 +228,30 @@ def test_task_side_sinks_use_deterministic_names(spark, toks, tmp_path):
     assert not [f for f in first if f.endswith(".tmp")]
     enc = spark.read.parquet(out)
     assert decode_dataframe(enc).count() == toks.count()
+
+
+def test_dotted_column_names_all_paths(spark, tmp_path):
+    """Spark's mapInArrow re-selects input columns by UNQUOTED name, so a
+    top-level name with '.' breaks analysis unless the engine aliases
+    positionally around the bridge.  Both layouts, bridge + scan paths,
+    full and pruned decode must be exact."""
+    df = spark.range(50).selectExpr("CAST(id AS INT) AS `a.b`", "id AS plain")
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    exp = sorted((r["a.b"], r["plain"]) for r in df.collect())
+    for split in (False, True):
+        enc = encode_dataframe(df.repartition(2), chunk_rows=16,
+                               auto_fastpath=False, split_payload=split)
+        got = sorted((r["a.b"], r["plain"]) for r in
+                     decode_dataframe(enc).collect())
+        assert got == exp, f"bridge split={split}"
+        enc2 = encode_parquet_dataset(spark, src, split_payload=split)
+        got2 = sorted((r["a.b"], r["plain"]) for r in
+                      decode_dataframe(enc2).collect())
+        assert got2 == exp, f"scan split={split}"
+        pr = decode_dataframe(enc2, columns=["a.b"])
+        assert pr.columns == ["a.b"] and pr.count() == 50
+    # bloom/stat columns reject unsafe names with a clear message
+    with pytest.raises(ValueError, match="contains"):
+        encode_dataframe(df.repartition(2), auto_fastpath=False,
+                         bloom_columns=("a.b",))
