@@ -266,7 +266,16 @@ def _decode_map_column(buf, target: pa.DataType) -> pa.Array:
         blen, pos = read_uvarint(mv, pos)
         parts.append(mv[pos : pos + blen])
         pos += blen
-    offsets = decode_array(parts[0]).to_numpy(zero_copy_only=False).astype(np.int32)
+    offsets64 = decode_array(parts[0]).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(offsets64) and int(offsets64[-1]) >= (1 << 31):
+        # Arrow MapArray has no Large variant: a single chunk cannot hold
+        # >= 2^31 map entries.  Encode-side windowing weights map entry
+        # counts, so reaching this means token_budget was raised past the
+        # format's representable range.
+        raise ValueError(
+            f"map chunk holds {int(offsets64[-1])} entries, over Arrow's "
+            "int32 map-offset limit; re-encode with a smaller token_budget")
+    offsets = offsets64.astype(np.int32)
     keys = _decode_any_column(parts[1], target.key_type)
     items = _decode_any_column(parts[2], target.item_type)
     dense = pa.MapArray.from_arrays(pa.array(offsets), keys, items)
@@ -374,7 +383,12 @@ def _column_hashes(col: pa.Array) -> np.ndarray | None:
 
     dense = col.drop_null() if col.null_count else col
     t = dense.type
-    if pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_date32(t):
+    if pa.types.is_date32(t):
+        # no direct date32->int64 cast in pyarrow: go through the int32
+        # day count (the canonical int the probe hashes)
+        dense = dense.cast(pa.int32())
+        t = dense.type
+    if pa.types.is_integer(t) or pa.types.is_timestamp(t):
         return xxhash64_int64(dense.cast(pa.int64()).to_numpy(zero_copy_only=False))
     if pa.types.is_string(t) or pa.types.is_large_string(t) or \
             pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -608,6 +622,17 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
         for i, f in enumerate(b.schema):
             if f.name == partition_col:
                 continue
+            # maps are list-shaped too: entry counts must bound the window,
+            # else a map-heavy chunk can exceed int32 Arrow offsets
+            if pa.types.is_map(f.type):
+                col = b.column(i)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                # no list_value_length kernel for maps in this pyarrow:
+                # per-row entry counts are the offset diffs (null rows
+                # repeat their offset -> 0)
+                off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                return np.diff(off)
             if pa.types.is_list(f.type) or pa.types.is_large_list(f.type):
                 lens = pc.list_value_length(b.column(i))
                 return lens.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -789,6 +814,69 @@ def _spark_ddl_of_pa(t: pa.DataType) -> str:
     raise TypeError(f"unsupported stat column type {t}")
 
 
+_BLOOMABLE_SPARK = ("int", "bigint", "smallint", "tinyint", "string",
+                    "binary", "timestamp", "date")
+
+
+def _pa_simple_types(schema: pa.Schema) -> dict[str, str]:
+    """pyarrow schema -> Spark-simpleString-ish type names for the aux
+    column validation (only the distinctions the bloom check needs)."""
+    out = {}
+    for f in schema:
+        t = f.type
+        if pa.types.is_integer(t):
+            s = "bigint"
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            s = "string"
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            s = "binary"
+        elif pa.types.is_timestamp(t):
+            s = "timestamp"
+        elif pa.types.is_date32(t):
+            s = "date"
+        else:
+            s = str(t)
+        out[f.name] = s
+    return out
+
+
+def _check_aux_columns(bloom_columns, stat_columns,
+                       schema_types: dict[str, str] | None = None,
+                       read_columns=None) -> None:
+    """Driver-side validation shared by every encode entry point.
+
+    * names with '.'/'`' are rejected (the derived bloom_<col>/min_<col>
+      output columns are referenced by unquoted name in probe/prune paths);
+    * when a read projection is given, aux columns must be inside it
+      (otherwise stats KeyError executor-side and blooms silently emit
+      all-null -- no pruning ever);
+    * when Spark-level types are known, bloom columns must be a hashable
+      type (int/string/binary/timestamp/date): floats/decimals/bools never
+      build blooms, so accepting them silently disables pruning.
+    """
+    for c in (*bloom_columns, *stat_columns):
+        if "." in c or "`" in c:
+            raise ValueError(
+                f"bloom/stat column name {c!r} contains '.' or '`': the "
+                "derived bloom_<col>/min_<col> output columns are referenced "
+                "by unquoted name in the probe/prune paths; rename the "
+                "column first")
+        if read_columns is not None and c not in read_columns:
+            raise ValueError(
+                f"bloom/stat column {c!r} is not in the read projection "
+                f"{sorted(read_columns)}; add it to columns= or drop it")
+    if schema_types is not None:
+        for c in bloom_columns:
+            t = schema_types.get(c)
+            if t is not None and not any(t.startswith(p)
+                                         for p in _BLOOMABLE_SPARK):
+                raise ValueError(
+                    f"bloom_columns entry {c!r} has type {t}: blooms are "
+                    "built for int/string/binary/timestamp/date columns "
+                    "only (float/decimal/bool values have no canonical "
+                    "hash bytes)")
+
+
 def _resolve_split_columns(columns, schema_names) -> tuple[tuple[str, ...], list[str]]:
     """Split-payload plan for scan-side encodes: the payload_<col> output
     order, and the per-file read projection PINNED to it (files written at
@@ -861,6 +949,8 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
     ``payload`` blob): decoding a projection then prunes unselected
     columns' bytes at the parquet reader of the encoded table.
     """
+    _check_aux_columns(bloom_columns, stat_columns,
+                       {f.name: f.dataType.simpleString() for f in df.schema})
     if auto_fastpath and partition_col is None:
         scan = _bare_parquet_scan(df)
         if scan is not None:
@@ -870,14 +960,6 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                 token_budget=token_budget, compress=compress,
                 columns=cols, bloom_columns=bloom_columns,
                 stat_columns=stat_columns, split_payload=split_payload)
-
-    for c in (*bloom_columns, *stat_columns):
-        if "." in c or "`" in c:
-            raise ValueError(
-                f"bloom/stat column name {c!r} contains '.' or '`': the "
-                "derived bloom_<col>/min_<col> output columns are referenced "
-                "by unquoted name in the probe/prune paths; rename the "
-                "column first")
 
     payload_columns: tuple[str, ...] | None = None
     if split_payload:
@@ -1020,10 +1102,14 @@ def encode_parquet_dataset(spark, path, *,
     # append_column'd after the encode stream, so it must also come last
     # in the DDL)
     payload_columns: tuple[str, ...] | None = None
-    if split_payload or stat_columns:
+    if split_payload or stat_columns or bloom_columns:
         import pyarrow.dataset as ds
 
         ds_schema = ds.dataset(path, format="parquet").schema
+    if stat_columns or bloom_columns:
+        _check_aux_columns(bloom_columns, stat_columns,
+                           _pa_simple_types(ds_schema),
+                           read_columns=columns)
     if split_payload:
         payload_columns, columns = _resolve_split_columns(columns, ds_schema.names)
         out_ddl = (ENCODED_BASE_DDL + ", " + _payloads_ddl(payload_columns)
@@ -1125,11 +1211,16 @@ def encode_to_parquet(spark, path, out_dir: str, *,
     if not splits:
         return spark.createDataFrame([], manifest_ddl)
     payload_columns: tuple[str, ...] | None = None
-    if split_payload:
+    if split_payload or stat_columns or bloom_columns:
         import pyarrow.dataset as ds
 
-        payload_columns, columns = _resolve_split_columns(
-            columns, ds.dataset(path, format="parquet").schema.names)
+        ds_schema = ds.dataset(path, format="parquet").schema
+    if stat_columns or bloom_columns:
+        _check_aux_columns(bloom_columns, stat_columns,
+                           _pa_simple_types(ds_schema),
+                           read_columns=columns)
+    if split_payload:
+        payload_columns, columns = _resolve_split_columns(columns, ds_schema.names)
     desc = spark.createDataFrame(
         [(s["path"], s["row_groups"]) for s in splits],
         "path STRING, row_groups ARRAY<INT>",
@@ -1203,13 +1294,40 @@ def encode_to_parquet(spark, path, out_dir: str, *,
     return desc.mapInArrow(encode_split, manifest_ddl)
 
 
-def _probe_hash(value) -> np.ndarray:
+def _probe_hash(value, ts_unit: str = "us") -> np.ndarray:
     """xxhash64 of a single probe value (same canonical bytes as
-    _column_hashes uses at encode time)."""
+    _column_hashes uses at encode time: ints/timestamps/dates hash their
+    int64 representation, strings/binary their raw bytes).
+
+    ``ts_unit`` is the encoded column's timestamp unit for datetime probes
+    (_column_hashes casts the column AT ITS OWN UNIT to int64, so the
+    probe must scale the same way; Spark-side timestamps are 'us').
+    """
+    import datetime as _dt
+
     from .kernels.bloom import xxhash64_int64, xxhash64_matrix
 
+    if isinstance(value, bool) or isinstance(value, (float, np.floating)):
+        raise TypeError(
+            f"bloom probes are not defined for {type(value).__name__} "
+            "values: blooms are built for int/string/binary/timestamp/date "
+            "columns only")
+    if isinstance(value, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1,
+                             tzinfo=value.tzinfo and _dt.timezone.utc)
+        micros = round((value - epoch).total_seconds() * 1e6)
+        scale = {"s": 10**-6, "ms": 10**-3, "us": 1, "ns": 10**3}[ts_unit]
+        return xxhash64_int64(np.array([round(micros * scale)],
+                                       dtype=np.int64))
+    if isinstance(value, _dt.date):
+        days = (value - _dt.date(1970, 1, 1)).days
+        return xxhash64_int64(np.array([days], dtype=np.int64))
     if isinstance(value, (int, np.integer)):
         return xxhash64_int64(np.array([value], dtype=np.int64))
+    if not isinstance(value, (str, bytes, bytearray, memoryview)):
+        raise TypeError(
+            f"bloom probes are not defined for {type(value).__name__} "
+            "values: use int/str/bytes/date/datetime")
     b = value.encode() if isinstance(value, str) else bytes(value)
     mat = np.zeros((1, max(len(b), 1)), dtype="u1")
     if b:
@@ -1285,8 +1403,14 @@ def filter_chunks_by_range(enc_df, column: str, lo=None, hi=None,
         mn = F.col(f"min_{column}")
         mx = F.col(f"max_{column}")
     else:
-        mn = F.get_json_object("meta_json", f"$.{column}.min").cast(dtype)
-        mx = F.get_json_object("meta_json", f"$.{column}.max").cast(dtype)
+        # bracket notation: a column name containing '.' must address the
+        # literal key, not navigate nested fields (dot notation would
+        # yield NULL and silently prune EVERY chunk)
+        if "'" in column:
+            raise ValueError(f"column name {column!r} contains a quote; "
+                             "not addressable in a JSON path")
+        mn = F.get_json_object("meta_json", f"$['{column}'].min").cast(dtype)
+        mx = F.get_json_object("meta_json", f"$['{column}'].max").cast(dtype)
     keep = F.lit(True)
     if lo is not None:
         keep = keep & (mx >= F.lit(lo))
@@ -1337,13 +1461,19 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
                       columns: list[str] | None = None,
                       compression: str = "zstd",
                       row_group_rows: int = 1 << 20,
-                      n_splits: int | None = None):
+                      n_splits: int | None = None,
+                      target_file_bytes: int = 256 << 20):
     """Scan-side decode sink: Python tasks read encoded chunk rows with
     pyarrow, decode them, and stream the rows into OUR parquet writer
-    (sparkcodec.parquet.ParquetWriter, one real parquet file per task) --
-    decoded token arrays never cross the Python->JVM Arrow bridge, the
-    mirror of :func:`encode_parquet_dataset` on the way out.  Returns a
-    DataFrame of (path, n_rows, n_bytes) manifest rows."""
+    (sparkcodec.parquet.ParquetWriter) -- decoded token arrays never cross
+    the Python->JVM Arrow bridge, the mirror of
+    :func:`encode_parquet_dataset` on the way out.  Returns a DataFrame of
+    (path, n_rows, n_bytes) manifest rows.
+
+    Output rolls to a new file whenever the decoded (uncompressed Arrow)
+    bytes exceed ``target_file_bytes``: task memory stays bounded by one
+    file's worth of data regardless of split size, and the output is
+    bounded-size files -- the shape object stores want."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -1360,7 +1490,8 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
 
     import pyarrow.dataset as _ds
 
-    enc_names = _ds.dataset(enc_path, format="parquet").schema.names
+    enc_ds = _ds.dataset(enc_path, format="parquet")
+    enc_names = enc_ds.schema.names
     split_layout = "payload" not in enc_names
     if split_layout:
         available = {n[len("payload_"):] for n in enc_names
@@ -1373,6 +1504,14 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
             n for n in enc_names if n.startswith("payload_")
             and (col_set is None or n[len("payload_"):] in col_set)]
     else:
+        if col_set is not None:
+            head = enc_ds.head(1, columns=["schema_json"])
+            if head.num_rows:
+                known = {n for n, _ in json.loads(head.column(0)[0].as_py())}
+                if col_set - known:
+                    raise ValueError(
+                        f"unknown columns {sorted(col_set - known)}; "
+                        f"encoded table has {sorted(known)}")
         read_cols = ["schema_json", "payload"]
 
     def _decode_split_row(enc_b: pa.RecordBatch, i: int) -> pa.RecordBatch:
@@ -1380,6 +1519,9 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
         sel = [n[len("payload_"):] for n in enc_b.schema.names[1:]]
         return _decode_split_cells(
             types, sel, [enc_b.column(j + 1)[i].as_py() for j in range(len(sel))])
+
+    manifest_schema = pa.schema([("path", pa.string()), ("n_rows", pa.int64()),
+                                 ("n_bytes", pa.int64())])
 
     def decode_split(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import uuid
@@ -1391,8 +1533,30 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        writer = None
-        n_rows = 0
+        state = {"writer": None, "n_rows": 0, "arrow_bytes": 0,
+                 "file_idx": 0, "schema": None}
+
+        def flush():
+            buf = state["writer"].finish()
+            # deterministic final name per (partition, file index): a
+            # retried/speculative attempt re-produces the same files and
+            # atomically replaces them, never duplicates
+            path = os.path.join(
+                out_dir, f"part-{pid:05d}-{state['file_idx']:03d}.parquet")
+            tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+            try:
+                with open(tmp, "wb") as f:
+                    f.write(buf)
+                os.replace(tmp, path)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+            row = {"path": path, "n_rows": state["n_rows"],
+                   "n_bytes": len(buf)}
+            state.update(writer=None, n_rows=0, arrow_bytes=0,
+                         file_idx=state["file_idx"] + 1)
+            return pa.RecordBatch.from_pylist([row], schema=manifest_schema)
+
         for b in batches:
             for p, rgs in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
                 pf = pq.ParquetFile(p)
@@ -1407,40 +1571,29 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
                             else:
                                 pairs = json.loads(schemas[i].as_py())
                                 rb = decode_chunk_group(payloads[i].as_py(), pairs, col_set)
-                            if writer is None:
-                                writer = ParquetWriter(
-                                    rb.schema, compression=compression,
-                                    row_group_rows=row_group_rows)
-                                first_schema = rb.schema
-                            elif not rb.schema.equals(first_schema):
+                            if state["schema"] is None:
+                                state["schema"] = rb.schema
+                            elif not rb.schema.equals(state["schema"]):
                                 raise ValueError(
                                     "mixed encoded schemas in one dataset: "
                                     f"chunk in {p!r} decodes to {rb.schema!r} "
                                     f"but this writer was opened with "
-                                    f"{first_schema!r}; decode each encode's "
-                                    "output directory separately")
-                            writer.write(pa.Table.from_batches([rb]))
-                            n_rows += len(rb)
+                                    f"{state['schema']!r}; decode each "
+                                    "encode's output directory separately")
+                            if state["writer"] is None:
+                                state["writer"] = ParquetWriter(
+                                    rb.schema, compression=compression,
+                                    row_group_rows=row_group_rows)
+                            state["writer"].write(pa.Table.from_batches([rb]))
+                            state["n_rows"] += len(rb)
+                            state["arrow_bytes"] += sum(
+                                c.nbytes for c in rb.columns)
+                            if state["arrow_bytes"] >= target_file_bytes:
+                                yield flush()
                 finally:
                     pf.close()
-        if writer is None:
-            return
-        buf = writer.finish()
-        # deterministic final name (retry/speculative attempts replace,
-        # never duplicate); unique tmp per attempt
-        path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
-        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
-        try:
-            with open(tmp, "wb") as f:
-                f.write(buf)
-            os.replace(tmp, path)
-        finally:
-            if os.path.exists(tmp):
-                os.remove(tmp)
-        yield pa.RecordBatch.from_pylist(
-            [{"path": path, "n_rows": n_rows, "n_bytes": len(buf)}],
-            schema=pa.schema([("path", pa.string()), ("n_rows", pa.int64()),
-                              ("n_bytes", pa.int64())]))
+        if state["writer"] is not None:
+            yield flush()
 
     return desc.mapInArrow(decode_split, "path STRING, n_rows LONG, n_bytes LONG")
 

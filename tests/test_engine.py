@@ -469,3 +469,91 @@ def test_column_hashes_bounded_by_total_bytes(spark):
     big = np.frombuffer(b"x" * 1_000_000, dtype="u1")[None, :]
     ref = xxhash64_matrix(big, np.array([1_000_000]))
     assert h[-1] == ref[0]
+
+
+def test_bloom_date_timestamp_probes(spark):
+    """Blooms on date/timestamp columns: hits found, misses prune every
+    chunk, float probes/columns rejected with clear errors (review r3)."""
+    import datetime
+
+    from sparkcodec.engine import filter_chunks_may_contain, lookup_rows
+
+    d = spark.range(100).selectExpr(
+        "date_add(DATE'2020-01-01', CAST(id AS INT)) AS d", "id")
+    enc = encode_dataframe(d.repartition(2), chunk_rows=32,
+                           auto_fastpath=False, bloom_columns=("d",)).cache()
+    hit = lookup_rows(enc, "d", datetime.date(2020, 2, 1)).collect()
+    assert len(hit) == 1 and hit[0]["id"] == 31
+    assert filter_chunks_may_contain(
+        enc, "d", datetime.date(1999, 1, 1)).count() == 0
+    ts = spark.range(100).selectExpr(
+        "timestamp_micros(id * 1000000) AS ts", "id")
+    enc2 = encode_dataframe(ts.repartition(2), chunk_rows=32,
+                            auto_fastpath=False, bloom_columns=("ts",)).cache()
+    hit2 = lookup_rows(enc2, "ts",
+                       datetime.datetime(1970, 1, 1, 0, 0, 42)).collect()
+    assert len(hit2) == 1 and hit2[0]["id"] == 42
+    assert filter_chunks_may_contain(
+        enc2, "ts", datetime.datetime(2001, 1, 1)).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="blooms are built"):
+        encode_dataframe(spark.range(5).selectExpr("CAST(id AS DOUBLE) AS f"),
+                         auto_fastpath=False, bloom_columns=("f",))
+    with _pt.raises(Exception, match="bloom probes"):
+        lookup_rows(enc, "d", 3.5).collect()
+
+
+def test_aux_columns_validated_against_projection(spark, toks, tmp_path):
+    """Scan-side encodes reject stat/bloom columns outside the read
+    projection (stats would KeyError executor-side; blooms would silently
+    emit all-null and never prune)."""
+    import pytest as _pt
+
+    from sparkcodec.engine import encode_parquet_dataset, encode_to_parquet
+
+    src = str(tmp_path / "src.parquet")
+    toks.write.parquet(src)
+    with _pt.raises(ValueError, match="not in the read projection"):
+        encode_parquet_dataset(spark, src, columns=["doc_id"],
+                               stat_columns=("n_tok",))
+    with _pt.raises(ValueError, match="not in the read projection"):
+        encode_to_parquet(spark, src, str(tmp_path / "o"),
+                          columns=["doc_id"], bloom_columns=("n_tok",))
+
+
+def test_range_scan_dotted_column_meta_json(spark):
+    """filter_chunks_by_range over a dotted column name must address the
+    literal meta_json key (dot notation would navigate nested fields,
+    yield NULL, and silently prune every chunk)."""
+    from sparkcodec.engine import filter_chunks_by_range
+
+    d = spark.range(100).selectExpr("id AS `k.x`", "CAST(id AS INT) AS v")
+    enc = encode_dataframe(d.repartitionByRange(4, "`k.x`"), chunk_rows=16,
+                           auto_fastpath=False)
+    kept = filter_chunks_by_range(enc, "k.x", 10, 20, "long")
+    assert 0 < kept.count() < enc.count()
+
+
+def test_decode_to_parquet_rolling_files_and_blob_validation(spark, toks, tmp_path):
+    """decode_to_parquet rolls output files at target_file_bytes (bounded
+    task memory / bounded file sizes) and validates unknown columns on the
+    single-blob layout too."""
+    import pytest as _pt
+
+    from sparkcodec.engine import decode_to_parquet
+
+    enc_dir = str(tmp_path / "enc")
+    encode_dataframe(range_repartition(toks, 2), chunk_rows=64,
+                     auto_fastpath=False).write.parquet(enc_dir)
+    out = str(tmp_path / "dec")
+    manifest = decode_to_parquet(spark, enc_dir, out, n_splits=2,
+                                 target_file_bytes=4 << 10).collect()
+    assert len(manifest) > 2  # rolled: several files per task
+    assert sum(r["n_rows"] for r in manifest) == toks.count()
+    back = spark.read.parquet(out)
+    assert back.count() == toks.count()
+    assert (back.agg(F.expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))")).collect()
+            == toks.agg(F.expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))")).collect())
+    with _pt.raises(ValueError, match="unknown columns"):
+        decode_to_parquet(spark, enc_dir, str(tmp_path / "x"),
+                          columns=["tokns"])
