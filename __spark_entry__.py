@@ -233,6 +233,37 @@ def _dedup_clusters_oracle() -> str:
     return near_dup_clusters_oracle_sql(pairs_sql)
 
 
+def _vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-100 token ids by frequency -- one
+    explode + one 8-byte-keyed shuffle, ties broken by id so the set is
+    deterministic in both engines."""
+    from sparkcodec.pipeline.textstats import vocab_topk
+    from sparkcodec.tokens import tokens_table
+
+    return vocab_topk(tokens_table(spark, sf_dir), k=100)
+
+
+def _vocab_topk_oracle() -> str:
+    from sparkcodec.pipeline.textstats import vocab_topk_oracle_sql
+
+    return vocab_topk_oracle_sql(k=100)
+
+
+def _token_bigrams(spark, sf_dir):
+    """Bigram LM counts: top-100 adjacent token-id pairs, sliding window
+    as a codegen index transform (no self-join, no UDF)."""
+    from sparkcodec.pipeline.textstats import token_bigram_topk
+    from sparkcodec.tokens import tokens_table
+
+    return token_bigram_topk(tokens_table(spark, sf_dir), k=100)
+
+
+def _token_bigrams_oracle() -> str:
+    from sparkcodec.pipeline.textstats import token_bigram_topk_oracle_sql
+
+    return token_bigram_topk_oracle_sql(k=100)
+
+
 def _dedup_keep_canonical(spark, sf_dir):
     """Transitive near-dup REMOVAL: keep one representative (min doc_id)
     per connected component of the char-5-gram pair graph plus all
@@ -801,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _quality,
         "text_token_count": _token_count,
         "text_fingerprint": _fingerprint,
+        "vocab_topk": _vocab_topk,
+        "token_bigrams": _token_bigrams,
         "ann_cosine_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -867,6 +900,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": _textstats_oracle("quality"),
         "text_token_count": _textstats_oracle("token_count"),
         "text_fingerprint": _textstats_oracle("fingerprint"),
+        "vocab_topk": _vocab_topk_oracle(),
+        "token_bigrams": _token_bigrams_oracle(),
         "ann_cosine_topk": _ann_oracle(),
         # the approximate variants run at verified-full-recall configs, so
         # they must EQUAL exact top-k -- same oracle

@@ -268,3 +268,66 @@ def gopher_repetition_oracle_sql(table: str = "documents") -> str:
                l.frac_words_no_alpha
         FROM lstats l LEFT JOIN top t ON l.doc_id = t.doc_id
     """
+
+
+# ---------- corpus vocabulary statistics (tokens table) ----------
+
+def vocab_topk(toks: DataFrame, k: int = 100) -> DataFrame:
+    """Top-k most frequent token ids across the corpus (vocabulary
+    histogram head -- the unigram stats a tokenizer-training or
+    subword-coverage audit starts from).  One explode + one shuffle on the
+    8-byte token id; ties broken by token id so the result set is
+    deterministic."""
+    return (toks.select(F.explode("tokens").alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("token")).limit(k))
+
+
+def vocab_topk_oracle_sql(k: int = 100, tokens_sql: str | None = None) -> str:
+    from ..tokens import tokens_table_oracle_sql
+
+    src = tokens_sql or tokens_table_oracle_sql()
+    return f"""
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(tokens) AS token FROM ({src}))
+        GROUP BY token
+        ORDER BY cnt DESC, token
+        LIMIT {k}
+    """
+
+
+def token_bigram_topk(toks: DataFrame, k: int = 100) -> DataFrame:
+    """Top-k adjacent token-id pairs (bigram LM counts).  The sliding
+    window is an index transform inside codegen -- no self-join, no UDF;
+    the only shuffle keys are the two int32 ids."""
+    # CASE guard, not greatest(): Spark's sequence(1, 0) yields the
+    # DESCENDING [1, 0], which would fabricate a wrapped pair per 1-token
+    # document
+    pairs = toks.select(F.explode(F.expr(
+        "CASE WHEN size(tokens) >= 2 THEN "
+        "transform(sequence(1, size(tokens) - 1), "
+        "i -> struct(tokens[i - 1] AS a, tokens[i] AS b)) "
+        "ELSE array() END")).alias("p"))
+    return (pairs.select("p.a", "p.b")
+            .groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(k))
+
+
+def token_bigram_topk_oracle_sql(k: int = 100,
+                                 tokens_sql: str | None = None) -> str:
+    from ..tokens import tokens_table_oracle_sql
+
+    src = tokens_sql or tokens_table_oracle_sql()
+    return f"""
+        WITH __bigram_src AS ({src}), pairs AS (
+          SELECT unnest(list_transform(
+            generate_series(1, greatest(len(tokens) - 1, 0)),
+            i -> struct_pack(a := tokens[i], b := tokens[i + 1]))) AS p
+          FROM __bigram_src
+        )
+        SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS cnt
+        FROM pairs
+        GROUP BY 1, 2
+        ORDER BY cnt DESC, a, b
+        LIMIT {k}
+    """

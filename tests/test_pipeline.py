@@ -540,3 +540,34 @@ def test_bpe_deterministic_on_fixture_corpus(spark):
     for r in rows:
         restored = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
         assert restored == " ".join(w for w in orig[r["doc_id"]].split(" ") if w)
+
+
+def test_vocab_and_bigram_topk(spark):
+    """Vocabulary/bigram counts vs DuckDB, including the 1-token and
+    empty-document edges (Spark's sequence(1,0) is DESCENDING -- a naive
+    bigram window fabricates a wrapped pair per 1-token doc)."""
+    import duckdb
+    import pandas as pd
+
+    from sparkcodec.pipeline.textstats import (
+        token_bigram_topk, token_bigram_topk_oracle_sql,
+        vocab_topk, vocab_topk_oracle_sql,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "tokens": [[1, 2, 2, 3], [2], [], [2, 3]],
+    })
+    toks = spark.createDataFrame(pdf, "doc_id STRING, tokens ARRAY<INT>")
+    got_v = sorted(tuple(r) for r in vocab_topk(toks, k=10).collect())
+    got_b = sorted(tuple(r) for r in token_bigram_topk(toks, k=10).collect())
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp_v = sorted(tuple(r) for r in con.execute(
+        vocab_topk_oracle_sql(10, "SELECT * FROM t")).fetchall())
+    exp_b = sorted(tuple(r) for r in con.execute(
+        token_bigram_topk_oracle_sql(10, "SELECT * FROM t")).fetchall())
+    assert got_v == exp_v
+    assert got_b == exp_b
+    # the 1-token doc "b" must contribute NO bigram
+    assert sum(c for _, _, c in got_b) == 4  # (1,2),(2,2),(2,3),(2,3)
