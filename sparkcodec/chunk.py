@@ -358,16 +358,20 @@ def _rank_decode(buf) -> np.ndarray:
     pos += dlen
     n_planes = mv[pos]
     pos += 1
-    r = np.zeros(n, dtype=np.int64)
+    # reassemble ranks by strided byte-plane writes into a uint32 view --
+    # the exact inverse of the encode's plane split; no per-plane int64
+    # astype/shift temporaries (they were 4x the rest of the decode)
+    r32 = np.zeros(n, dtype="<u4")
+    rb = r32.view("u1").reshape(-1, 4)
     for p in range(n_planes):
         tag = mv[pos]
         pos += 1
         clen, pos = read_uvarint(mv, pos)
         plane = np.frombuffer(_decompress(tag, mv[pos : pos + clen]), dtype="u1")
         pos += clen
-        r |= plane.astype(np.int64) << (8 * p)
+        rb[:, p] = plane
     with np.errstate(over="ignore"):
-        return dict_vals[r] + ref
+        return dict_vals[r32] + ref
 
 
 def _bits_of(values: np.ndarray) -> np.ndarray:
