@@ -887,6 +887,40 @@ def _resolve_split_columns(columns, schema_names) -> tuple[tuple[str, ...], list
     return payload_columns, list(payload_columns)
 
 
+def _encoded_out_ddl(payload_columns: tuple[str, ...] | None,
+                     bloom_columns: tuple[str, ...]) -> str:
+    """Output DDL for an encode: single-blob layout, or per-column
+    payload_<col> when ``payload_columns`` is given, plus bloom columns."""
+    if payload_columns is None:
+        return ENCODED_DDL + _blooms_ddl(bloom_columns)
+    return (ENCODED_BASE_DDL + ", " + _payloads_ddl(payload_columns)
+            + _blooms_ddl(bloom_columns))
+
+
+def _descriptor_df(spark, splits: list[dict]):
+    """(path, row_groups) descriptor DataFrame, one task per split --
+    the only thing the JVM ships to the scan-side workers."""
+    return spark.createDataFrame(
+        [(s["path"], s["row_groups"]) for s in splits],
+        "path STRING, row_groups ARRAY<INT>",
+    ).repartition(len(splits))
+
+
+def _read_splits(batches, batch_rows: int, columns) -> Iterator[pa.RecordBatch]:
+    """Worker-side split reader: descriptor batches -> the record batches
+    of every (file, row-groups) split, read locally with pyarrow."""
+    import pyarrow.parquet as pq
+
+    for b in batches:
+        for p, rgs in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+            pf = pq.ParquetFile(p)
+            try:
+                yield from pf.iter_batches(batch_size=batch_rows,
+                                           row_groups=rgs, columns=columns)
+            finally:
+                pf.close()
+
+
 def _payloads_ddl(payload_columns: tuple[str, ...]) -> str:
     """Per-column payload layout: one BINARY column per encoded source
     column.  A ``decode_dataframe(columns=[...])`` over this layout selects
@@ -965,10 +999,7 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
     if split_payload:
         payload_columns = tuple(f.name for f in df.schema
                                 if f.name != partition_col)
-        out_ddl = (ENCODED_BASE_DDL + ", " + _payloads_ddl(payload_columns)
-                   + _blooms_ddl(bloom_columns))
-    else:
-        out_ddl = ENCODED_DDL + _blooms_ddl(bloom_columns)
+    out_ddl = _encoded_out_ddl(payload_columns, bloom_columns)
     if stat_columns:
         pa_schema = pa.schema([
             (f.name, _pa_type_of_spark(f.dataType)) for f in df.schema
@@ -1112,20 +1143,14 @@ def encode_parquet_dataset(spark, path, *,
                            read_columns=columns)
     if split_payload:
         payload_columns, columns = _resolve_split_columns(columns, ds_schema.names)
-        out_ddl = (ENCODED_BASE_DDL + ", " + _payloads_ddl(payload_columns)
-                   + _blooms_ddl(bloom_columns))
-    else:
-        out_ddl = ENCODED_DDL + _blooms_ddl(bloom_columns)
+    out_ddl = _encoded_out_ddl(payload_columns, bloom_columns)
     if stat_columns:
         out_ddl += _stats_ddl(ds_schema, stat_columns)
     if include_source_file:
         out_ddl += ", source_file STRING"
     if not splits:
         return spark.createDataFrame([], out_ddl)
-    desc = spark.createDataFrame(
-        [(s["path"], s["row_groups"]) for s in splits],
-        "path STRING, row_groups ARRAY<INT>",
-    ).repartition(len(splits))
+    desc = _descriptor_df(spark, splits)
 
     def encode_split(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
@@ -1147,15 +1172,10 @@ def encode_parquet_dataset(spark, path, *,
                 yield from zip(b.column(0).to_pylist(), b.column(1).to_pylist())
 
         if not include_source_file:
-            def read_all() -> Iterator[pa.RecordBatch]:
-                for p, rgs in descriptors():
-                    yield from read_file(p, rgs)
-
-            yield from _encode_batch_stream(read_all(), part_id, chunk_rows,
-                                            token_budget, compress, None,
-                                            bloom_columns,
-                                            stat_columns=stat_columns,
-                                            payload_columns=payload_columns)
+            yield from _encode_batch_stream(
+                _read_splits(batches, batch_rows, columns), part_id,
+                chunk_rows, token_budget, compress, None, bloom_columns,
+                stat_columns=stat_columns, payload_columns=payload_columns)
             return
 
         # file-tagged mode: one encode stream per file so chunks never
@@ -1221,10 +1241,7 @@ def encode_to_parquet(spark, path, out_dir: str, *,
                            read_columns=columns)
     if split_payload:
         payload_columns, columns = _resolve_split_columns(columns, ds_schema.names)
-    desc = spark.createDataFrame(
-        [(s["path"], s["row_groups"]) for s in splits],
-        "path STRING, row_groups ARRAY<INT>",
-    ).repartition(len(splits))
+    desc = _descriptor_df(spark, splits)
 
     def encode_split(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import uuid
@@ -1235,18 +1252,9 @@ def encode_to_parquet(spark, path, out_dir: str, *,
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
 
-        def read_all() -> Iterator[pa.RecordBatch]:
-            for b in batches:
-                for p, rgs in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
-                    pf = pq.ParquetFile(p)
-                    try:
-                        yield from pf.iter_batches(batch_size=batch_rows,
-                                                   row_groups=rgs, columns=columns)
-                    finally:
-                        pf.close()
-
         writer = None
-        n_chunks = n_rows = n_tokens = bytes_in = bytes_out = 0
+        n_chunks = 0
+        sums = dict.fromkeys(("n_rows", "n_tokens", "bytes_in", "bytes_out"), 0)
         # deterministic final name per partition: a retried or speculative
         # attempt re-produces the same bytes and atomically REPLACES the
         # file instead of committing a duplicate; the tmp name is unique
@@ -1255,22 +1263,19 @@ def encode_to_parquet(spark, path, out_dir: str, *,
         fpath = os.path.join(out_dir, f"part-{pid:05d}.parquet")
         tmp_path = f"{fpath}.{uuid.uuid4().hex[:8]}.tmp"
         try:
-            for rb in _encode_batch_stream(read_all(), pid, chunk_rows,
-                                           token_budget, compress, None,
-                                           bloom_columns,
-                                           stat_columns=stat_columns,
-                                           payload_columns=payload_columns):
+            for rb in _encode_batch_stream(
+                    _read_splits(batches, batch_rows, columns), pid,
+                    chunk_rows, token_budget, compress, None, bloom_columns,
+                    stat_columns=stat_columns,
+                    payload_columns=payload_columns):
                 if writer is None:
                     writer = pq.ParquetWriter(tmp_path, rb.schema,
                                               compression=container_compression,
                                               compression_level=1)
                 writer.write_batch(rb)
                 n_chunks += len(rb)
-                tb = pa.Table.from_batches([rb])
-                n_rows += int(pa.compute.sum(tb.column("n_rows")).as_py() or 0)
-                n_tokens += int(pa.compute.sum(tb.column("n_tokens")).as_py() or 0)
-                bytes_in += int(pa.compute.sum(tb.column("bytes_in")).as_py() or 0)
-                bytes_out += int(pa.compute.sum(tb.column("bytes_out")).as_py() or 0)
+                for k in sums:
+                    sums[k] += int(pa.compute.sum(rb.column(k)).as_py() or 0)
             if writer is None:
                 return
             writer.close()
@@ -1282,9 +1287,7 @@ def encode_to_parquet(spark, path, out_dir: str, *,
             if os.path.exists(tmp_path):
                 os.remove(tmp_path)
         yield pa.RecordBatch.from_pylist(
-            [{"path": fpath, "n_chunks": n_chunks, "n_rows": n_rows,
-              "n_tokens": n_tokens, "bytes_in": bytes_in,
-              "bytes_out": bytes_out}],
+            [{"path": fpath, "n_chunks": n_chunks, **sums}],
             schema=pa.schema([
                 ("path", pa.string()), ("n_chunks", pa.int64()),
                 ("n_rows", pa.int64()), ("n_tokens", pa.int64()),
@@ -1482,10 +1485,7 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
     splits = _plan_parquet_splits(enc_path, n_splits)
     if not splits:
         return spark.createDataFrame([], "path STRING, n_rows LONG, n_bytes LONG")
-    desc = spark.createDataFrame(
-        [(s["path"], s["row_groups"]) for s in splits],
-        "path STRING, row_groups ARRAY<INT>",
-    ).repartition(len(splits))
+    desc = _descriptor_df(spark, splits)
     col_set = set(columns) if columns is not None else None
 
     import pyarrow.dataset as _ds

@@ -33,6 +33,17 @@ def _is_identifier(target: str) -> bool:
     return "/" not in target and "\\" not in target
 
 
+def _resolve_use_iceberg(spark, target: str, fmt: str) -> bool:
+    """Shared writer/reader resolution: Iceberg when pinned, or in auto
+    mode when the target is identifier-shaped AND the session has an
+    Iceberg catalog."""
+    if fmt not in _FMTS:
+        raise ValueError(f"fmt must be one of {_FMTS}, got {fmt!r}")
+    return (fmt == "iceberg"
+            or (fmt == "auto" and _is_identifier(target)
+                and iceberg_available(spark)))
+
+
 def iceberg_available(spark) -> bool:
     """True when the session can write Iceberg tables: the Iceberg Spark
     runtime is on the JVM classpath AND at least one catalog is configured
@@ -67,14 +78,9 @@ def write_encoded_table(enc_df, target: str, *, mode: str = "append",
     ``fmt="parquet"`` pins the fallback.
     """
     spark = enc_df.sparkSession
-    if fmt not in _FMTS:
-        raise ValueError(f"fmt must be one of {_FMTS}, got {fmt!r}")
     if mode not in _MODES:
         raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
-    use_iceberg = (fmt == "iceberg"
-                   or (fmt == "auto" and _is_identifier(target)
-                       and iceberg_available(spark)))
-    if use_iceberg:
+    if _resolve_use_iceberg(spark, target, fmt):
         if not iceberg_available(spark):
             raise RuntimeError(
                 "fmt='iceberg' but no Iceberg runtime/catalog is configured "
@@ -97,11 +103,6 @@ def read_encoded_table(spark, target: str, *, fmt: str = "auto"):
     """Read an encoded chunk table written by :func:`write_encoded_table`.
     Same resolution rule as the writer: Iceberg only for identifier-shaped
     targets on an Iceberg-enabled session (or when pinned)."""
-    if fmt not in _FMTS:
-        raise ValueError(f"fmt must be one of {_FMTS}, got {fmt!r}")
-    use_iceberg = (fmt == "iceberg"
-                   or (fmt == "auto" and _is_identifier(target)
-                       and iceberg_available(spark)))
-    if use_iceberg:
+    if _resolve_use_iceberg(spark, target, fmt):
         return spark.read.table(target)
     return spark.read.parquet(target)
