@@ -324,6 +324,25 @@ def _dedup_simhash(spark, sf_dir):
     return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
 
 
+_MIX_QUOTAS = {"src0": 25, "src1": 12, "src2": 3, "src3": 0}
+
+
+def _source_quota_sample(spark, sf_dir):
+    """Training-mixture curation: per-source document quotas (first k by
+    doc_id within each source -- deterministic, no RNG/engine hash), one
+    window over the source partition."""
+    from sparkcodec.pipeline.packing import source_quota_sample
+
+    return source_quota_sample(_docs(spark, sf_dir), _MIX_QUOTAS,
+                               default_quota=10)
+
+
+def _source_quota_sample_oracle() -> str:
+    from sparkcodec.pipeline.packing import source_quota_sample_oracle_sql
+
+    return source_quota_sample_oracle_sql(_MIX_QUOTAS, default_quota=10)
+
+
 def _pack_sequences(spark, sf_dir):
     """Training-sequence packing: greedy contiguous fill of per-source
     token streams into 2048-token sequences, one window aggregation
@@ -824,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_point_lookup": _bloom_point_lookup,
         "stats_range_scan": _stats_range_scan,
         "pack_sequences": _pack_sequences,
+        "source_quota_sample": _source_quota_sample,
         "scrub_pii": _scrub_pii,
         "decontaminate": _decontaminate,
         "text_gopher_repetition": _gopher_repetition,
@@ -893,6 +913,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_orderkey BETWEEN 1000 AND 2000"
         ),
         "pack_sequences": _pack_sequences_oracle(),
+        "source_quota_sample": _source_quota_sample_oracle(),
         "scrub_pii": _scrub_pii_oracle(),
         "decontaminate": _decontaminate_oracle(),
         "text_gopher_repetition": _gopher_repetition_oracle(),

@@ -134,3 +134,41 @@ def decontaminate_oracle_sql(n: int = 8, table: str = "documents",
         SELECT doc_id FROM {table}
         WHERE doc_id NOT IN (SELECT id FROM contaminated)
     """
+
+
+def source_quota_sample(docs: DataFrame, quotas: dict[str, int],
+                        default_quota: int = 0,
+                        id_col: str = "doc_id",
+                        source_col: str = "source") -> DataFrame:
+    """Training-mixture curation: keep at most ``quotas[source]`` documents
+    per source (unlisted sources get ``default_quota``), deterministically
+    -- the first k by document id within each source, so reruns and both
+    engines select the identical set (no RNG, no engine-specific hash).
+    One window over the source partition; at corpus scale each source's
+    rank is computed inside its own shuffle partition group."""
+    quota_expr = "CASE " + " ".join(
+        f"WHEN {source_col} = '{s}' THEN {int(k)}"
+        for s, k in sorted(quotas.items())
+    ) + f" ELSE {int(default_quota)} END"
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    return (docs.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= F.expr(quota_expr))
+            .drop("_rk"))
+
+
+def source_quota_sample_oracle_sql(quotas: dict[str, int],
+                                   default_quota: int = 0,
+                                   table: str = "documents",
+                                   id_col: str = "doc_id",
+                                   source_col: str = "source") -> str:
+    quota_expr = "CASE " + " ".join(
+        f"WHEN {source_col} = '{s}' THEN {int(k)}"
+        for s, k in sorted(quotas.items())
+    ) + f" ELSE {int(default_quota)} END"
+    return f"""
+        SELECT * EXCLUDE (_rk) FROM (
+          SELECT t.*, row_number() OVER (
+            PARTITION BY {source_col} ORDER BY {id_col}) AS _rk
+          FROM {table} t
+        ) WHERE _rk <= {quota_expr}
+    """

@@ -571,3 +571,30 @@ def test_vocab_and_bigram_topk(spark):
     assert got_b == exp_b
     # the 1-token doc "b" must contribute NO bigram
     assert sum(c for _, _, c in got_b) == 4  # (1,2),(2,2),(2,3),(2,3)
+
+
+def test_source_quota_sample(spark):
+    """Per-source mixture quotas: first k by doc_id per source, zero-quota
+    sources fully dropped, unlisted sources get the default -- exact vs
+    the DuckDB window oracle."""
+    import duckdb
+    import pandas as pd
+
+    from sparkcodec.pipeline.packing import (
+        source_quota_sample, source_quota_sample_oracle_sql,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i:02d}" for i in range(12)],
+        "source": ["a"] * 5 + ["b"] * 4 + ["c"] * 3,
+        "n_chars": list(range(12)),
+    })
+    docs = spark.createDataFrame(pdf)
+    quotas = {"a": 2, "b": 0}
+    got = sorted(r["doc_id"] for r in
+                 source_quota_sample(docs, quotas, default_quota=1).collect())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = sorted(r[0] for r in con.execute(
+        source_quota_sample_oracle_sql(quotas, default_quota=1)).fetchall())
+    assert got == exp == ["d00", "d01", "d09"]  # a keeps 2, b dropped, c keeps 1
