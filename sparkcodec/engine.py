@@ -492,10 +492,11 @@ def encode_chunk_group(batch: pa.Table | pa.RecordBatch, compress: bool = True,
     return bytes(out), metas, pairs, n_tokens
 
 
-def group_may_contain(blob, column: str, value) -> bool:
+def group_may_contain(blob, column: str, value, ts_unit: str = "us") -> bool:
     """Bloom probe on an encoded chunk group WITHOUT decoding the data.
     True if the chunk may contain ``value`` in ``column`` (always True when
-    the column carries no bloom filter)."""
+    the column carries no bloom filter).  ``ts_unit`` is the encoded
+    timestamp unit for datetime probes (see :func:`_probe_hash`)."""
     from .kernels.bloom import SplitBlockBloom
 
     mv = memoryview(blob)
@@ -519,7 +520,7 @@ def group_may_contain(blob, column: str, value) -> bool:
             if bloom_len == 0:
                 return True
             bloom = SplitBlockBloom.from_bytes(bytes(bloom_buf))
-            return bool(bloom.might_contain(_probe_hash(value))[0])
+            return bool(bloom.might_contain(_probe_hash(value, ts_unit))[0])
         pos += blen
     return True
 
@@ -814,8 +815,8 @@ def _spark_ddl_of_pa(t: pa.DataType) -> str:
     raise TypeError(f"unsupported stat column type {t}")
 
 
-_BLOOMABLE_SPARK = ("int", "bigint", "smallint", "tinyint", "string",
-                    "binary", "timestamp", "date")
+_BLOOMABLE_SPARK = {"int", "bigint", "smallint", "tinyint", "string",
+                    "binary", "timestamp", "timestamp_ntz", "date"}
 
 
 def _pa_simple_types(schema: pa.Schema) -> dict[str, str]:
@@ -866,15 +867,21 @@ def _check_aux_columns(bloom_columns, stat_columns,
                 f"bloom/stat column {c!r} is not in the read projection "
                 f"{sorted(read_columns)}; add it to columns= or drop it")
     if schema_types is not None:
-        for c in bloom_columns:
-            t = schema_types.get(c)
-            if t is not None and not any(t.startswith(p)
-                                         for p in _BLOOMABLE_SPARK):
+        for c in (*bloom_columns, *stat_columns):
+            if c not in schema_types:
                 raise ValueError(
-                    f"bloom_columns entry {c!r} has type {t}: blooms are "
-                    "built for int/string/binary/timestamp/date columns "
-                    "only (float/decimal/bool values have no canonical "
-                    "hash bytes)")
+                    f"bloom/stat column {c!r} does not exist; schema has "
+                    f"{sorted(schema_types)} (a misspelled bloom column "
+                    "would otherwise emit all-null blooms that never prune)")
+        for c in bloom_columns:
+            # EXACT type-name match: prefix matching would accept e.g.
+            # 'interval day to second' via the 'int' prefix
+            if schema_types[c] not in _BLOOMABLE_SPARK:
+                raise ValueError(
+                    f"bloom_columns entry {c!r} has type {schema_types[c]}: "
+                    "blooms are built for int/string/binary/timestamp/date "
+                    "columns only (float/decimal/bool values have no "
+                    "canonical hash bytes)")
 
 
 def _resolve_split_columns(columns, schema_names) -> tuple[tuple[str, ...], list[str]]:
@@ -985,6 +992,11 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
     """
     _check_aux_columns(bloom_columns, stat_columns,
                        {f.name: f.dataType.simpleString() for f in df.schema})
+    if partition_col is not None and partition_col in (*bloom_columns,
+                                                       *stat_columns):
+        raise ValueError(
+            f"partition_col {partition_col!r} cannot be a bloom/stat "
+            "column: it is dropped from the encoded payload")
     if auto_fastpath and partition_col is None:
         scan = _bare_parquet_scan(df)
         if scan is not None:
@@ -1318,10 +1330,21 @@ def _probe_hash(value, ts_unit: str = "us") -> np.ndarray:
     if isinstance(value, _dt.datetime):
         epoch = _dt.datetime(1970, 1, 1,
                              tzinfo=value.tzinfo and _dt.timezone.utc)
-        micros = round((value - epoch).total_seconds() * 1e6)
-        scale = {"s": 10**-6, "ms": 10**-3, "us": 1, "ns": 10**3}[ts_unit]
-        return xxhash64_int64(np.array([round(micros * scale)],
-                                       dtype=np.int64))
+        delta = value - epoch
+        # exact integer micros: float total_seconds() loses the final
+        # microsecond past ~2100 (e.g. the 9999-12-31 sentinel)
+        micros = (delta.days * 86400 + delta.seconds) * 10**6 + delta.microseconds
+        if ts_unit == "us":
+            ticks = micros
+        elif ts_unit == "ns":
+            ticks = micros * 1000
+        elif ts_unit == "ms":
+            ticks = micros // 1000
+        elif ts_unit == "s":
+            ticks = micros // 10**6
+        else:
+            raise ValueError(f"unknown timestamp unit {ts_unit!r}")
+        return xxhash64_int64(np.array([ticks], dtype=np.int64))
     if isinstance(value, _dt.date):
         days = (value - _dt.date(1970, 1, 1)).days
         return xxhash64_int64(np.array([days], dtype=np.int64))
@@ -1349,13 +1372,28 @@ def filter_chunks_may_contain(enc_df, column: str, value):
     reads kilobytes of bloom bytes per chunk instead of the whole table --
     and the surviving chunk_ids broadcast back as a left-semi join.
     Legacy encodes without the column fall back to parsing each blob's
-    bloom section (no decompression, but the payload bytes do cross)."""
+    bloom section (no decompression, but the payload bytes do cross).
+
+    datetime probes hash at the ENCODED column's timestamp unit, read from
+    one chunk's schema_json (encode-side hashing uses the column's own
+    int64 ticks, so a ns/ms-unit source must not be probed at micros --
+    that yields silent false negatives, never false positives)."""
+    import datetime as _dt
+
+    ts_unit = "us"
+    if isinstance(value, _dt.datetime):
+        row = enc_df.select("schema_json").limit(1).collect()
+        if row:
+            tname = dict(json.loads(row[0][0])).get(column)
+            if isinstance(tname, str) and tname.startswith("timestamp["):
+                ts_unit = tname[len("timestamp["):-1].split(";")[0]
+
     bloom_col = f"bloom_{column}"
     if bloom_col in enc_df.columns:
         from pyspark.sql import functions as F
         from pyspark.sql.functions import pandas_udf
 
-        h = _probe_hash(value)
+        h = _probe_hash(value, ts_unit)
 
         @pandas_udf("boolean")
         def may_contain(blooms: pd.Series) -> pd.Series:
@@ -1384,7 +1422,8 @@ def filter_chunks_may_contain(enc_df, column: str, value):
             pay_idx = b.schema.get_field_index("payload")
             payloads = b.column(pay_idx)
             keep = [i for i in range(len(b))
-                    if group_may_contain(payloads[i].as_py(), column, value)]
+                    if group_may_contain(payloads[i].as_py(), column, value,
+                                         ts_unit=ts_unit)]
             if keep:
                 yield b.take(pa.array(keep, type=pa.int32()))
 
@@ -1594,6 +1633,18 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
                     pf.close()
         if state["writer"] is not None:
             yield flush()
+        # a previous run into this dir may have rolled MORE files for this
+        # partition (different data or target_file_bytes): remove stale
+        # higher-index files so spark.read.parquet(out_dir) never mixes
+        # old rows with this run's output
+        import glob as _glob
+        import re as _re
+
+        for stale in _glob.glob(os.path.join(out_dir,
+                                             f"part-{pid:05d}-*.parquet")):
+            m = _re.search(r"-(\d{3})\.parquet$", stale)
+            if m and int(m.group(1)) >= state["file_idx"]:
+                os.remove(stale)
 
     return desc.mapInArrow(decode_split, "path STRING, n_rows LONG, n_bytes LONG")
 
@@ -1638,11 +1689,32 @@ def decode_dataframe(enc_df, schema=None, columns: list[str] | None = None):
             schemas = b.column(b.schema.get_field_index("schema_json"))
             for i in range(len(b)):
                 pairs = json.loads(schemas[i].as_py())
-                yield decode_chunk_group(payloads[i].as_py(), pairs, col_set)
+                yield _spark_compatible_batch(
+                    decode_chunk_group(payloads[i].as_py(), pairs, col_set))
 
     # project before mapInArrow so the scan reads only these two columns
     # (column pruning reaches the parquet ReadSchema)
     return enc_df.select("schema_json", "payload").mapInArrow(decode_partition, schema)
+
+
+def _spark_compatible_batch(rb: pa.RecordBatch) -> pa.RecordBatch:
+    """Spark's Arrow bridge accepts only MICROSECOND timestamps
+    (UNSUPPORTED_ARROWTYPE otherwise): lower top-level s/ms columns
+    (lossless) and ns (truncating -- Spark cannot represent nanos at all)
+    to us before handing batches back to the JVM.  decode_to_parquet keeps
+    native units: its sink is our own writer, not Spark."""
+    arrays, fields, changed = [], [], False
+    for i, f in enumerate(rb.schema):
+        a = rb.column(i)
+        if pa.types.is_timestamp(f.type) and f.type.unit != "us":
+            a = a.cast(pa.timestamp("us", f.type.tz), safe=False)
+            f = pa.field(f.name, a.type)
+            changed = True
+        arrays.append(a)
+        fields.append(f)
+    if not changed:
+        return rb
+    return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
 
 def _decode_split_cells(types: dict, names: list[str], cells: list) -> pa.RecordBatch:
@@ -1671,9 +1743,9 @@ def _decode_split_dataframe(enc_df, schema):
             pay_cols = [b.column(j + 1) for j in range(len(names))]
             for i in range(len(b)):
                 types = dict(json.loads(schemas[i].as_py()))
-                yield _decode_split_cells(
+                yield _spark_compatible_batch(_decode_split_cells(
                     types, names, [pay_cols[j][i].as_py()
-                                   for j in range(len(names))])
+                                   for j in range(len(names))]))
 
     proj = enc_df.select("schema_json", *[f"`payload_{n}`" for n in names])
     # mapInArrow re-selects by unquoted name: alias positionally so dotted

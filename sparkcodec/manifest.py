@@ -43,6 +43,23 @@ def _chunks_dir(output_dir: str) -> str:
     return f"{output_dir.rstrip('/')}/chunks"
 
 
+def _check_resume_layout(spark, output_dir: str, split_payload: bool) -> None:
+    """A resumed job must keep the payload layout of the partial output:
+    mixing single-blob and payload_<col> partitions in one chunks dir
+    makes the union schema read one layout's rows as NULL."""
+    try:
+        existing = spark.read.parquet(_chunks_dir(output_dir)).columns
+    except Exception:
+        return  # first run: nothing written yet
+    existing_split = "payload" not in existing
+    if existing_split != split_payload:
+        raise ValueError(
+            f"resume layout mismatch: {_chunks_dir(output_dir)} holds "
+            f"{'per-column payload_<col>' if existing_split else 'single-blob payload'} "
+            f"chunks but this run requested split_payload={split_payload}; "
+            "rerun with the original setting or use a fresh output_dir")
+
+
 def _manifest_dir(output_dir: str) -> str:
     return f"{output_dir.rstrip('/')}/manifest"
 
@@ -109,6 +126,7 @@ def run_encode_files_job(spark, input_path: str, output_dir: str, *,
                "files_done": len(done), "files_encoded": len(pending)}
     if not pending:
         return summary
+    _check_resume_layout(spark, output_dir, split_payload)
 
     t0 = time.time()
     enc = encode_parquet_dataset(
@@ -186,6 +204,7 @@ def run_encode_job(spark, df, output_dir: str, *, num_partitions: int = 64,
     if pending.isEmpty():
         summary["buckets_encoded"] = 0
         return summary
+    _check_resume_layout(spark, output_dir, split_payload)
 
     t0 = time.time()
     part = (

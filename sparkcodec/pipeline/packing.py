@@ -136,6 +136,23 @@ def decontaminate_oracle_sql(n: int = 8, table: str = "documents",
     """
 
 
+
+def _quota_case(quotas: dict[str, int], default_quota: int,
+                source_col: str) -> str:
+    """CASE expression mapping source -> quota.  Source labels are
+    data-derived strings: single quotes are doubled (valid in both Spark
+    SQL and DuckDB string literals), backslashes rejected (Spark treats
+    them as escapes inside literals, DuckDB does not -- no portable form)."""
+    for s in quotas:
+        if "\\" in s:
+            raise ValueError(f"source label {s!r} contains a backslash; "
+                             "not portably expressible in a SQL literal")
+    return "CASE " + " ".join(
+        f"WHEN {source_col} = '{s.replace(chr(39), chr(39) * 2)}' THEN {int(k)}"
+        for s, k in sorted(quotas.items())
+    ) + f" ELSE {int(default_quota)} END"
+
+
 def source_quota_sample(docs: DataFrame, quotas: dict[str, int],
                         default_quota: int = 0,
                         id_col: str = "doc_id",
@@ -146,10 +163,7 @@ def source_quota_sample(docs: DataFrame, quotas: dict[str, int],
     engines select the identical set (no RNG, no engine-specific hash).
     One window over the source partition; at corpus scale each source's
     rank is computed inside its own shuffle partition group."""
-    quota_expr = "CASE " + " ".join(
-        f"WHEN {source_col} = '{s}' THEN {int(k)}"
-        for s, k in sorted(quotas.items())
-    ) + f" ELSE {int(default_quota)} END"
+    quota_expr = _quota_case(quotas, default_quota, source_col)
     w = Window.partitionBy(source_col).orderBy(id_col)
     return (docs.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= F.expr(quota_expr))
@@ -161,10 +175,7 @@ def source_quota_sample_oracle_sql(quotas: dict[str, int],
                                    table: str = "documents",
                                    id_col: str = "doc_id",
                                    source_col: str = "source") -> str:
-    quota_expr = "CASE " + " ".join(
-        f"WHEN {source_col} = '{s}' THEN {int(k)}"
-        for s, k in sorted(quotas.items())
-    ) + f" ELSE {int(default_quota)} END"
+    quota_expr = _quota_case(quotas, default_quota, source_col)
     return f"""
         SELECT * EXCLUDE (_rk) FROM (
           SELECT t.*, row_number() OVER (

@@ -557,3 +557,60 @@ def test_decode_to_parquet_rolling_files_and_blob_validation(spark, toks, tmp_pa
     with _pt.raises(ValueError, match="unknown columns"):
         decode_to_parquet(spark, enc_dir, str(tmp_path / "x"),
                           columns=["tokns"])
+
+
+def test_bloom_probe_unit_detection_and_far_future(spark, tmp_path):
+    """Timestamp bloom probes must hash at the ENCODED column's unit
+    (scan-side sources are often ns/ms, Spark-side us) -- a fixed-us probe
+    silently false-negatives; and datetime->micros must use exact integer
+    arithmetic (float total_seconds() drops the last microsecond past
+    ~2100, e.g. the 9999-12-31 warehouse sentinel)."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkcodec.engine import encode_parquet_dataset, lookup_rows
+
+    ts = [datetime.datetime(2020, 1, 1) + datetime.timedelta(seconds=i)
+          for i in range(99)] + [datetime.datetime(9999, 12, 31, 23, 59, 59, 999999)]
+    tbl = pa.table({"ts": pa.array(ts, type=pa.timestamp("ms")),
+                    "id": pa.array(range(100), type=pa.int64())})
+    src = str(tmp_path / "ns.parquet")
+    pq.write_table(tbl, src)
+    enc = encode_parquet_dataset(spark, src, chunk_rows=32,
+                                 bloom_columns=("ts",)).cache()
+    hit = lookup_rows(enc, "ts", datetime.datetime(2020, 1, 1, 0, 0, 42)).collect()
+    assert len(hit) == 1 and hit[0]["id"] == 42
+    far = lookup_rows(
+        enc, "ts", datetime.datetime(9999, 12, 31, 23, 59, 59, 999000)).collect()
+    assert len(far) == 1 and far[0]["id"] == 99
+
+
+def test_misspelled_aux_column_raises(spark, toks):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="does not exist"):
+        encode_dataframe(toks, auto_fastpath=False, bloom_columns=("doc_idd",))
+    with _pt.raises(ValueError, match="does not exist"):
+        encode_dataframe(toks, auto_fastpath=False, stat_columns=("n_tokk",))
+
+
+def test_decode_to_parquet_rerun_cleans_stale_rolls(spark, toks, tmp_path):
+    """Re-running decode_to_parquet into the same dir with a larger
+    target_file_bytes must remove the previous run's higher-index rolled
+    files -- reads of out_dir must see exactly the current run's rows."""
+    from sparkcodec.engine import decode_to_parquet
+
+    enc_dir = str(tmp_path / "enc")
+    encode_dataframe(range_repartition(toks, 2), chunk_rows=64,
+                     auto_fastpath=False).write.parquet(enc_dir)
+    out = str(tmp_path / "dec")
+    m1 = decode_to_parquet(spark, enc_dir, out, n_splits=2,
+                           target_file_bytes=4 << 10).collect()
+    assert len(m1) > 2
+    m2 = decode_to_parquet(spark, enc_dir, out, n_splits=2).collect()
+    assert len(m2) <= 2
+    back = spark.read.parquet(out)
+    assert back.count() == toks.count()

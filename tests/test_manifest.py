@@ -153,3 +153,24 @@ def test_encode_jobs_split_payload_roundtrip(spark, tmp_path):
         .agg(F.expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))")).collect()
     b = toks.agg(F.expr("bit_xor(xxhash64(doc_id, tokens, n_tok, source))")).collect()
     assert a == b
+
+
+def test_resume_layout_mismatch_raises(spark, tmp_path):
+    """Resuming a partially-complete job with split_payload toggled must
+    raise instead of writing mixed-layout chunk partitions."""
+    import pytest as _pt
+
+    from sparkcodec.manifest import run_encode_files_job
+    from sparkcodec.tokens import tokens_table
+    from tests.conftest import SF_DIR
+
+    toks = tokens_table(spark, SF_DIR)
+    src = str(tmp_path / "src")
+    # two files so a second (pending) file exists after we fake a partial run
+    toks.repartition(2).write.parquet(src)
+    out = str(tmp_path / "out")
+    run_encode_files_job(spark, src, out)  # completes fully
+    # add a new input file -> pending work on the resumed run
+    toks.limit(50).write.mode("append").parquet(src)
+    with _pt.raises(ValueError, match="resume layout mismatch"):
+        run_encode_files_job(spark, src, out, split_payload=True)
