@@ -74,6 +74,11 @@ def _type_name(t: pa.DataType):
         return "date32"
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_time32(t) or pa.types.is_time64(t):
+        kind = "time32" if pa.types.is_time32(t) else "time64"
+        return f"{kind}[{t.unit}]"
+    if pa.types.is_fixed_size_binary(t):
+        return f"fixed<{t.byte_width}>"
     for name, typ in _PRIMS.items():
         if t.equals(typ):
             return name
@@ -88,6 +93,10 @@ _PRIMS = {
     "int32": pa.int32(), "int64": pa.int64(), "float32": pa.float32(),
     "float64": pa.float64(), "bool": pa.bool_(), "string": pa.string(),
     "binary": pa.binary(), "date32": pa.date32(),
+    "int8": pa.int8(), "int16": pa.int16(),
+    "uint8": pa.uint8(), "uint16": pa.uint16(),
+    "uint32": pa.uint32(), "uint64": pa.uint64(),
+    "float16": pa.float16(),
 }
 
 
@@ -109,6 +118,12 @@ def _type_from_name(name) -> pa.DataType:
     if name.startswith("decimal("):
         p, s = name[8:-1].split(",")
         return pa.decimal128(int(p), int(s))
+    if name.startswith("time32["):
+        return pa.time32(name[7:-1])
+    if name.startswith("time64["):
+        return pa.time64(name[7:-1])
+    if name.startswith("fixed<"):
+        return pa.binary(int(name[6:-1]))
     return _PRIMS[name]
 
 
@@ -120,10 +135,18 @@ def spark_schema_from_names(pairs: list[list[str]]):
 
     from pyspark.sql.types import DateType, TimestampType
 
+    from pyspark.sql.types import ByteType, DecimalType, ShortType
+
+    # unsigned widths follow Spark's own parquet-reader conventions:
+    # uint8 -> short, uint16 -> int, uint32 -> long, uint64 -> decimal(20,0)
     prim = {
         "int32": IntegerType(), "int64": LongType(), "float32": FloatType(),
         "float64": DoubleType(), "bool": BooleanType(), "string": StringType(),
         "binary": BinaryType(), "date32": DateType(),
+        "int8": ByteType(), "int16": ShortType(),
+        "uint8": ShortType(), "uint16": IntegerType(),
+        "uint32": LongType(), "uint64": DecimalType(20, 0),
+        "float16": FloatType(),
     }
 
     def conv(name):
@@ -142,10 +165,18 @@ def spark_schema_from_names(pairs: list[list[str]]):
         if name.startswith("timestamp["):
             return TimestampType()
         if name.startswith("decimal("):
-            from pyspark.sql.types import DecimalType
-
             p, s = name[8:-1].split(",")
             return DecimalType(int(p), int(s))
+        if name.startswith(("time32[", "time64[")):
+            # Spark 4.1's Arrow bridge rejects arrow TIME outright
+            # (UNSUPPORTED_ARROWTYPE), even though TimeType exists
+            raise NotImplementedError(
+                "Spark's Arrow bridge cannot receive TIME columns; decode "
+                "this dataset with decode_to_parquet (native time types "
+                "preserved by our writer) or exclude the time column via "
+                "decode_dataframe(columns=[...])")
+        if name.startswith("fixed<"):
+            return BinaryType()
         return prim[name]
 
     return StructType([StructField(n, conv(t), True) for n, t in pairs])
@@ -351,6 +382,26 @@ def _decode_struct_column(buf, target: pa.DataType) -> pa.Array:
     return pa.StructArray.from_arrays(children, names=names, mask=mask)
 
 
+def _widen_for_chunk(col: pa.Array) -> pa.Array:
+    """Lower arrow types the chunk codecs don't tag natively to a
+    supported integer physical type.  Lossless: schema_json records the
+    ORIGINAL type name and :func:`_decode_any_column` restores it.
+    uint64 is reinterpreted (view) rather than cast -- values above
+    2^63-1 must survive bit-exactly."""
+    t = col.type
+    if t.equals(pa.uint64()):
+        return col.view(pa.int64())
+    if pa.types.is_integer(t) and t.bit_width < 32:  # int8/16, uint8/16
+        return col.cast(pa.int32())
+    if t.equals(pa.uint32()):
+        return col.cast(pa.int64())
+    if pa.types.is_time32(t):
+        return col.cast(pa.int32())
+    if pa.types.is_time64(t):
+        return col.cast(pa.int64())
+    return col
+
+
 def _encode_any_column(col: pa.Array, compress: bool) -> tuple[bytes, dict]:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -361,7 +412,7 @@ def _encode_any_column(col: pa.Array, compress: bool) -> tuple[bytes, dict]:
         return _encode_struct_column(col, compress)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return _encode_list_column(col, compress)
-    return encode_array(col, compress=compress)
+    return encode_array(_widen_for_chunk(col), compress=compress)
 
 
 def _decode_any_column(buf, target: pa.DataType) -> pa.Array:
@@ -373,7 +424,12 @@ def _decode_any_column(buf, target: pa.DataType) -> pa.Array:
         return _decode_list_column(buf, target.value_type)
     arr = decode_array(buf)
     if not arr.type.equals(target):
-        arr = arr.cast(target)
+        if target.equals(pa.uint64()):
+            # stored as the int64 bit pattern (see _widen_for_chunk);
+            # a cast would overflow on values past 2^63-1
+            arr = arr.view(pa.uint64())
+        else:
+            arr = arr.cast(target)
     return arr
 
 
@@ -1666,9 +1722,25 @@ def decode_dataframe(enc_df, schema=None, columns: list[str] | None = None):
     ``payload_<col>`` columns are scanned at all, so the parquet reader of
     the encoded table skips the other columns' bytes on disk.
     """
-    if schema is None:
+    if schema is None and columns is not None:
+        # validate + filter the PAIRS before Spark-type conversion: a
+        # column Spark cannot receive (TIME) must not block decoding a
+        # projection that excludes it
+        row = enc_df.select("schema_json").limit(1).collect()
+        if not row:
+            raise ValueError("encoded DataFrame is empty")
+        pairs = json.loads(row[0][0])
+        wanted = set(columns)
+        known = {n for n, _ in pairs}
+        missing = wanted - known
+        if missing:
+            raise ValueError(f"unknown columns {sorted(missing)}; "
+                             f"encoded schema has {sorted(known)}")
+        schema = spark_schema_from_names(
+            [p for p in pairs if p[0] in wanted])
+    elif schema is None:
         schema = infer_decoded_schema(enc_df)
-    if columns is not None:
+    elif columns is not None:
         from pyspark.sql.types import StructType
 
         wanted = set(columns)
@@ -1697,18 +1769,53 @@ def decode_dataframe(enc_df, schema=None, columns: list[str] | None = None):
     return enc_df.select("schema_json", "payload").mapInArrow(decode_partition, schema)
 
 
+def _spark_arrow_type(t: pa.DataType) -> pa.DataType:
+    """The nearest arrow type Spark's Arrow bridge accepts (recursive).
+    Unsigned widths follow Spark's parquet-reader conventions; non-us
+    timestamps/times lower to micros (ns truncates -- Spark has no nanos);
+    float16 widens to float32; fixed-size binary relaxes to binary."""
+    if pa.types.is_timestamp(t):
+        return pa.timestamp("us", t.tz) if t.unit != "us" else t
+    if t.equals(pa.uint8()):
+        return pa.int16()
+    if t.equals(pa.uint16()):
+        return pa.int32()
+    if t.equals(pa.uint32()):
+        return pa.int64()
+    if t.equals(pa.uint64()):
+        return pa.decimal128(20, 0)
+    if pa.types.is_float16(t):
+        return pa.float32()
+    if pa.types.is_fixed_size_binary(t):
+        return pa.binary()
+    if pa.types.is_time32(t) or (pa.types.is_time64(t) and t.unit != "us"):
+        return pa.time64("us")
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        inner = _spark_arrow_type(t.value_type)
+        return t if inner.equals(t.value_type) else pa.list_(inner)
+    if pa.types.is_struct(t):
+        fields = [pa.field(f.name, _spark_arrow_type(f.type)) for f in t]
+        return t if all(f.type.equals(t.field(i).type)
+                        for i, f in enumerate(fields)) else pa.struct(fields)
+    if pa.types.is_map(t):
+        k, v = _spark_arrow_type(t.key_type), _spark_arrow_type(t.item_type)
+        return t if k.equals(t.key_type) and v.equals(t.item_type) \
+            else pa.map_(k, v)
+    return t
+
+
 def _spark_compatible_batch(rb: pa.RecordBatch) -> pa.RecordBatch:
-    """Spark's Arrow bridge accepts only MICROSECOND timestamps
-    (UNSUPPORTED_ARROWTYPE otherwise): lower top-level s/ms columns
-    (lossless) and ns (truncating -- Spark cannot represent nanos at all)
-    to us before handing batches back to the JVM.  decode_to_parquet keeps
-    native units: its sink is our own writer, not Spark."""
+    """Lower decoded columns to types Spark's Arrow bridge accepts (see
+    :func:`_spark_arrow_type`) before handing batches back to the JVM.
+    decode_to_parquet keeps native types: its sink is our own writer,
+    not Spark."""
     arrays, fields, changed = [], [], False
     for i, f in enumerate(rb.schema):
         a = rb.column(i)
-        if pa.types.is_timestamp(f.type) and f.type.unit != "us":
-            a = a.cast(pa.timestamp("us", f.type.tz), safe=False)
-            f = pa.field(f.name, a.type)
+        target = _spark_arrow_type(f.type)
+        if not target.equals(f.type):
+            a = a.cast(target, safe=False)
+            f = pa.field(f.name, target)
             changed = True
         arrays.append(a)
         fields.append(f)

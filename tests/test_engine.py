@@ -614,3 +614,73 @@ def test_decode_to_parquet_rerun_cleans_stale_rolls(spark, toks, tmp_path):
     assert len(m2) <= 2
     back = spark.read.parquet(out)
     assert back.count() == toks.count()
+
+
+def test_exotic_arrow_types_scan_roundtrip(spark, tmp_path):
+    """Real-world parquet carries arrow types Spark's bridge lacks:
+    unsigned ints (uint64 above 2^63 bit-exact via decimal(20,0)),
+    int8/16, float16, fixed-size binary, second-unit timestamps, nested
+    list<uint16>.  The engine widens losslessly for the chunk codecs
+    (schema_json keeps the original type) and lowers at the Arrow bridge
+    per Spark's own parquet conventions."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkcodec.engine import encode_parquet_dataset
+
+    n = 100
+    tbl = pa.table({
+        "u8": pa.array(np.arange(n, dtype=np.uint8)),
+        "u16": pa.array(np.arange(n, dtype=np.uint16) * 600),
+        "u32": pa.array(np.arange(n, dtype=np.uint32) * 40_000_000),
+        "u64": pa.array((np.arange(n, dtype=np.uint64) << 57) + 3),
+        "i8": pa.array(np.arange(-50, 50, dtype=np.int8)),
+        "i16": pa.array(np.arange(-50, 50, dtype=np.int16)),
+        "f16": pa.array(np.arange(n, dtype=np.float16)),
+        "ts_s": pa.array(range(n), type=pa.timestamp("s")),
+        "fx": pa.array([bytes([i] * 4) for i in range(n)], type=pa.binary(4)),
+        "lu16": pa.array([[1, 2], [65535]] * (n // 2),
+                         type=pa.list_(pa.uint16())),
+        "id": pa.array(range(n)),
+    })
+    src = str(tmp_path / "exotic.parquet")
+    pq.write_table(tbl, src)
+    enc = encode_parquet_dataset(spark, src, chunk_rows=32)
+    dec = decode_dataframe(enc)
+    types = dict(dec.dtypes)
+    assert types["u8"] == "smallint" and types["u16"] == "int"
+    assert types["u32"] == "bigint" and types["u64"] == "decimal(20,0)"
+    assert types["i8"] == "tinyint" and types["f16"] == "float"
+    assert types["fx"] == "binary" and types["lu16"] == "array<int>"
+    rows = dec.orderBy("id").collect()
+    assert int(rows[99]["u64"]) == int((np.uint64(99) << np.uint64(57)) + np.uint64(3))
+    assert rows[99]["u8"] == 99 and rows[0]["i8"] == -50
+    assert list(rows[1]["lu16"]) == [65535]
+    assert rows[5]["fx"] == bytes([5] * 4)
+
+
+def test_time_columns_spark_guidance_and_native_sink(spark, tmp_path):
+    """Spark's Arrow bridge rejects TIME: full decode raises with
+    guidance, a projection excluding the time column works, and
+    decode_to_parquet preserves the native time64 type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from sparkcodec.engine import decode_to_parquet, encode_parquet_dataset
+
+    src = str(tmp_path / "time.parquet")
+    pq.write_table(pa.table({"t": pa.array(range(50), type=pa.time64("us")),
+                             "id": pa.array(range(50))}), src)
+    enc = encode_parquet_dataset(spark, src, chunk_rows=16)
+    with _pt.raises(NotImplementedError, match="decode_to_parquet"):
+        decode_dataframe(enc).count()
+    assert decode_dataframe(enc, columns=["id"]).count() == 50
+    enc_dir = str(tmp_path / "enc")
+    enc.write.parquet(enc_dir)
+    out = str(tmp_path / "out")
+    decode_to_parquet(spark, enc_dir, out).collect()
+    back = pq.read_table(out)
+    assert str(back.schema.field("t").type) == "time64[us]"
+    assert back.column("t")[5].as_py().microsecond == 5
