@@ -444,6 +444,10 @@ def _column_hashes(col: pa.Array) -> np.ndarray | None:
         # day count (the canonical int the probe hashes)
         dense = dense.cast(pa.int32())
         t = dense.type
+    if t.equals(pa.uint64()):
+        # reinterpret, never cast: values above 2^63-1 must hash their
+        # bit pattern (the probe wraps the same way)
+        return xxhash64_int64(dense.view(pa.int64()).to_numpy(zero_copy_only=False))
     if pa.types.is_integer(t) or pa.types.is_timestamp(t):
         return xxhash64_int64(dense.cast(pa.int64()).to_numpy(zero_copy_only=False))
     if pa.types.is_string(t) or pa.types.is_large_string(t) or \
@@ -636,13 +640,21 @@ def _window_boundaries(weights: np.ndarray, max_rows: int, budget: int) -> list[
 # ---------- Spark entry points ----------
 
 def _stat_fields(schema: pa.Schema, stat_columns: tuple[str, ...]) -> list[tuple[str, pa.DataType]]:
-    """(name, type) pairs for the typed per-chunk min/max columns."""
+    """(name, type) pairs for the typed per-chunk min/max columns, lowered
+    to Spark-bridge-compatible arrow types (the stat columns ride the
+    encoded DataFrame back through the JVM)."""
     out = []
     for c in stat_columns:
         t = schema.field(c).type
         if pa.types.is_list(t) or pa.types.is_large_list(t) or \
                 pa.types.is_struct(t) or pa.types.is_map(t):
             raise TypeError(f"stat_columns must be scalar, got {c}: {t}")
+        if t.equals(pa.uint64()):
+            raise TypeError(
+                f"stat_columns entry {c!r} is uint64: min/max above 2^63 "
+                "have no Spark-orderable integer representation; cast the "
+                "column or drop the stat")
+        t = _spark_arrow_type(t)
         out.append((f"min_{c}", t))
         out.append((f"max_{c}", t))
     return out
@@ -848,6 +860,10 @@ def _bare_parquet_scan(df) -> tuple[list[str], list[str] | None] | None:
 
 
 def _spark_ddl_of_pa(t: pa.DataType) -> str:
+    if pa.types.is_int8(t):
+        return "TINYINT"
+    if pa.types.is_int16(t):
+        return "SMALLINT"
     if pa.types.is_int32(t):
         return "INT"
     if pa.types.is_int64(t):
@@ -1405,7 +1421,12 @@ def _probe_hash(value, ts_unit: str = "us") -> np.ndarray:
         days = (value - _dt.date(1970, 1, 1)).days
         return xxhash64_int64(np.array([days], dtype=np.int64))
     if isinstance(value, (int, np.integer)):
-        return xxhash64_int64(np.array([value], dtype=np.int64))
+        v = int(value)
+        if v >= 1 << 63:
+            # uint64 columns hash their int64 BIT PATTERN (two's-complement
+            # wrap), so probes above 2^63-1 must wrap identically
+            v -= 1 << 64
+        return xxhash64_int64(np.array([v], dtype=np.int64))
     if not isinstance(value, (str, bytes, bytearray, memoryview)):
         raise TypeError(
             f"bloom probes are not defined for {type(value).__name__} "
@@ -1552,6 +1573,12 @@ def lookup_rows(enc_df, column: str, value, schema=None):
         schema = infer_decoded_schema(enc_df)
     pruned = filter_chunks_may_contain(enc_df, column, value)
     dec = decode_dataframe(pruned, schema=schema)
+    if isinstance(value, int) and not -(1 << 63) <= value < (1 << 63):
+        # uint64 columns decode to DecimalType(20,0); a plain int literal
+        # past the long range has no Spark representation
+        from decimal import Decimal
+
+        value = Decimal(value)
     return dec.filter(F.col(column) == F.lit(value))
 
 

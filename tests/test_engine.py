@@ -684,3 +684,37 @@ def test_time_columns_spark_guidance_and_native_sink(spark, tmp_path):
     back = pq.read_table(out)
     assert str(back.schema.field("t").type) == "time64[us]"
     assert back.column("t")[5].as_py().microsecond == 5
+
+
+def test_uint_blooms_and_stats(spark, tmp_path):
+    """uint64 blooms hash the int64 bit pattern (values above 2^63
+    bit-exact; probe wraps identically; the final exact filter uses a
+    Decimal literal); uint16 typed stats lower to a bridge-compatible
+    int32; uint64 stats are rejected with a clear error."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from sparkcodec.engine import (
+        encode_parquet_dataset, filter_chunks_may_contain, lookup_rows,
+        range_scan_rows,
+    )
+
+    src = str(tmp_path / "u.parquet")
+    pq.write_table(pa.table({
+        "u64": pa.array((np.arange(100, dtype=np.uint64) << 57) + 3),
+        "u16": pa.array(np.arange(100, dtype=np.uint16) * 600),
+        "id": pa.array(range(100))}), src)
+    enc = encode_parquet_dataset(spark, src, chunk_rows=16,
+                                 bloom_columns=("u64",),
+                                 stat_columns=("u16",)).cache()
+    target = int((np.uint64(99) << np.uint64(57)) + np.uint64(3))
+    hit = lookup_rows(enc, "u64", target).collect()
+    assert len(hit) == 1 and int(hit[0]["id"]) == 99
+    assert filter_chunks_may_contain(enc, "u64", 12345).count() < enc.count()
+    got = sorted(r["id"] for r in
+                 range_scan_rows(enc, "u16", 600, 1800, "int").collect())
+    assert got == [1, 2, 3]
+    with _pt.raises(Exception, match="uint64"):
+        encode_parquet_dataset(spark, src, stat_columns=("u64",)).count()
