@@ -718,3 +718,37 @@ def test_uint_blooms_and_stats(spark, tmp_path):
     assert got == [1, 2, 3]
     with _pt.raises(Exception, match="uint64"):
         encode_parquet_dataset(spark, src, stat_columns=("u64",)).count()
+
+
+def test_exotic_types_native_sink_roundtrip(spark, tmp_path):
+    """decode_to_parquet preserves the ORIGINAL arrow types exactly --
+    uint8/uint64 (incl. values above 2^63), int16, float16, time64,
+    fixed-size binary -- because its sink is our own writer, not Spark's
+    bridge.  Type AND value equality both ways."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkcodec.engine import decode_to_parquet, encode_parquet_dataset
+
+    n = 100
+    tbl = pa.table({
+        "u8": pa.array(np.arange(n, dtype=np.uint8)),
+        "u64": pa.array((np.arange(n, dtype=np.uint64) << 57) + 3),
+        "i16": pa.array(np.arange(-50, 50, dtype=np.int16)),
+        "f16": pa.array(np.arange(n, dtype=np.float16)),
+        "t64": pa.array(range(n), type=pa.time64("us")),
+        "fx": pa.array([bytes([i] * 4) for i in range(n)], type=pa.binary(4)),
+        "id": pa.array(range(n))})
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(tbl, src)
+    enc_dir = str(tmp_path / "enc")
+    encode_parquet_dataset(spark, src, chunk_rows=32).write.parquet(enc_dir)
+    out = str(tmp_path / "out")
+    decode_to_parquet(spark, enc_dir, out).collect()
+    back = pq.read_table(out).sort_by("id")
+    for name in tbl.column_names:
+        a, b = tbl.column(name), back.column(name)
+        assert a.type.equals(b.type), name
+        assert a.combine_chunks().to_pylist() == \
+            b.combine_chunks().to_pylist(), name
