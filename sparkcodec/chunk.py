@@ -10,10 +10,17 @@ src/dremel.js:32-37), encode, and return (payload bytes, metadata).
 Wire layout (all little-endian):
 
     magic 'SCK1' | u8 version | u8 type_tag | u8 codec_tag | u8 comp_tag
+    | [u8 precision + u8 scale   -- iff type_tag DECIMAL/DECIMAL_WIDE]
+    | [u8 byte_width             -- iff type_tag FIXED]
     | uvarint n_logical | uvarint null_count
     | [uvarint len + validity RLE stream         -- iff 0 < null_count < n]
     | [uvarint len + u8 comp + dictionary block  -- iff codec == DICT]
     | payload (to end; compressed iff comp_tag != 0)
+
+Timestamps are stored at us/ns granularity WITHOUT timezone: the chunk
+alone decodes to a tz-naive timestamp (the engine layer restores the
+original unit/tz from schema_json; direct encode_array/decode_array
+users must track tz themselves).
 """
 
 from __future__ import annotations
@@ -260,8 +267,6 @@ def _to_arrow(values) -> pa.Array:
         return values.combine_chunks()
     if isinstance(values, pa.Array):
         return values
-    if isinstance(values, np.ndarray) and values.dtype.kind in "iufb":
-        return pa.array(values)
     return pa.array(values)
 
 
@@ -441,12 +446,21 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
     elif type_tag == T_FLOAT16:
         # half-float bit patterns as small ints (FOR packs them at <=16 bits);
         # stats from the float VALUES via numpy (pyarrow has no halffloat
-        # min_max kernel), NaN-skipped like numeric_stats
+        # min_max kernel), NaN-skipped and signed-zero-normalized like
+        # numeric_stats; all-NaN publishes NO bounds (a bit-pattern stat
+        # would fabricate the value 32256.0)
         if stats and len(dense):
             f = np.asarray(dense, dtype=np.float16)
             finite = f[~np.isnan(f)]
-            pre_minmax = ((float(finite.min()), float(finite.max()))
-                          if len(finite) else None)
+            if len(finite):
+                mn, mx = float(finite.min()), float(finite.max())
+                if mn == 0.0:
+                    mn = -0.0
+                if mx == 0.0:
+                    mx = 0.0
+                pre_minmax = (mn, mx)
+            else:
+                pre_minmax = (None, None)
         bits16 = np.asarray(dense).view("<u2").astype(np.int32)
         dense = pa.array(bits16, type=pa.int32())
     elif type_tag == T_FIXED:
@@ -557,7 +571,9 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
         else:
             raise ValueError(f"codec {codec} not valid for {TYPE_NAMES[type_tag]}")
 
-    ptag, payload = _compress(payload, compress)
+    # RANK planes carry their own per-plane compression tags: an outer
+    # pass re-compresses already-compressed bytes (probe cost, no gain)
+    ptag, payload = _compress(payload, False if codec == S.RANK else compress)
     out.append(codec)
     out.append(ptag)
     out.extend(dec_params)  # (precision, scale) iff T_DECIMAL
@@ -575,7 +591,7 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
         "n_values": n,
         "null_count": null_count,
         "min": _meta_repr(st.min_value),
-        "max": _meta_repr(st.max_value),
+        "max": _meta_repr(st.max_value, is_max=True),
         "is_min_exact": st.is_min_exact,
         "is_max_exact": st.is_max_exact,
         "bytes_out": len(out),
@@ -583,13 +599,26 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
     return bytes(out), meta
 
 
-def _meta_repr(v):
-    if isinstance(v, bytes):
+def _meta_repr(v, is_max: bool = False):
+    """JSON-able stat value.  A 16-byte truncation can split a multi-byte
+    UTF-8 character: back off to the longest valid prefix (a valid LOWER
+    bound for min; for max, bump the last character so the repr stays an
+    UPPER bound -- a hex digest would compare wrongly in range pruning).
+    Truly non-UTF-8 bytes (binary columns) stay hex, as before."""
+    if not isinstance(v, bytes):
+        return v
+    for cut in range(len(v), max(len(v) - 4, 0), -1):
         try:
-            return v.decode("utf-8")
+            s = v[:cut].decode("utf-8")
         except UnicodeDecodeError:
-            return v.hex()
-    return v
+            continue
+        if cut < len(v) and is_max and s:
+            nxt = ord(s[-1]) + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000  # skip the unpaired-surrogate gap (not JSON-able)
+            s = s[:-1] + chr(nxt) if nxt <= 0x10FFFF else s
+        return s
+    return v.hex()
 
 
 def _fsst_gain(offsets, data):

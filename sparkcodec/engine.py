@@ -412,7 +412,16 @@ def _encode_any_column(col: pa.Array, compress: bool) -> tuple[bytes, dict]:
         return _encode_struct_column(col, compress)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return _encode_list_column(col, compress)
-    return encode_array(_widen_for_chunk(col), compress=compress)
+    blob, meta = encode_array(_widen_for_chunk(col), compress=compress)
+    if t.equals(pa.uint64()) and meta.get("min") is not None:
+        import pyarrow.compute as pc
+
+        # the chunk encoded the int64 BIT PATTERN, whose signed order is
+        # wrong above 2^63: publish the true unsigned bounds in the meta
+        mm = pc.min_max(col.drop_null() if col.null_count else col)
+        meta = {**meta, "min": int(mm["min"].as_py()),
+                "max": int(mm["max"].as_py())}
+    return blob, meta
 
 
 def _decode_any_column(buf, target: pa.DataType) -> pa.Array:

@@ -549,3 +549,43 @@ def test_decimal_and_float16_meta_stats_are_value_ordered():
     f16 = pa.array(np.array([-2.0, 1.0, np.nan], dtype=np.float16))
     _, m2 = encode_array(f16)
     assert float(m2["min"]) == -2.0 and float(m2["max"]) == 1.0
+
+
+def test_stats_edge_semantics_review_fixes():
+    """Chunk-stat edges from the codec-core review: all-NaN float16
+    publishes NO bounds (was the 32256 bit pattern flagged exact); float16
+    signed zeros normalize per the parquet rule; a 16-byte truncation
+    splitting a multi-byte UTF-8 char yields STRING bounds that still
+    bracket the values (was a hex digest that compares wrongly); binary
+    non-UTF-8 stats stay hex."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from sparkcodec.chunk import encode_array
+
+    _, m = encode_array(pa.array(np.array([np.nan, np.nan], np.float16)))
+    assert m["min"] is None and m["max"] is None
+    _, m2 = encode_array(pa.array(np.array([-0.0, 0.0], np.float16)))
+    assert math.copysign(1, m2["min"]) == -1 and math.copysign(1, m2["max"]) == 1
+    vals = ["a" * 15 + "ézzz", "a" * 15 + "äqqq"]
+    _, m3 = encode_array(pa.array(vals))
+    assert m3["min"] <= min(vals) and m3["max"] >= max(vals)
+    assert not m3["is_min_exact"] and not m3["is_max_exact"]
+    _, m4 = encode_array(pa.array([b"\xff\xfe" * 10]))
+    assert m4["min"] == ("fffe" * 8)  # truncated to 16 bytes, hex
+
+
+def test_uint64_meta_stats_true_unsigned_bounds():
+    """uint64 columns encode their int64 bit pattern, but meta stats must
+    publish the TRUE unsigned bounds (bit-pattern order is wrong above
+    2^63 and silently broke JSON-stats range pruning)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sparkcodec.engine import _encode_any_column
+
+    col = pa.array(np.array([1, 2, 2**64 - 1], dtype=np.uint64))
+    _, meta = _encode_any_column(col, True)
+    assert meta["min"] == 1 and meta["max"] == 2**64 - 1
