@@ -585,40 +585,52 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
         out.extend(dict_block)
     out.extend(payload)
 
+    min_repr, min_adj = _meta_repr(st.min_value)
+    max_repr, max_adj = _meta_repr(st.max_value, is_max=True)
     meta = {
         "type": TYPE_NAMES[type_tag],
         "codec": S.CODEC_NAMES[codec],
         "n_values": n,
         "null_count": null_count,
-        "min": _meta_repr(st.min_value),
-        "max": _meta_repr(st.max_value, is_max=True),
-        "is_min_exact": st.is_min_exact,
-        "is_max_exact": st.is_max_exact,
+        "min": min_repr,
+        "max": max_repr,
+        "is_min_exact": st.is_min_exact and not min_adj,
+        "is_max_exact": st.is_max_exact and not max_adj,
         "bytes_out": len(out),
     }
     return bytes(out), meta
 
 
-def _meta_repr(v, is_max: bool = False):
-    """JSON-able stat value.  A 16-byte truncation can split a multi-byte
-    UTF-8 character: back off to the longest valid prefix (a valid LOWER
-    bound for min; for max, bump the last character so the repr stays an
-    UPPER bound -- a hex digest would compare wrongly in range pruning).
-    Truly non-UTF-8 bytes (binary columns) stay hex, as before."""
+def _meta_repr(v, is_max: bool = False) -> tuple[object, bool]:
+    """(JSON-able stat value, adjusted?).  A 16-byte truncation can split
+    a multi-byte UTF-8 character: back off to the longest valid prefix (a
+    valid LOWER bound for min; for max, bump the last bumpable character
+    -- with carry -- so the repr stays an UPPER bound; a hex digest would
+    compare wrongly in range pruning).  ``adjusted`` means the repr is no
+    longer the attained value, so exactness flags must clear.  An
+    un-bumpable max (all U+10FFFF) publishes None -- range pruning treats
+    a null bound as may-match.  Truly non-UTF-8 bytes (binary columns)
+    stay hex, marked adjusted."""
     if not isinstance(v, bytes):
-        return v
+        return v, False
     for cut in range(len(v), max(len(v) - 4, 0), -1):
         try:
             s = v[:cut].decode("utf-8")
         except UnicodeDecodeError:
             continue
-        if cut < len(v) and is_max and s:
-            nxt = ord(s[-1]) + 1
-            if 0xD800 <= nxt <= 0xDFFF:
-                nxt = 0xE000  # skip the unpaired-surrogate gap (not JSON-able)
-            s = s[:-1] + chr(nxt) if nxt <= 0x10FFFF else s
-        return s
-    return v.hex()
+        if cut == len(v):
+            return s, False
+        if is_max and s:
+            chars = list(s)
+            for i in range(len(chars) - 1, -1, -1):
+                nxt = ord(chars[i]) + 1
+                if 0xD800 <= nxt <= 0xDFFF:
+                    nxt = 0xE000  # skip the unpaired-surrogate gap
+                if nxt <= 0x10FFFF:
+                    return "".join(chars[:i]) + chr(nxt), True
+            return None, True  # every char maxed out: no sound upper bound
+        return s, True
+    return v.hex(), True
 
 
 def _fsst_gain(offsets, data):

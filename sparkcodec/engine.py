@@ -663,6 +663,12 @@ def _stat_fields(schema: pa.Schema, stat_columns: tuple[str, ...]) -> list[tuple
                 f"stat_columns entry {c!r} is uint64: min/max above 2^63 "
                 "have no Spark-orderable integer representation; cast the "
                 "column or drop the stat")
+        if pa.types.is_time32(t) or pa.types.is_time64(t):
+            raise TypeError(
+                f"stat_columns entry {c!r} is a TIME column: Spark's Arrow "
+                "bridge rejects arrow TIME, so typed stat columns cannot "
+                "carry it; use the JSON meta stats (encode without "
+                "stat_columns) or cast the column")
         t = _spark_arrow_type(t)
         out.append((f"min_{c}", t))
         out.append((f"max_{c}", t))
@@ -781,7 +787,12 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
                 import pyarrow.compute as pc
 
                 for c in stat_columns:
-                    mm = pc.min_max(window.column(c))
+                    colv = window.column(c)
+                    if pa.types.is_float16(colv.type):
+                        # no halffloat min_max kernel in pyarrow; the stat
+                        # field is float32 anyway (_spark_arrow_type)
+                        colv = colv.cast(pa.float32())
+                    mm = pc.min_max(colv)
                     row[f"min_{c}"] = mm["min"].as_py()
                     row[f"max_{c}"] = mm["max"].as_py()
             seq += 1
@@ -1539,11 +1550,15 @@ def filter_chunks_by_range(enc_df, column: str, lo=None, hi=None,
                              "not addressable in a JSON path")
         mn = F.get_json_object("meta_json", f"$['{column}'].min").cast(dtype)
         mx = F.get_json_object("meta_json", f"$['{column}'].max").cast(dtype)
+    # a NULL bound means "no sound bound published" (statistics disabled,
+    # or an un-representable truncated max) -- the chunk MAY match and must
+    # survive; a plain comparison would evaluate NULL and silently prune
+    # every such chunk
     keep = F.lit(True)
     if lo is not None:
-        keep = keep & (mx >= F.lit(lo))
+        keep = keep & (mx.isNull() | (mx >= F.lit(lo)))
     if hi is not None:
-        keep = keep & (mn <= F.lit(hi))
+        keep = keep & (mn.isNull() | (mn <= F.lit(hi)))
     return enc_df.filter(keep)
 
 
@@ -1582,12 +1597,13 @@ def lookup_rows(enc_df, column: str, value, schema=None):
         schema = infer_decoded_schema(enc_df)
     pruned = filter_chunks_may_contain(enc_df, column, value)
     dec = decode_dataframe(pruned, schema=schema)
-    if isinstance(value, int) and not -(1 << 63) <= value < (1 << 63):
+    if isinstance(value, (int, np.integer)) and \
+            not -(1 << 63) <= int(value) < (1 << 63):
         # uint64 columns decode to DecimalType(20,0); a plain int literal
         # past the long range has no Spark representation
         from decimal import Decimal
 
-        value = Decimal(value)
+        value = Decimal(int(value))
     return dec.filter(F.col(column) == F.lit(value))
 
 
@@ -1741,11 +1757,16 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
     return desc.mapInArrow(decode_split, "path STRING, n_rows LONG, n_bytes LONG")
 
 
-def infer_decoded_schema(enc_df):
+def _schema_pairs(enc_df) -> list[list[str]]:
+    """One chunk's parsed schema_json (the [name, type] pairs)."""
     row = enc_df.select("schema_json").limit(1).collect()
     if not row:
         raise ValueError("encoded DataFrame is empty")
-    return spark_schema_from_names(json.loads(row[0][0]))
+    return json.loads(row[0][0])
+
+
+def infer_decoded_schema(enc_df):
+    return spark_schema_from_names(_schema_pairs(enc_df))
 
 
 def decode_dataframe(enc_df, schema=None, columns: list[str] | None = None):
@@ -1762,10 +1783,7 @@ def decode_dataframe(enc_df, schema=None, columns: list[str] | None = None):
         # validate + filter the PAIRS before Spark-type conversion: a
         # column Spark cannot receive (TIME) must not block decoding a
         # projection that excludes it
-        row = enc_df.select("schema_json").limit(1).collect()
-        if not row:
-            raise ValueError("encoded DataFrame is empty")
-        pairs = json.loads(row[0][0])
+        pairs = _schema_pairs(enc_df)
         wanted = set(columns)
         known = {n for n, _ in pairs}
         missing = wanted - known

@@ -589,3 +589,21 @@ def test_uint64_meta_stats_true_unsigned_bounds():
     col = pa.array(np.array([1, 2, 2**64 - 1], dtype=np.uint64))
     _, meta = _encode_any_column(col, True)
     assert meta["min"] == 1 and meta["max"] == 2**64 - 1
+
+
+def test_meta_repr_carry_and_adjusted_flags():
+    """Review wave 5: an un-bumpable truncated max carries into the
+    previous character (or publishes None); any repr adjustment clears
+    the exactness flags."""
+    import pyarrow as pa
+
+    from sparkcodec.chunk import encode_array
+
+    _, m = encode_array(pa.array(["a" * 5, "a" * 11 + "\U0010FFFF\x7fzz"]))
+    true_max = "a" * 11 + "\U0010FFFF\x7fzz"
+    assert m["max"] is None or m["max"] >= true_max
+    assert not m["is_max_exact"]
+    # untruncated binary with a non-UTF-8 tail: repr adjusts, flags clear
+    _, m2 = encode_array(pa.array([b"abc\xff"]))
+    assert m2["min"] <= "abc\x7f" and m2["max"] >= "abd"
+    assert not m2["is_min_exact"] and not m2["is_max_exact"]

@@ -752,3 +752,45 @@ def test_exotic_types_native_sink_roundtrip(spark, tmp_path):
         assert a.type.equals(b.type), name
         assert a.combine_chunks().to_pylist() == \
             b.combine_chunks().to_pylist(), name
+
+
+def test_null_stat_chunks_survive_range_pruning(spark):
+    """A NULL meta bound means 'no sound bound' -- the chunk MAY match and
+    must survive range pruning (a plain comparison evaluated NULL and
+    silently pruned it, losing real rows)."""
+    from sparkcodec.engine import range_scan_rows
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, float("nan")), (3, 5.0), (4, 7.0)],
+        "id INT, v DOUBLE").repartition(2)
+    enc = encode_dataframe(df, chunk_rows=2, auto_fastpath=False)
+    rows = sorted(r["id"] for r in range_scan_rows(enc, "v", 4.0, 8.0).collect())
+    assert rows == [3, 4]
+
+
+def test_float16_stat_columns_and_np_uint64_probe(spark, tmp_path):
+    """float16 stat columns lower to float32 end-to-end (pyarrow has no
+    halffloat min_max kernel); numpy-integer probes above 2^63-1 convert
+    to Decimal literals like plain ints do."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkcodec.engine import encode_parquet_dataset, lookup_rows, range_scan_rows
+
+    src = str(tmp_path / "f16.parquet")
+    pq.write_table(pa.table({"f16": pa.array(np.arange(100, dtype=np.float16)),
+                             "id": pa.array(range(100))}), src)
+    enc = encode_parquet_dataset(spark, src, chunk_rows=16,
+                                 stat_columns=("f16",))
+    got = sorted(r["id"] for r in range_scan_rows(enc, "f16", 10.0, 12.0).collect())
+    assert got == [10, 11, 12]
+    src2 = str(tmp_path / "u.parquet")
+    pq.write_table(pa.table(
+        {"u64": pa.array((np.arange(100, dtype=np.uint64) << 57) + 3),
+         "id": pa.array(range(100))}), src2)
+    enc2 = encode_parquet_dataset(spark, src2, chunk_rows=16,
+                                  bloom_columns=("u64",))
+    t = np.uint64((np.uint64(99) << np.uint64(57)) + np.uint64(3))
+    hit = lookup_rows(enc2, "u64", t).collect()
+    assert len(hit) == 1 and int(hit[0]["id"]) == 99
