@@ -298,10 +298,14 @@ def _dedup_minhash_lsh(spark, sf_dir):
     """Recall-gated minhash LSH: the exact char-5-gram Jaccard >= 0.8 pairs
     that banded LSH candidate generation finds.  Full recall (miss prob
     ~3.5e-8/pair at 16 bands x 4 rows) makes this equal the exact pair set,
-    so the approximate operator carries a DuckDB oracle."""
+    so the approximate operator carries a DuckDB oracle.  The exact-gate
+    side runs under the same NEAR_DF_CAP stop-shingle guard curation uses,
+    so its inverted-index self-join stays bounded at corpus scale."""
+    from sparkcodec.pipeline.curation import NEAR_DF_CAP
     from sparkcodec.pipeline.dedup import minhash_recall_pairs
 
-    return minhash_recall_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return minhash_recall_pairs(_docs(spark, sf_dir), threshold=0.8,
+                                df_cap=NEAR_DF_CAP)
 
 
 def _dedup_minhash_candidates(spark, sf_dir):
@@ -982,9 +986,11 @@ def _curate_oracle() -> str:
 
 
 def _minhash_recall_oracle() -> str:
+    from sparkcodec.pipeline.curation import NEAR_DF_CAP
     from sparkcodec.pipeline.dedup import char_ngram_jaccard_oracle_sql
 
-    return char_ngram_jaccard_oracle_sql(k=5, threshold=0.8)
+    return char_ngram_jaccard_oracle_sql(k=5, threshold=0.8,
+                                         df_cap=NEAR_DF_CAP)
 
 
 def _textstats_oracle(which: str) -> str:

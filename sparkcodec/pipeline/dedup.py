@@ -157,8 +157,14 @@ def minhash_lsh_candidates(docs: DataFrame, num_perm: int = 64, bands: int = 16,
     num_rows = num_perm // bands
     # the signature kernel (UTF-8 encode + rolling hash + 64 permutations
     # per doc) is referenced three times below (banding + two re-joins):
-    # persist so the most expensive stage runs once per corpus pass
-    sigs = minhash_signatures(docs, num_perm, text_col, id_col, seed).persist()
+    # localCheckpoint so the most expensive stage runs once per corpus
+    # pass.  Unlike persist(), checkpoint blocks are reference-scoped --
+    # the ContextCleaner reclaims them once the returned DataFrame is
+    # dereferenced -- so a long-running session doesn't pin signature
+    # storage after the candidates materialize (nothing is registered in
+    # the session CacheManager).
+    sigs = minhash_signatures(docs, num_perm, text_col, id_col,
+                              seed).localCheckpoint(eager=True)
     # band rows carry only (id, band, bucket): the 64-long signatures are
     # NOT shuffled 16x through the explode+join -- they re-join once per
     # side after candidate dedup (shuffle hygiene at 10^9 docs)
@@ -532,15 +538,22 @@ def char_ngram_jaccard_oracle_sql(k: int = SHINGLE_K, threshold: float = 0.8,
 def minhash_recall_pairs(docs: DataFrame, threshold: float = 0.8,
                          num_perm: int = 64, bands: int = 16,
                          text_col: str = "text", id_col: str = "doc_id",
-                         seed: int = 42) -> DataFrame:
+                         seed: int = 42,
+                         df_cap: int | None = None) -> DataFrame:
     """Recall gate for banded minhash LSH: the exact char-shingle Jaccard
     pairs above ``threshold`` that the LSH candidate generation finds.
     With full recall this EQUALS the exact pair set, making the
     approximate operator oracle-checkable: at 16 bands x 4 rows a J=0.9
     pair is missed w.p. (1 - 0.9^4)^16 ~ 3.5e-8.  (The text is ASCII in
     the fixtures, so the kernel's byte shingles match the SQL-side char
-    shingles.)"""
-    exact = char_ngram_jaccard_pairs(docs, SHINGLE_K, threshold, text_col, id_col)
+    shingles.)
+
+    ``df_cap`` threads the stop-shingle guard through the exact-gate side
+    (char_ngram_jaccard_pairs): without it one ubiquitous 5-gram keys a
+    quadratic grams-x-grams self-join at corpus scale.  Production callers
+    should pass the same cap they curate with (curation.NEAR_DF_CAP)."""
+    exact = char_ngram_jaccard_pairs(docs, SHINGLE_K, threshold, text_col,
+                                     id_col, df_cap=df_cap)
     cand = minhash_lsh_candidates(docs, num_perm, bands, text_col, id_col, seed)
     return exact.join(cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
 

@@ -198,6 +198,47 @@ def test_char_ngram_df_cap_bounds_hot_shingle(spark):
     assert sorted(tuple(r) for r in capped) == exp
 
 
+def test_minhash_recall_capped_bounds_hot_shingle(spark):
+    """The graded recall gate (minhash_recall_pairs) under df_cap: a
+    ubiquitous 5-char shingle is dropped from the exact-gate side BEFORE
+    its grams-x-grams self-join, the planted near-dup pair survives (LSH
+    has ~full recall at J=0.96), and capped semantics stay oracle-equal
+    to the capped char-5-gram DuckDB SQL."""
+    from sparkcodec.pipeline.dedup import (
+        char_ngram_jaccard_oracle_sql,
+        minhash_recall_pairs,
+    )
+
+    hot = "zzzzz"  # one shared 5-gram in every doc
+    rows = [(i, f"{hot} u{i:04d}q{i:04d}w{i:04d}") for i in range(60)]
+    rows.append((100, "alphabeta gammadelta epsilon"))
+    rows.append((101, "alphabeta gammadelta epsilons"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+
+    capped = minhash_recall_pairs(sdf, threshold=0.5, df_cap=10).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = sorted(tuple(r) for r in
+                 con.execute(char_ngram_jaccard_oracle_sql(5, 0.5, df_cap=10)).fetchall())
+    assert sorted(tuple(r) for r in capped) == exp
+
+
+def test_minhash_candidates_no_pinned_cache(spark, docs):
+    """minhash_lsh_candidates must not leave session-pinned storage: the
+    signature table is localCheckpoint-scoped (reclaimed when the result
+    DataFrame is dereferenced), never registered in the SQL CacheManager
+    the way .persist() would be."""
+    sdf, _ = docs
+    spark.catalog.clearCache()
+    out = minhash_lsh_candidates(sdf)
+    assert out.count() > 0
+    # DataFrame.persist would register the plan here and pin executor
+    # storage for the session; the checkpoint-scoped version does not.
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_curate_corpus_capped_matches_oracle(spark):
     """curate_corpus with the default NEAR_DF_CAP stop-shingle guard stays
     step-for-step equal to its mirrored DuckDB oracle."""
