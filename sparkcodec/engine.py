@@ -1028,6 +1028,16 @@ def _payloads_ddl(payload_columns: tuple[str, ...]) -> str:
     read from storage (true columnar IO pruning at 100 TB, the layout the
     north rule's "encoded column chunks written back as binary columns"
     describes)."""
+    for c in payload_columns:
+        # same guard _check_aux_columns gives bloom/stat names: a backtick
+        # inside the name would escape the quoting below and produce
+        # malformed DDL / un-selectable payload columns (dots are fine --
+        # the name is backtick-quoted whole)
+        if "`" in c:
+            raise ValueError(
+                f"split_payload column name {c!r} contains '`': the derived "
+                "payload_<col> output column cannot be quoted in Spark DDL; "
+                "rename the column first")
     return ", ".join(f"`payload_{c}` BINARY" for c in payload_columns)
 
 
@@ -1299,6 +1309,27 @@ def encode_parquet_dataset(spark, path, *,
     return desc.mapInArrow(encode_split, out_ddl)
 
 
+def _sweep_stale_parts(out_dir: str) -> None:
+    """Driver-side pre-clean for the task-side sinks: remove part files
+    (and orphaned .tmp files) that OUR writers produced in a previous run
+    into the same directory.  Task-side deterministic names only replace
+    files for pids that execute THIS run -- a rerun with fewer splits, or
+    a pid whose task yields no rows, would otherwise leave a previous
+    run's file in place and ``spark.read.parquet(out_dir)`` would silently
+    mix chunks from different runs.  Only files matching our own naming
+    scheme (part-NNNNN.parquet / part-NNNNN-NNN.parquet and their tmp
+    leftovers) are touched, so pointing at a directory with foreign files
+    raises on the subsequent read instead of deleting user data."""
+    import glob
+    import os
+    import re
+
+    own = re.compile(r"part-\d{5}(-\d{3})?\.parquet(\.[0-9a-f]{8}\.tmp)?$")
+    for p in glob.glob(os.path.join(out_dir, "part-*")):
+        if own.search(os.path.basename(p)):
+            os.remove(p)
+
+
 def encode_to_parquet(spark, path, out_dir: str, *,
                       chunk_rows: int = DEFAULT_CHUNK_ROWS,
                       token_budget: int = DEFAULT_TOKEN_BUDGET,
@@ -1327,6 +1358,7 @@ def encode_to_parquet(spark, path, out_dir: str, *,
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    _sweep_stale_parts(out_dir)
     if n_splits is None:
         n_splits = max(spark.sparkContext.defaultParallelism * 2, 2)
     splits = _plan_parquet_splits(path, n_splits)
@@ -1627,6 +1659,7 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    _sweep_stale_parts(out_dir)
     if n_splits is None:
         n_splits = max(spark.sparkContext.defaultParallelism * 2, 2)
     splits = _plan_parquet_splits(enc_path, n_splits)

@@ -10,6 +10,7 @@ row-group-as-one-cell shape, this is the column-chunk-as-one-cell shape.
 """
 from __future__ import annotations
 
+import pyarrow as pa
 import pytest
 from pyspark.sql import functions as F
 
@@ -228,6 +229,71 @@ def test_task_side_sinks_use_deterministic_names(spark, toks, tmp_path):
     assert not [f for f in first if f.endswith(".tmp")]
     enc = spark.read.parquet(out)
     assert decode_dataframe(enc).count() == toks.count()
+
+
+def test_sink_rerun_sweeps_stale_parts(spark, toks, tmp_path):
+    """A rerun into the same out_dir with FEWER splits (changed
+    parallelism) must not leave higher-pid part files from the previous
+    run: spark.read.parquet(out_dir) would silently mix chunks of two
+    runs.  Both sinks pre-clean driver-side."""
+    import os
+
+    from sparkcodec.engine import encode_to_parquet
+
+    import pyarrow.parquet as pq
+
+    # one file, many row groups: split planning then actually follows
+    # n_splits (splits never merge row groups across files)
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(pa.Table.from_pandas(toks.toPandas()), src,
+                   row_group_size=64)
+    out = str(tmp_path / "enc")
+    encode_to_parquet(spark, src, out, chunk_rows=64, n_splits=8).collect()
+    wide = sorted(os.listdir(out))
+    encode_to_parquet(spark, src, out, chunk_rows=64, n_splits=2).collect()
+    narrow = sorted(os.listdir(out))
+    assert len(narrow) < len(wide)
+    assert decode_dataframe(spark.read.parquet(out)).count() == toks.count()
+
+    dec_out = str(tmp_path / "dec")
+    decode_to_parquet(spark, out, dec_out, n_splits=8,
+                      target_file_bytes=1 << 12).collect()
+    wide_dec = sorted(os.listdir(dec_out))
+    decode_to_parquet(spark, out, dec_out, n_splits=2).collect()
+    narrow_dec = sorted(os.listdir(dec_out))
+    assert len(narrow_dec) < len(wide_dec)
+    assert spark.read.parquet(dec_out).count() == toks.count()
+
+
+def test_sink_rerun_with_empty_input_removes_previous_output(spark, toks, tmp_path):
+    """A pid whose task yields no rows (here: every pid, empty input) must
+    not leave the previous run's file for that pid in place."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_to_parquet
+
+    src = str(tmp_path / "src.parquet")
+    empty_src = str(tmp_path / "empty.parquet")
+    toks.write.parquet(src)
+    toks.filter(F.lit(False)).write.parquet(empty_src)
+    out = str(tmp_path / "enc")
+    encode_to_parquet(spark, src, out, chunk_rows=128).collect()
+    assert any(f.endswith(".parquet") for f in os.listdir(out))
+    m = encode_to_parquet(spark, empty_src, out).collect()
+    assert m == []
+    assert not [f for f in os.listdir(out) if f.endswith(".parquet")]
+
+
+def test_split_payload_backtick_column_raises(spark):
+    """A source column containing a backtick cannot be quoted into the
+    payload_<col> DDL: reject it with the same clear error bloom/stat
+    names get (dots are fine -- quoted whole)."""
+    df = spark.range(10).selectExpr("id AS `a``b`", "id AS plain")
+    with pytest.raises(ValueError, match="contains '`'"):
+        encode_dataframe(df.repartition(2), chunk_rows=8,
+                         auto_fastpath=False, split_payload=True)
 
 
 def test_dotted_column_names_all_paths(spark, tmp_path):
