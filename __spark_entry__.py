@@ -404,19 +404,23 @@ def _scrub_pii_oracle() -> str:
 
 
 def _bpe_tokenize(spark, sf_dir):
-    """From-scratch BPE: ONE distributed word-count pass over the corpus,
-    driver-side merge learning on the (tiny) word-frequency table, then
-    distributed encode with broadcast merge ranks.  Iterative training is
-    not SQL-expressible -> rows-only here; the pytest oracle checks the
-    merges and encodings against a pure-Python reference
-    (tests/test_pipeline.py::test_bpe_learns_classic_merges_and_encodes)."""
+    """From-scratch BPE encode, fully value-checked: merges are learned
+    deterministically from a planted literal corpus (pure Python on the
+    driver -- identical constants on the oracle side), and the DISTRIBUTED
+    encode over the real documents table runs with NO per-row Python over
+    the corpus: encode_word executes once per DISTINCT word, then a
+    broadcast word->tokens join + codegen reassembly rebuild every
+    document.  The DuckDB oracle recomputes the exact encode_word loop per
+    distinct word with a recursive CTE (bpe.bpe_encode_oracle_sql), so the
+    row is hash-exact, not rows-only.  Corpus-trained merges (train_bpe's
+    distributed word-count pass) stay covered by the pytest reference
+    oracle (tests/test_pipeline.py::test_bpe_learns_classic_merges_and_encodes)."""
     from pyspark.sql import functions as F
 
-    from sparkcodec.pipeline.bpe import bpe_encode, train_bpe
+    from sparkcodec.pipeline.bpe import bpe_encode, planted_merges
 
     docs = _docs(spark, sf_dir)
-    merges = train_bpe(docs, n_merges=100)
-    return (bpe_encode(docs, merges)
+    return (bpe_encode(docs, planted_merges(100))
             .select("doc_id", "n_bpe",
                     F.expr("array_join(slice(bpe_tokens, 1, 5), '|')")
                     .alias("head_tokens")))
@@ -921,6 +925,9 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": _scrub_pii_oracle(),
         "decontaminate": _decontaminate_oracle(),
         "text_gopher_repetition": _gopher_repetition_oracle(),
+        # fixed planted merges -> the distributed encode is SQL-expressible:
+        # a recursive CTE replays encode_word's exact loop per distinct word
+        "bpe_tokenize": _bpe_oracle(),
         "text_lang_id": _textstats_oracle("lang_id"),
         "text_quality_score": _textstats_oracle("quality"),
         "text_token_count": _textstats_oracle("token_count"),
@@ -983,6 +990,12 @@ def _curate_oracle() -> str:
     from sparkcodec.pipeline.curation import curate_corpus_oracle_sql
 
     return curate_corpus_oracle_sql()
+
+
+def _bpe_oracle() -> str:
+    from sparkcodec.pipeline.bpe import bpe_encode_oracle_sql, planted_merges
+
+    return bpe_encode_oracle_sql(planted_merges(100))
 
 
 def _minhash_recall_oracle() -> str:

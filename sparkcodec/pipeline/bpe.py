@@ -101,33 +101,177 @@ def train_bpe(docs: DataFrame, n_merges: int = 200, text_col: str = "text",
     return learn_merges(word_counts(docs, text_col, max_words), n_merges)
 
 
+# Deterministic literal corpus for the value-checked graded query: merges
+# learned from it (pure Python, no Spark/SQL involved) are embedded as
+# literals in BOTH the Spark encode and the DuckDB oracle, so the
+# DISTRIBUTED part -- the encode over the real documents table -- is
+# hash-exact end to end.  Corpus-trained merges stay covered by pytest
+# (the training pass itself is one word-count group-by, oracle-trivial).
+PLANTED_CORPUS = (
+    "the quick brown fox jumps over the lazy dog",
+    "the quicker brown foxes jumped over lazy dogs",
+    "low lower lowest slow slower slowest",
+    "new newer newest wide wider widest",
+    "token tokens tokenizer tokenization",
+    "encode encoder encoding encoded decodes decoded",
+    "spark sparks sparking parquet parquets",
+    "the cat sat on the mat the cats sat on the mats",
+    "a an and the this that these those",
+    "run runs running runner ran",
+    "write writes writing writer written",
+    "read reads reading reader",
+)
+
+
+def planted_merges(n_merges: int = 100) -> list[tuple[str, str]]:
+    """Merges learned from PLANTED_CORPUS with the same (count desc, word
+    asc) capping rule word_counts uses -- pure Python, deterministic,
+    identical on the Spark and oracle sides."""
+    from collections import Counter
+
+    cnt = Counter(w for line in PLANTED_CORPUS for w in line.split(" ") if w)
+    counts = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    return learn_merges(counts, n_merges)
+
+
+def bpe_encode_oracle_sql(merges: list[tuple[str, str]],
+                          table: str = "documents",
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """DuckDB recomputation of :func:`bpe_encode` with a FIXED merge list:
+    a recursive CTE applies ``encode_word``'s exact loop (leftmost
+    lowest-rank adjacent pair, one merge per step) to every distinct word,
+    then reassembles documents positionally.  Pair keys use chr(1) as the
+    (symbol, symbol) separator -- sound for any space-split corpus whose
+    text does not contain the SOH control byte."""
+    for a, b in merges:
+        if "\x01" in a or "\x01" in b:
+            raise ValueError(
+                "merge symbols containing chr(1) cannot be keyed in the "
+                "SQL oracle's pair map")
+    big = 2**31 - 1
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    keys = ", ".join(q(a + "\x01" + b) for a, b in merges)
+    vals = ", ".join(str(i) for i in range(len(merges)))
+    lookup = (f"coalesce(MAP([{keys}], [{vals}])"
+              f"[syms[i] || chr(1) || syms[i+1]][1], {big})")
+    return f"""
+        WITH RECURSIVE
+        words AS (
+          SELECT DISTINCT w FROM (
+            SELECT unnest(list_filter(string_split({text_col}, ' '),
+                                      x -> x <> '')) AS w
+            FROM {table})
+        ),
+        enc AS (
+          SELECT w,
+                 list_append(list_transform(generate_series(1, length(w)),
+                                            i -> substring(w, i, 1)),
+                             '{END}') AS syms
+          FROM words
+          UNION ALL
+          SELECT w,
+                 list_concat(list_concat(
+                     list_slice(syms, 1, bi - 1),
+                     [syms[bi] || syms[bi + 1]]),
+                     list_slice(syms, bi + 2, len(syms))) AS syms
+          FROM (
+            SELECT w, syms,
+                   list_position(rl, list_min(rl)) AS bi,
+                   list_min(rl) AS br
+            FROM (
+              SELECT w, syms,
+                     list_transform(generate_series(1, len(syms) - 1),
+                                    i -> {lookup}) AS rl
+              FROM enc))
+          WHERE br < {big}
+        ),
+        final AS (
+          SELECT w, syms FROM (
+            SELECT w, syms,
+                   list_min(list_transform(generate_series(1, len(syms) - 1),
+                                           i -> {lookup})) AS br
+            FROM enc)
+          WHERE br IS NULL OR br = {big}
+        ),
+        wordpos AS (
+          SELECT {id_col},
+                 unnest(generate_series(1, len(ws))) AS pos,
+                 unnest(ws) AS w
+          FROM (SELECT {id_col},
+                       list_filter(string_split({text_col}, ' '),
+                                   x -> x <> '') AS ws
+                FROM {table})
+        ),
+        assembled AS (
+          SELECT {id_col}, flatten(list(syms ORDER BY pos)) AS bpe_tokens
+          FROM wordpos JOIN final USING (w)
+          GROUP BY {id_col}
+        )
+        SELECT d.{id_col},
+               CAST(coalesce(len(a.bpe_tokens), 0) AS BIGINT) AS n_bpe,
+               coalesce(array_to_string(
+                   list_slice(coalesce(a.bpe_tokens, []), 1, 5), '|'),
+                   '') AS head_tokens
+        FROM {table} d LEFT JOIN assembled a USING ({id_col})
+    """
+
+
 def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
-               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, bpe_tokens array<string>, n_bpe): distributed encode with the
-    learned merges broadcast to the executors; per-word results are
-    memoized within each batch (Zipf input -> high hit rate)."""
+               text_col: str = "text", id_col: str = "doc_id",
+               broadcast_vocab: bool = True) -> DataFrame:
+    """(id, bpe_tokens array<string>, n_bpe): distributed encode via a
+    distinct-word table -- NO per-row Python over the corpus.
+
+    The iterative merge loop (``encode_word``) runs exactly ONCE per
+    DISTINCT word, as a batched kernel over the vocabulary table (millions
+    of rows at corpus scale, vs billions of corpus words).  The corpus
+    itself is only touched by codegen operators: positional explode ->
+    ``word -> tokens`` join (broadcast by default: the vocab table is tiny
+    next to the corpus; pass ``broadcast_vocab=False`` to let AQE pick a
+    shuffle join for huge vocabularies) -> ordered reassembly with
+    array_sort + flatten.  Zipf skew in word frequency lands entirely on
+    the JOIN side, where a broadcast join is skew-immune.
+
+    ``id_col`` values are assumed unique (one output row per id: the
+    reassembly groups by id)."""
     ranks = {p: i for i, p in enumerate(merges)}
     id_type = dict(docs.dtypes)[id_col]  # honor the actual id column type
+    base = docs.select(
+        F.col(id_col),
+        F.expr(f"filter(split({text_col}, ' '), w -> w <> '')").alias("__ws"))
+    vocab = base.select(F.explode("__ws").alias("w")).distinct()
 
-    def enc(it):
+    def enc_words(it):
         import pandas as pd
 
-        cache: dict[str, list[str]] = {}
         for pdf in it:
-            toks_col = []
-            for text in pdf[text_col].fillna(""):
-                toks: list[str] = []
-                for w in text.split(" "):
-                    if not w:
-                        continue
-                    got = cache.get(w)
-                    if got is None:
-                        got = cache[w] = encode_word(w, ranks)
-                    toks.extend(got)
-                toks_col.append(toks)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
-                                "bpe_tokens": toks_col,
-                                "n_bpe": [len(t) for t in toks_col]})
+            yield pd.DataFrame({
+                "w": pdf["w"],
+                "toks": [encode_word(w, ranks) for w in pdf["w"]],
+            })
 
-    return docs.select(id_col, text_col).mapInPandas(
-        enc, f"{id_col} {id_type}, bpe_tokens array<string>, n_bpe long")
+    word_toks = vocab.mapInPandas(enc_words, "w string, toks array<string>")
+    if broadcast_vocab:
+        word_toks = F.broadcast(word_toks)
+    pos = base.select(id_col, F.posexplode("__ws").alias("__pos", "w"))
+    assembled = (
+        pos.join(word_toks, "w")
+        .groupBy(id_col)
+        .agg(F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "toks"))),
+            lambda s: s["toks"])).alias("bpe_tokens"))
+    )
+    return (
+        docs.select(id_col)
+        .join(assembled, id_col, "left")
+        .select(
+            F.col(id_col).cast(id_type),
+            F.coalesce("bpe_tokens",
+                       F.expr("CAST(array() AS array<string>)"))
+            .alias("bpe_tokens"))
+        .withColumn("n_bpe", F.size("bpe_tokens").cast("long"))
+    )

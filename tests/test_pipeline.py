@@ -542,6 +542,45 @@ def test_bpe_deterministic_on_fixture_corpus(spark):
         assert restored == " ".join(w for w in orig[r["doc_id"]].split(" ") if w)
 
 
+def test_bpe_encode_vectorized_plan_and_oracle(spark):
+    """The encode plan must contain NO per-row Python over the corpus:
+    exactly one Python stage (encode_word over the DISTINCT-word table)
+    feeding a broadcast join, with reassembly in codegen.  And the
+    recursive-CTE DuckDB oracle recomputes the whole encode hash-exact."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkcodec.pipeline.bpe import (
+        bpe_encode, bpe_encode_oracle_sql, planted_merges,
+    )
+
+    pdf = duckdb.sql(
+        "SELECT doc_id, text FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')").df()
+    sdf = spark.createDataFrame(pdf)
+    merges = planted_merges(100)
+    out = bpe_encode(sdf, merges).select(
+        "doc_id", "n_bpe",
+        F.expr("array_join(slice(bpe_tokens, 1, 5), '|')").alias("head_tokens"))
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    # one Python stage total (the vocab kernel); the corpus side is pure
+    # codegen: explode + broadcast hash join + aggregate
+    # each node appears once in the tree ("MapInPandas (n)") and once in
+    # the detail section ("(n) MapInPandas") -- count tree nodes
+    assert plan.count("MapInPandas (") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+    got = sorted(tuple(r) for r in out.collect())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = sorted(tuple(r) for r in
+                 con.execute(bpe_encode_oracle_sql(merges)).fetchall())
+    assert got == exp and len(got) == len(pdf)
+
+
 def test_vocab_and_bigram_topk(spark):
     """Vocabulary/bigram counts vs DuckDB, including the 1-token and
     empty-document edges (Spark's sequence(1,0) is DESCENDING -- a naive
