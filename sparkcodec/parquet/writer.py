@@ -615,8 +615,26 @@ class ParquetWriter:
                  bloom_columns: tuple[str, ...] = (),
                  logical_hints: dict[str, str] | None = None,
                  statistics: bool = True,
-                 column_encodings: dict[str, str] | None = None):
+                 column_encodings: dict[str, str] | None = None,
+                 column_index=True, offset_index=True):
         self.schema = schema
+        # per-column page-index opt-in (reference ColumnSource.columnIndex /
+        # offsetIndex, src/parquet-writer.js:75-80): each option is a bool
+        # (all columns) or a collection of top-level column names.  The
+        # parquet spec forbids a ColumnIndex without an OffsetIndex, same
+        # check as the reference.
+        def _per_col(opt, name: str) -> bool:
+            return opt if isinstance(opt, bool) else name in opt
+
+        self._index_opts = {}
+        for field in schema:
+            ci = _per_col(column_index, field.name)
+            oi = _per_col(offset_index, field.name)
+            if ci and not oi:
+                raise ValueError(
+                    f"column {field.name!r}: parquet ColumnIndex cannot be "
+                    "present without OffsetIndex")
+            self._index_opts[field.name] = (ci, oi)
         self.logical_hints = logical_hints
         self.statistics = statistics
         self.column_encodings = {}
@@ -687,15 +705,15 @@ class ParquetWriter:
                 for p in info["pages"])
 
         for chunk_infos, _, _ in self.row_groups:
-            for info in chunk_infos:
-                if indexable(info):
+            for info, leaf in zip(chunk_infos, self.leaves):
+                if self._index_opts[leaf.path[0]][0] and indexable(info):
                     ci = _column_index_bytes(info)
                     info["column_index_offset"] = len(out)
                     info["column_index_length"] = len(ci)
                     out.extend(ci)
         for chunk_infos, _, _ in self.row_groups:
-            for info in chunk_infos:
-                if len(info["pages"]) > 1:
+            for info, leaf in zip(chunk_infos, self.leaves):
+                if self._index_opts[leaf.path[0]][1] and len(info["pages"]) > 1:
                     oi = _offset_index_bytes(info)
                     info["offset_index_offset"] = len(out)
                     info["offset_index_length"] = len(oi)
@@ -734,7 +752,8 @@ def write_parquet_bytes(table: pa.Table, *, row_group_rows=1 << 20,
                         bloom_columns: tuple[str, ...] = (),
                         logical_hints: dict[str, str] | None = None,
                         statistics: bool = True,
-                        column_encodings: dict[str, str] | None = None) -> bytes:
+                        column_encodings: dict[str, str] | None = None,
+                        column_index=True, offset_index=True) -> bytes:
     """Serialize a pyarrow Table to parquet bytes using our own encoders.
 
     ``row_group_rows`` may be an int or an array of sizes with the last
@@ -751,12 +770,18 @@ def write_parquet_bytes(table: pa.Table, *, row_group_rows=1 << 20,
     (reference ColumnSource.encoding, src/column.js:71): PLAIN, RLE
     (boolean), RLE_DICTIONARY, DELTA_BINARY_PACKED,
     DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY, or BYTE_STREAM_SPLIT
-    (numeric and FLBA) -- overrides the auto-selector for that column."""
+    (numeric and FLBA) -- overrides the auto-selector for that column.
+    ``column_index`` / ``offset_index`` opt columns into page indexes: a
+    bool for all columns or a collection of top-level names (reference
+    ColumnSource.columnIndex/offsetIndex, src/parquet-writer.js:75-80);
+    a ColumnIndex without an OffsetIndex is rejected, as the spec
+    requires."""
     w = ParquetWriter(table.schema, row_group_rows=row_group_rows,
                       compression=compression, use_dictionary=use_dictionary,
                       page_bytes=page_bytes, kv_metadata=kv_metadata,
                       bloom_columns=bloom_columns, logical_hints=logical_hints,
-                      statistics=statistics, column_encodings=column_encodings)
+                      statistics=statistics, column_encodings=column_encodings,
+                      column_index=column_index, offset_index=offset_index)
     if len(table):
         w.write(table)
     return w.finish()

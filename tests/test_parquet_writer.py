@@ -212,6 +212,50 @@ def test_page_indexes_written_and_valid():
     _assert_equal(buf, t)
 
 
+def test_page_index_per_column_opt_in():
+    """Reference parity (src/parquet-writer.js:75-80): columnIndex and
+    offsetIndex are per-column options, and a ColumnIndex without an
+    OffsetIndex is rejected.  Footer parse must show indexes only where
+    requested."""
+    import pytest as _pt
+
+    from sparkcodec.parquet.thrift_read import read_struct
+
+    n = 400000
+    t = pa.table({"x": pa.array(np.arange(n, dtype=np.int64)),
+                  "y": pa.array(np.arange(n, dtype=np.int64))})
+
+    def chunk_fields(buf):
+        mv = memoryview(buf)
+        flen = int.from_bytes(buf[-8:-4], "little")
+        footer, _ = read_struct(mv, len(buf) - 8 - flen)
+        out = {}
+        for i, name in enumerate(t.column_names):
+            chunk = footer[4][0][1][i]
+            out[name] = (chunk.get(6) is not None,  # ColumnIndex offset
+                         chunk.get(4) is not None)  # OffsetIndex offset
+        return out
+
+    kw = dict(use_dictionary=False, page_bytes=1 << 18, compression="none")
+    # both per-column: x fully indexed, y offset-only
+    got = chunk_fields(write_parquet_bytes(t, column_index=("x",), **kw))
+    assert got == {"x": (True, True), "y": (False, True)}
+    # offset index opted out for y too
+    got = chunk_fields(write_parquet_bytes(t, column_index=("x",),
+                                           offset_index=("x",), **kw))
+    assert got == {"x": (True, True), "y": (False, False)}
+    # global opt-out
+    got = chunk_fields(write_parquet_bytes(t, column_index=False,
+                                           offset_index=False, **kw))
+    assert got == {"x": (False, False), "y": (False, False)}
+    # spec rule: ColumnIndex requires OffsetIndex (reference error string)
+    with _pt.raises(ValueError, match="cannot be present without OffsetIndex"):
+        write_parquet_bytes(t, column_index=True, offset_index=("x",), **kw)
+    # files decode identically regardless of index opt-ins
+    _assert_equal(write_parquet_bytes(t, column_index=False,
+                                      offset_index=False, **kw), t)
+
+
 def test_incremental_writer_multi_call():
     """S5 parity: incremental multi-call writer, byte-level equivalence of
     the decoded data with a one-shot write."""
