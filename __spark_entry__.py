@@ -574,6 +574,49 @@ def _bloom_lookup_oracle() -> str:
     """
 
 
+def _probe_conjunctive(spark, sf_dir):
+    """Conjunctive needle query: bloom on doc_id AND typed-stats range on
+    n_tok both prune the encoded table BEFORE any payload decode -- the
+    stats predicates push down into the encoded table's parquet scan, the
+    bloom probe reads only (chunk_id, bloom_doc_id) for survivors.  The
+    oracle recomputes the row from the source SQL with the same two
+    predicates."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_dataframe, probe_rows, range_repartition
+    from sparkcodec.tokens import tokens_table
+
+    toks = tokens_table(spark, sf_dir)
+    target = toks.agg(F.min("doc_id")).collect()[0][0]
+    ntk = toks.filter(F.col("doc_id") == target).select("n_tok").collect()[0][0]
+    enc = encode_dataframe(range_repartition(toks, 8), chunk_rows=256,
+                           bloom_columns=("doc_id",),
+                           stat_columns=("n_tok",), auto_fastpath=False)
+    hit = probe_rows(enc, equals={"doc_id": target},
+                     ranges={"n_tok": (ntk - 10, ntk + 10)},
+                     range_dtypes={"n_tok": "int"})
+    return hit.select(
+        "doc_id",
+        F.array_join(F.transform("tokens", lambda x: x.cast("string")), ",")
+        .alias("tokens_str"),
+        "n_tok", "source",
+    )
+
+
+def _probe_conjunctive_oracle() -> str:
+    from sparkcodec.tokens import tokens_table_oracle_sql
+
+    return f"""
+        WITH t AS ({tokens_table_oracle_sql()}),
+        tgt AS (SELECT min(doc_id) AS d FROM t),
+        ntk AS (SELECT n_tok AS n FROM t WHERE doc_id = (SELECT d FROM tgt))
+        SELECT doc_id, array_to_string(tokens, ',') AS tokens_str, n_tok, source
+        FROM t
+        WHERE doc_id = (SELECT d FROM tgt)
+          AND n_tok BETWEEN (SELECT n - 10 FROM ntk) AND (SELECT n + 10 FROM ntk)
+    """
+
+
 def _stats_range_scan(spark, sf_dir):
     """Range scan over encoded chunks: min/max footer stats prune chunk
     groups JVM-side (get_json_object in codegen, no payload bytes read),
@@ -849,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _curate_corpus,
         "pipeline_end_to_end": _pipeline_end_to_end,
         "bloom_point_lookup": _bloom_point_lookup,
+        "probe_conjunctive": _probe_conjunctive,
         "stats_range_scan": _stats_range_scan,
         "pack_sequences": _pack_sequences,
         "source_quota_sample": _source_quota_sample,
@@ -916,6 +960,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _curate_oracle(),
         "pipeline_end_to_end": _pipeline_end_to_end_oracle(),
         "bloom_point_lookup": _bloom_lookup_oracle(),
+        "probe_conjunctive": _probe_conjunctive_oracle(),
         "stats_range_scan": (
             "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem "
             "WHERE l_orderkey BETWEEN 1000 AND 2000"

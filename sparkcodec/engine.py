@@ -1629,14 +1629,65 @@ def lookup_rows(enc_df, column: str, value, schema=None):
         schema = infer_decoded_schema(enc_df)
     pruned = filter_chunks_may_contain(enc_df, column, value)
     dec = decode_dataframe(pruned, schema=schema)
+    return dec.filter(F.col(column) == F.lit(_eq_literal(value)))
+
+
+def _eq_literal(value):
+    """uint64 columns decode to DecimalType(20,0); a plain int literal
+    past the long range has no Spark representation."""
     if isinstance(value, (int, np.integer)) and \
             not -(1 << 63) <= int(value) < (1 << 63):
-        # uint64 columns decode to DecimalType(20,0); a plain int literal
-        # past the long range has no Spark representation
         from decimal import Decimal
 
-        value = Decimal(int(value))
-    return dec.filter(F.col(column) == F.lit(value))
+        return Decimal(int(value))
+    return value
+
+
+def probe_rows(enc_df, *, equals: dict | None = None,
+               ranges: dict | None = None, schema=None,
+               range_dtypes: dict | None = None):
+    """Conjunctive needle query over ENCODED data: EVERY pruning structure
+    fires before any payload decode.
+
+    ``equals``  maps column -> probe value: each key bloom-prunes via its
+                ``bloom_<col>`` SBBF (:func:`filter_chunks_may_contain`).
+    ``ranges``  maps column -> (lo, hi) (either bound may be None): each
+                key stats-prunes via the typed ``min_/max_<col>`` columns
+                or the JSON footer stats (:func:`filter_chunks_by_range`).
+    ``range_dtypes`` optionally maps a ranges column to the cast dtype for
+                JSON-stats fallback (default "double").
+
+    Stats pruning is applied FIRST: the min/max predicates are pure
+    codegen and push down into the parquet scan of the encoded table, so
+    the bloom probe stage afterwards scans (chunk_id, bloom_<col>) for
+    the range-surviving row groups only -- at 100 TB a conjunctive probe
+    reads bloom bytes for the narrow key range instead of the whole
+    table.  Survivors decode once; ALL predicates exact-filter the
+    decoded rows."""
+    from pyspark.sql import functions as F
+
+    equals = equals or {}
+    ranges = ranges or {}
+    if not equals and not ranges:
+        raise ValueError("probe_rows needs at least one equals/ranges entry")
+    if schema is None:
+        schema = infer_decoded_schema(enc_df)
+    pruned = enc_df
+    for col, (lo, hi) in ranges.items():
+        pruned = filter_chunks_by_range(
+            pruned, col, lo, hi, (range_dtypes or {}).get(col, "double"))
+    for col, value in equals.items():
+        pruned = filter_chunks_may_contain(pruned, col, value)
+    dec = decode_dataframe(pruned, schema=schema)
+    keep = F.lit(True)
+    for col, value in equals.items():
+        keep = keep & (F.col(col) == F.lit(_eq_literal(value)))
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            keep = keep & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            keep = keep & (F.col(col) <= F.lit(hi))
+    return dec.filter(keep)
 
 
 def decode_to_parquet(spark, enc_path: str, out_dir: str, *,

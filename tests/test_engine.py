@@ -408,6 +408,48 @@ def test_bloom_probe_reads_only_bloom_columns(spark, toks, tmp_path):
     assert dec.count() == toks.count()
 
 
+def test_probe_rows_conjunctive_pruning(spark, toks, tmp_path):
+    """probe_rows composes BOTH prune structures before decode: the n_tok
+    range pushes down into the encoded table's parquet scan
+    (PushedFilters on min_/max_n_tok) AND the bloom probe stage reads
+    only (chunk_id, bloom_doc_id) -- plus exact conjunctive filtering of
+    the decoded rows, including the all-pruned empty case."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import probe_rows
+
+    enc_dir = str(tmp_path / "enc")
+    encode_dataframe(range_repartition(toks, 4), chunk_rows=64,
+                     bloom_columns=("doc_id",), stat_columns=("n_tok",),
+                     auto_fastpath=False).write.parquet(enc_dir)
+    enc = spark.read.parquet(enc_dir)
+    row = toks.orderBy("doc_id").first()
+    target, ntk = row["doc_id"], row["n_tok"]
+
+    hit = probe_rows(enc, equals={"doc_id": target},
+                     ranges={"n_tok": (ntk - 5, ntk + 5)})
+    plan = hit._sc._jvm.PythonSQLUtils.explainString(
+        hit._jdf.queryExecution(), "formatted")
+    # prune stage 1: typed stats predicate reaches the parquet scan
+    assert "PushedFilters" in plan
+    assert "max_n_tok" in plan.split("PushedFilters")[1][:400], plan
+    # prune stage 2: a narrow bloom-probe scan without payload
+    scans = [line for line in plan.splitlines() if "ReadSchema" in line]
+    narrow = [s for s in scans if "bloom_doc_id" in s and "payload" not in s]
+    assert narrow, plan
+    got = hit.collect()
+    assert len(got) == 1 and got[0]["doc_id"] == target
+    assert got[0]["n_tok"] == ntk
+
+    # conjunction is real: same key, disjoint range -> empty (stats prune
+    # may remove every chunk; must not crash on schema inference)
+    miss = probe_rows(enc, equals={"doc_id": target},
+                      ranges={"n_tok": (ntk + 10**6, None)})
+    assert miss.count() == 0
+    with pytest.raises(ValueError, match="at least one"):
+        probe_rows(enc)
+
+
 def test_stats_blooms_and_source_file_column_order(spark, toks, tmp_path):
     """stat_columns + bloom_columns + include_source_file together: the
     output DDL must match the worker's record-batch column order
