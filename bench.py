@@ -122,7 +122,12 @@ def main() -> None:
         enc_direct = f"{tmp}/encoded_direct.parquet"
         pq_path = f"{tmp}/baseline.parquet"
         wtimes, jtimes, btimes = [], [], []
-        for _ in range(5):
+        # 7 interleaved reps: on this host co-tenant noise bursts last
+        # whole seconds, and with 5 reps one burst can still poison a
+        # side's min AND median at once (r3's driver window did exactly
+        # that to the baseline).  The per-rep (engine, baseline) PAIRS are
+        # recorded verbatim below so the artifact shows the spread itself.
+        for _ in range(7):
             _sh.rmtree(enc_direct, ignore_errors=True)
             t0 = time.perf_counter()
             encode_to_parquet(spark, src_path, enc_direct).collect()
@@ -141,6 +146,12 @@ def main() -> None:
         queries["encode_write_jvm_median"] = _median(jtimes)
         extras["encode_write_runs"] = [round(x, 3) for x in wtimes]
         extras["encode_write_jvm_runs"] = [round(x, 3) for x in jtimes]
+        # the interleaved evidence, explicitly paired: each entry is one
+        # back-to-back (task-side engine, jvm-bridge engine, baseline)
+        # triple from the SAME noise window
+        extras["encode_write_pairs"] = [
+            [round(w, 3), round(j, 3), round(b, 3)]
+            for w, j, b in zip(wtimes, jtimes, btimes)]
 
         enc = spark.read.parquet(enc_path)
         agg = enc.agg(
@@ -190,8 +201,21 @@ def main() -> None:
         queries["parquet_baseline_write"] = min(btimes)
         queries["parquet_baseline_write_median"] = _median(btimes)
         extras["baseline_runs"] = [round(x, 3) for x in btimes]
+        # three estimators so the artifact is judgeable on its own:
+        # min/min and median/median (classical), plus the median of the
+        # PER-PAIR ratios -- each pair shares one noise window, so a
+        # co-tenant burst inflates both sides of that pair and cancels in
+        # the ratio instead of poisoning one side's aggregate
         extras["encode_write_vs_baseline"] = round(
             queries["encode_write"] / min(btimes), 4)
+        extras["encode_write_vs_baseline_median"] = round(
+            _median(wtimes) / _median(btimes), 4)
+        extras["encode_write_vs_baseline_pairwise"] = [
+            round(w / b, 3) for w, b in zip(wtimes, btimes)]
+        extras["encode_write_vs_baseline_pairwise_median"] = round(
+            _median([w / b for w, b in zip(wtimes, btimes)]), 4)
+        extras["encode_write_jvm_vs_baseline_pairwise_median"] = round(
+            _median([j / b for j, b in zip(jtimes, btimes)]), 4)
         pq_bytes = sum(
             os.path.getsize(os.path.join(r, f))
             for r, _, fs in os.walk(pq_path) for f in fs if f.endswith(".parquet")
