@@ -125,6 +125,54 @@ def train_ivf_centroids(emb: DataFrame, n_centroids: int = 16, iters: int = 5,
     return cents
 
 
+def refine_ivf_centroids(emb: DataFrame, centroids: np.ndarray,
+                         iters: int = 1,
+                         vec_col: str = "embedding") -> np.ndarray:
+    """Distributed Lloyd refinement over the FULL corpus: each task
+    computes per-cluster partial (vector sum, count) against the
+    broadcast centroids inside a batched numpy kernel; the driver reduces
+    the (n_partitions x k) partials and renormalizes.  This makes the
+    final centroids sample-independent at 100 TB -- the bounded driver
+    sample in :func:`train_ivf_centroids` only seeds them.  One corpus
+    pass per iteration, no shuffle at all: the partial rows (k per task)
+    are the only thing that moves."""
+    cents = np.asarray(centroids, dtype=np.float64).copy()
+    k = len(cents)
+    sc = emb.sparkSession.sparkContext
+    for _ in range(iters):
+        b = sc.broadcast(cents)
+
+        def partials(it):
+            c = b.value
+            sums = np.zeros_like(c)
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                mat /= np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+                assign = (mat @ c.T).argmax(axis=1)
+                np.add.at(sums, assign, mat)
+                counts += np.bincount(assign, minlength=k)
+            yield pd.DataFrame({"cluster": np.arange(k, dtype=np.int32),
+                                "s": list(sums), "n": counts})
+
+        rows = emb.select(vec_col).mapInPandas(
+            partials, "cluster int, s array<double>, n long").collect()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:  # n_partitions x k rows -- bounded, driver reduce
+            sums[r["cluster"]] += np.asarray(r["s"])
+            counts[r["cluster"]] += r["n"]
+        nonempty = counts > 0
+        means = sums[nonempty] / counts[nonempty, None]
+        cents[nonempty] = means / np.maximum(
+            np.linalg.norm(means, axis=1, keepdims=True), 1e-30)
+        b.unpersist()
+    return cents
+
+
 def ivf_assign(emb: DataFrame, centroids: np.ndarray, id_col: str = "vec_id",
                vec_col: str = "embedding", assign_probes: int = 1) -> DataFrame:
     """(id, cluster) via a vectorized matmul against broadcast centroids.
@@ -149,14 +197,19 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray, id_col: str = "vec_id",
 def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
              n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             assign_probes: int = 1) -> DataFrame:
+             assign_probes: int = 1, refine_iters: int = 1) -> DataFrame:
     """IVF approximate top-k: corpus inverted by nearest centroid; each
     query searches only its ``nprobe`` closest clusters, exact cosine
     re-rank inside.  The 100TB shape: candidate generation is a cluster-id
     equi-join over ~corpus/n_centroids*nprobe*assign_probes rows per
     query.  ``assign_probes`` multi-assigns corpus vectors to their top-r
-    clusters, recovering neighbors that sit just over a cluster border."""
+    clusters, recovering neighbors that sit just over a cluster border.
+    ``refine_iters`` distributed Lloyd passes over the full corpus make
+    the sample-seeded centroids sample-independent
+    (:func:`refine_ivf_centroids`)."""
     cents = train_ivf_centroids(emb, n_centroids, seed=seed, vec_col=vec_col)
+    if refine_iters:
+        cents = refine_ivf_centroids(emb, cents, refine_iters, vec_col)
     assigned = ivf_assign(emb, cents, id_col, vec_col, assign_probes)
     emb_b = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
 

@@ -195,6 +195,35 @@ def test_ivf_deterministic(spark, emb):
     np.testing.assert_array_equal(c1, c2)
 
 
+def test_refine_ivf_centroids_matches_full_corpus_lloyd(spark):
+    """The distributed refinement pass (mapInPandas partial sums + driver
+    reduce) must equal a single-machine Lloyd update over the FULL corpus,
+    and be partition-count independent -- that is what makes the centroids
+    sample-independent at scale."""
+    from sparkcodec.pipeline.simsearch import (
+        refine_ivf_centroids, train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seed_cents = train_ivf_centroids(emb, 8, sample_rows=100)
+    refined = refine_ivf_centroids(emb, seed_cents, iters=2)
+
+    mat = np.stack(emb.toPandas()["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    ref = seed_cents.copy()
+    for _ in range(2):
+        assign = (mat @ ref.T).argmax(axis=1)
+        for j in range(len(ref)):
+            members = mat[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                ref[j] = m / max(np.linalg.norm(m), 1e-30)
+    np.testing.assert_allclose(refined, ref, atol=1e-9)
+
+    again = refine_ivf_centroids(emb.repartition(7), seed_cents, iters=2)
+    np.testing.assert_allclose(again, ref, atol=1e-9)
+
+
 def test_embedding_near_dup_pairs_matches_crossjoin(spark):
     """Bucketed LSH near-dup pairs == exact all-pairs result at full
     recall (the graded scale-path operator vs its oracle baseline)."""
