@@ -87,6 +87,9 @@ def snappy_compress(data: bytes) -> bytes:
     """Snappy block-format compression (greedy hash-table matcher)."""
     data = bytes(data)
     n = len(data)
+    if n >= 1 << 32:
+        raise ValueError("snappy blocks are capped at 2^32-1 bytes; "
+                         "split the input")
     out = bytearray()
     _emit_uvarint(out, n)
     if n == 0:
@@ -130,7 +133,13 @@ def snappy_compress(data: bytes) -> bytes:
 
 def snappy_decompress(comp: bytes) -> bytes:
     """Snappy block-format decompression (all four element types)."""
-    comp = bytes(comp)
+    try:
+        return _decompress(bytes(comp))
+    except IndexError:
+        raise ValueError("corrupt snappy stream: truncated element") from None
+
+
+def _decompress(comp: bytes) -> bytes:
     want, pos = _read_uvarint(comp, 0)
     out = bytearray()
     n = len(comp)

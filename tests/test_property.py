@@ -382,3 +382,23 @@ def test_widened_type_surface_roundtrip(data):
     back = _decode_any_column(blob, _type_from_name(_type_name(arr.type)))
     assert back.type.equals(arr.type)
     assert back.to_pylist() == arr.to_pylist()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(
+    st.binary(max_size=4096),
+    # run/periodic-heavy inputs exercise the copy emitters hard
+    st.builds(lambda chunk, reps, tail: chunk * reps + tail,
+              st.binary(min_size=1, max_size=64),
+              st.integers(0, 200), st.binary(max_size=32)),
+))
+def test_snappy_roundtrip_and_pyarrow_interop_any(data):
+    """From-scratch snappy: self roundtrip AND cross-decode with pyarrow's
+    native codec, on arbitrary and periodic byte strings."""
+    from sparkcodec.kernels.snappy import snappy_compress, snappy_decompress
+
+    ours = snappy_compress(data)
+    assert snappy_decompress(ours) == data
+    native = pa.Codec("snappy")
+    assert bytes(native.decompress(ours, len(data))) == data
+    assert snappy_decompress(bytes(native.compress(data))) == data
