@@ -947,8 +947,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "dedup_keep_canonical": _dedup_keep_canonical_oracle(),
-        # full LSH recall (verified at sf0.001/sf0.01) makes the minhash
-        # gate equal the exact char-5-gram pair set
+        # the oracle mirrors the operator BY CONSTRUCTION: capped exact
+        # pairs semi-joined with the band-equality candidate set, both
+        # recomputed in DuckDB SQL -- no recall assumption
         "dedup_minhash_lsh": _minhash_recall_oracle(),
         # the simhash rolling hash is exact modular arithmetic: the whole
         # pipeline (shingle hash -> bit votes -> signature -> hamming)
@@ -1045,10 +1046,9 @@ def _bpe_oracle() -> str:
 
 def _minhash_recall_oracle() -> str:
     from sparkcodec.pipeline.curation import NEAR_DF_CAP
-    from sparkcodec.pipeline.dedup import char_ngram_jaccard_oracle_sql
+    from sparkcodec.pipeline.dedup import minhash_recall_oracle_sql
 
-    return char_ngram_jaccard_oracle_sql(k=5, threshold=0.8,
-                                         df_cap=NEAR_DF_CAP)
+    return minhash_recall_oracle_sql(threshold=0.8, df_cap=NEAR_DF_CAP)
 
 
 def _textstats_oracle(which: str) -> str:

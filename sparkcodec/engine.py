@@ -1324,7 +1324,10 @@ def _sweep_stale_parts(out_dir: str) -> None:
     import os
     import re
 
-    own = re.compile(r"part-\d{5}(-\d{3})?\.parquet(\.[0-9a-f]{8}\.tmp)?$")
+    # \d{5,}/\d{3,}: the {:05d}/{:03d} task-side formats WIDEN past their
+    # padding (pid >= 100000, file_idx >= 1000) -- a fixed-width pattern
+    # would leave exactly those high-index files stale
+    own = re.compile(r"part-\d{5,}(-\d{3,})?\.parquet(\.[0-9a-f]{8}\.tmp)?$")
     for p in glob.glob(os.path.join(out_dir, "part-*")):
         if own.search(os.path.basename(p)):
             os.remove(p)
@@ -1588,9 +1591,9 @@ def filter_chunks_by_range(enc_df, column: str, lo=None, hi=None,
     # every such chunk
     keep = F.lit(True)
     if lo is not None:
-        keep = keep & (mx.isNull() | (mx >= F.lit(lo)))
+        keep = keep & (mx.isNull() | (mx >= F.lit(_eq_literal(lo))))
     if hi is not None:
-        keep = keep & (mn.isNull() | (mn <= F.lit(hi)))
+        keep = keep & (mn.isNull() | (mn <= F.lit(_eq_literal(hi))))
     return enc_df.filter(keep)
 
 
@@ -1609,9 +1612,9 @@ def range_scan_rows(enc_df, column: str, lo=None, hi=None,
     dec = decode_dataframe(pruned, schema=schema)
     keep = F.lit(True)
     if lo is not None:
-        keep = keep & (F.col(column) >= F.lit(lo))
+        keep = keep & (F.col(column) >= F.lit(_eq_literal(lo)))
     if hi is not None:
-        keep = keep & (F.col(column) <= F.lit(hi))
+        keep = keep & (F.col(column) <= F.lit(_eq_literal(hi)))
     return dec.filter(keep)
 
 
@@ -1684,9 +1687,9 @@ def probe_rows(enc_df, *, equals: dict | None = None,
         keep = keep & (F.col(col) == F.lit(_eq_literal(value)))
     for col, (lo, hi) in ranges.items():
         if lo is not None:
-            keep = keep & (F.col(col) >= F.lit(lo))
+            keep = keep & (F.col(col) >= F.lit(_eq_literal(lo)))
         if hi is not None:
-            keep = keep & (F.col(col) <= F.lit(hi))
+            keep = keep & (F.col(col) <= F.lit(_eq_literal(hi)))
     return dec.filter(keep)
 
 
@@ -1834,7 +1837,8 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
 
         for stale in _glob.glob(os.path.join(out_dir,
                                              f"part-{pid:05d}-*.parquet")):
-            m = _re.search(r"-(\d{3})\.parquet$", stale)
+            # \d{3,}: file_idx widens past 3 digits at 1000 rolled files
+            m = _re.search(r"-(\d{3,})\.parquet$", stale)
             if m and int(m.group(1)) >= state["file_idx"]:
                 os.remove(stale)
 

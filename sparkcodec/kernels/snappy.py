@@ -143,6 +143,15 @@ def _decompress(comp: bytes) -> bytes:
     want, pos = _read_uvarint(comp, 0)
     out = bytearray()
     n = len(comp)
+
+    def take(k: int, at: int) -> bytes:
+        # slicing silently shortens past the end: a truncated offset or
+        # length field would misparse as a smaller value (and could even
+        # "succeed" with wrong bytes) instead of raising
+        if at + k > n:
+            raise ValueError("corrupt snappy stream: truncated element")
+        return comp[at:at + k]
+
     while pos < n:
         tag = comp[pos]
         pos += 1
@@ -151,9 +160,9 @@ def _decompress(comp: bytes) -> bytes:
             length = (tag >> 2) + 1
             if length > 60:
                 nbytes = length - 60
-                length = int.from_bytes(comp[pos:pos + nbytes], "little") + 1
+                length = int.from_bytes(take(nbytes, pos), "little") + 1
                 pos += nbytes
-            out += comp[pos:pos + length]
+            out += take(length, pos)
             pos += length
             continue
         if kind == 1:
@@ -162,11 +171,11 @@ def _decompress(comp: bytes) -> bytes:
             pos += 1
         elif kind == 2:
             length = (tag >> 2) + 1
-            offset = int.from_bytes(comp[pos:pos + 2], "little")
+            offset = int.from_bytes(take(2, pos), "little")
             pos += 2
         else:
             length = (tag >> 2) + 1
-            offset = int.from_bytes(comp[pos:pos + 4], "little")
+            offset = int.from_bytes(take(4, pos), "little")
             pos += 4
         if offset == 0 or offset > len(out):
             raise ValueError("corrupt snappy stream: bad copy offset")

@@ -620,9 +620,27 @@ class ParquetWriter:
         self.schema = schema
         # per-column page-index opt-in (reference ColumnSource.columnIndex /
         # offsetIndex, src/parquet-writer.js:75-80): each option is a bool
-        # (all columns) or a collection of top-level column names.  The
-        # parquet spec forbids a ColumnIndex without an OffsetIndex, same
-        # check as the reference.
+        # (all columns), a single column name, or a collection of top-level
+        # column names.  The parquet spec forbids a ColumnIndex without an
+        # OffsetIndex, same check as the reference.
+        names = {f.name for f in schema}
+
+        def _norm(opt, label: str):
+            if isinstance(opt, bool):
+                return opt
+            # a bare string is ONE column name, not an iterable of chars
+            # (the `in` test below would otherwise substring-match)
+            sel = {opt} if isinstance(opt, str) else set(opt)
+            unknown = sel - names
+            if unknown:
+                raise ValueError(
+                    f"{label} names {sorted(unknown)} not in schema "
+                    f"{sorted(names)}")
+            return sel
+
+        column_index = _norm(column_index, "column_index")
+        offset_index = _norm(offset_index, "offset_index")
+
         def _per_col(opt, name: str) -> bool:
             return opt if isinstance(opt, bool) else name in opt
 

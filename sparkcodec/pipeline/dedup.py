@@ -162,9 +162,14 @@ def minhash_lsh_candidates(docs: DataFrame, num_perm: int = 64, bands: int = 16,
     # the ContextCleaner reclaims them once the returned DataFrame is
     # dereferenced -- so a long-running session doesn't pin signature
     # storage after the candidates materialize (nothing is registered in
-    # the session CacheManager).
+    # the session CacheManager).  eager=False: constructing the plan (for
+    # explain / a dry run) must not trigger the full signature job; the
+    # kernel is deterministic, so lazy checkpointing is safe.  Trade-off
+    # vs persist(): truncated lineage means an executor loss after
+    # materialization fails the job instead of recomputing -- the same
+    # trade near_dup_clusters makes for its per-round labels.
     sigs = minhash_signatures(docs, num_perm, text_col, id_col,
-                              seed).localCheckpoint(eager=True)
+                              seed).localCheckpoint(eager=False)
     # band rows carry only (id, band, bucket): the 64-long signatures are
     # NOT shuffled 16x through the explode+join -- they re-join once per
     # side after candidate dedup (shuffle hygiene at 10^9 docs)
@@ -551,11 +556,41 @@ def minhash_recall_pairs(docs: DataFrame, threshold: float = 0.8,
     ``df_cap`` threads the stop-shingle guard through the exact-gate side
     (char_ngram_jaccard_pairs): without it one ubiquitous 5-gram keys a
     quadratic grams-x-grams self-join at corpus scale.  Production callers
-    should pass the same cap they curate with (curation.NEAR_DF_CAP)."""
+    should pass the same cap they curate with (curation.NEAR_DF_CAP).
+
+    NOTE on capped semantics: the LSH signatures are built on the RAW
+    shingle sets, so a pair whose CAPPED Jaccard clears the threshold but
+    whose raw Jaccard is low (dropping non-shared hot shingles shrinks
+    the union) is legitimately absent from the candidates -- under a cap
+    the gate is DEFINED as "capped-exact pairs that LSH finds", and
+    :func:`minhash_recall_oracle_sql` mirrors exactly that (capped pairs
+    semi-joined with the SQL-recomputed candidate set), with no recall
+    assumption."""
     exact = char_ngram_jaccard_pairs(docs, SHINGLE_K, threshold, text_col,
                                      id_col, df_cap=df_cap)
     cand = minhash_lsh_candidates(docs, num_perm, bands, text_col, id_col, seed)
     return exact.join(cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+
+
+def minhash_recall_oracle_sql(threshold: float = 0.8, num_perm: int = 64,
+                              bands: int = 16, seed: int = 42,
+                              table: str = "documents",
+                              df_cap: int | None = None) -> str:
+    """Exact DuckDB mirror of :func:`minhash_recall_pairs`: the capped
+    char-shingle Jaccard pairs SEMI-JOINED with the band-equality
+    candidate set (both fully recomputed in SQL), so the oracle holds by
+    construction -- it does not rely on LSH having full recall over the
+    capped pair set (capped J can exceed raw J, which the docstring above
+    explains)."""
+    pairs = char_ngram_jaccard_oracle_sql(SHINGLE_K, threshold, table,
+                                          df_cap=df_cap)
+    cand = minhash_candidates_oracle_sql(num_perm, bands, seed, table)
+    return f"""
+        SELECT p.id_a, p.id_b, p.jaccard
+        FROM ({pairs}) p
+        WHERE EXISTS (SELECT 1 FROM ({cand}) c
+                      WHERE c.id_a = p.id_a AND c.id_b = p.id_b)
+    """
 
 
 # ---------- near-dup clustering (connected components) ----------

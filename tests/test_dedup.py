@@ -203,9 +203,10 @@ def test_minhash_recall_capped_bounds_hot_shingle(spark):
     ubiquitous 5-char shingle is dropped from the exact-gate side BEFORE
     its grams-x-grams self-join, the planted near-dup pair survives (LSH
     has ~full recall at J=0.96), and capped semantics stay oracle-equal
-    to the capped char-5-gram DuckDB SQL."""
+    to the composed oracle (capped pairs SEMI JOIN SQL-recomputed
+    candidates -- holds by construction, no recall assumption)."""
     from sparkcodec.pipeline.dedup import (
-        char_ngram_jaccard_oracle_sql,
+        minhash_recall_oracle_sql,
         minhash_recall_pairs,
     )
 
@@ -221,8 +222,43 @@ def test_minhash_recall_capped_bounds_hot_shingle(spark):
     con = duckdb.connect()
     con.register("documents", pdf)
     exp = sorted(tuple(r) for r in
-                 con.execute(char_ngram_jaccard_oracle_sql(5, 0.5, df_cap=10)).fetchall())
+                 con.execute(minhash_recall_oracle_sql(
+                     0.5, table="documents", df_cap=10)).fetchall())
     assert sorted(tuple(r) for r in capped) == exp
+
+
+def test_minhash_recall_capped_high_capped_low_raw_pair(spark):
+    """Adversarial capped-vs-raw divergence: a pair whose CAPPED Jaccard
+    clears the threshold while its RAW Jaccard is tiny (one doc is mostly
+    corpus-hot shingles).  LSH signatures see raw shingles, so the pair
+    is legitimately absent from the candidates -- the gate and the
+    composed oracle must agree on excluding it (the single-sided capped
+    oracle would demand it and go RED)."""
+    from sparkcodec.pipeline.dedup import (
+        minhash_recall_oracle_sql,
+        minhash_recall_pairs,
+    )
+
+    # 40 docs all sharing a long hot run -> every 5-gram of the run is in
+    # >10 docs and gets capped away
+    hot_run = "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"  # 40 chars
+    rows = [(i, f"{hot_run} u{i:04d}") for i in range(40)]
+    # doc 100: the hot run + a rare word; doc 101: ONLY the rare word.
+    # capped J(100,101) = 1.0 (only rare shingles survive the cap), raw J
+    # is tiny -- LSH almost surely never banded them together.
+    rows.append((100, f"{hot_run} alphabetagamma"))
+    rows.append((101, "alphabetagamma"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+
+    got = sorted((r["id_a"], r["id_b"]) for r in
+                 minhash_recall_pairs(sdf, threshold=0.8, df_cap=10).collect())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = sorted((r[0], r[1]) for r in
+                 con.execute(minhash_recall_oracle_sql(
+                     0.8, table="documents", df_cap=10)).fetchall())
+    assert got == exp  # both sides exclude (100, 101) identically
 
 
 def test_minhash_candidates_no_pinned_cache(spark, docs):

@@ -758,6 +758,14 @@ def test_uint_blooms_and_stats(spark, tmp_path):
     got = sorted(r["id"] for r in
                  range_scan_rows(enc, "u16", 600, 1800, "int").collect())
     assert got == [1, 2, 3]
+    # range bounds past int64 take the same Decimal lowering as equality
+    # probes (u64 decodes to DecimalType(20,0); a bare 2**63 literal has
+    # no JVM long representation)
+    lo = int((np.uint64(98) << np.uint64(57)) + np.uint64(3))
+    got64 = sorted(int(r["id"]) for r in
+                   range_scan_rows(enc, "u64", lo, None,
+                                   "decimal(20,0)").collect())
+    assert got64 == [98, 99]
     with _pt.raises(Exception, match="uint64"):
         encode_parquet_dataset(spark, src, stat_columns=("u64",)).count()
 

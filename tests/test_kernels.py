@@ -331,3 +331,8 @@ def test_snappy_rejects_corrupt_streams():
         snappy_decompress(bytes([4, 1 | (0 << 2), 0x10]))
     with pytest.raises(ValueError, match="corrupt snappy"):
         snappy_decompress(good[:1] + b"\x00" + good[2:])  # mangled first tag
+    # a stream cut one byte into a 2-byte copy offset must raise, never
+    # misparse the single remaining byte as the full offset
+    full = snappy_compress(b"abcdabcdabcdabcdabcdabcdabcdabcd")
+    with pytest.raises(ValueError, match="truncated"):
+        snappy_decompress(full[:-1])

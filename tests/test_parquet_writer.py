@@ -251,6 +251,12 @@ def test_page_index_per_column_opt_in():
     # spec rule: ColumnIndex requires OffsetIndex (reference error string)
     with _pt.raises(ValueError, match="cannot be present without OffsetIndex"):
         write_parquet_bytes(t, column_index=True, offset_index=("x",), **kw)
+    # a bare string is ONE column name (no substring matching over chars)
+    got = chunk_fields(write_parquet_bytes(t, column_index="x", **kw))
+    assert got == {"x": (True, True), "y": (False, True)}
+    # unknown names are typos, not silent no-ops
+    with _pt.raises(ValueError, match="not in schema"):
+        write_parquet_bytes(t, column_index=("nope",), **kw)
     # files decode identically regardless of index opt-ins
     _assert_equal(write_parquet_bytes(t, column_index=False,
                                       offset_index=False, **kw), t)
