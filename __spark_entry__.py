@@ -574,6 +574,40 @@ def _bloom_lookup_oracle() -> str:
     """
 
 
+def _bloom_batch_lookup(spark, sf_dir):
+    """Batch needle fetch (IN-list): ONE vectorized bloom pass admits
+    chunks containing ANY of the 5 target ids, survivors decode once, an
+    IN-list exact-filters.  The fetch-K-documents-from-100TB shape."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_dataframe, lookup_rows_in, range_repartition
+    from sparkcodec.tokens import tokens_table
+
+    toks = tokens_table(spark, sf_dir)
+    targets = [r["doc_id"] for r in
+               toks.select("doc_id").orderBy("doc_id").limit(5).collect()]
+    enc = encode_dataframe(range_repartition(toks, 8), chunk_rows=256,
+                           bloom_columns=("doc_id",), auto_fastpath=False)
+    hit = lookup_rows_in(enc, "doc_id", targets)
+    return hit.select(
+        "doc_id",
+        F.array_join(F.transform("tokens", lambda x: x.cast("string")), ",")
+        .alias("tokens_str"),
+        "n_tok", "source",
+    )
+
+
+def _bloom_batch_lookup_oracle() -> str:
+    from sparkcodec.tokens import tokens_table_oracle_sql
+
+    return f"""
+        WITH t AS ({tokens_table_oracle_sql()})
+        SELECT doc_id, array_to_string(tokens, ',') AS tokens_str, n_tok, source
+        FROM t
+        WHERE doc_id IN (SELECT doc_id FROM t ORDER BY doc_id LIMIT 5)
+    """
+
+
 def _probe_conjunctive(spark, sf_dir):
     """Conjunctive needle query: bloom on doc_id AND typed-stats range on
     n_tok both prune the encoded table BEFORE any payload decode -- the
@@ -892,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _curate_corpus,
         "pipeline_end_to_end": _pipeline_end_to_end,
         "bloom_point_lookup": _bloom_point_lookup,
+        "bloom_batch_lookup": _bloom_batch_lookup,
         "probe_conjunctive": _probe_conjunctive,
         "stats_range_scan": _stats_range_scan,
         "pack_sequences": _pack_sequences,
@@ -961,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _curate_oracle(),
         "pipeline_end_to_end": _pipeline_end_to_end_oracle(),
         "bloom_point_lookup": _bloom_lookup_oracle(),
+        "bloom_batch_lookup": _bloom_batch_lookup_oracle(),
         "probe_conjunctive": _probe_conjunctive_oracle(),
         "stats_range_scan": (
             "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem "

@@ -1562,6 +1562,86 @@ def filter_chunks_may_contain(enc_df, column: str, value):
     return enc_df.mapInArrow(probe, enc_df.schema)
 
 
+def filter_chunks_may_contain_any(enc_df, column: str, values):
+    """Batch needle probe: keep chunks whose per-column SBBF admits ANY of
+    ``values`` -- the IN-list analog of :func:`filter_chunks_may_contain`.
+    All probe hashes are tested against each bloom in ONE vectorized pass
+    (one bloom parse per chunk regardless of list size), so probing a
+    thousand keys costs barely more than probing one.
+
+    ``values`` is a driver-side list (the modest-IN-list shape, e.g. a
+    batch of document ids to fetch).  For key sets too large to ship in a
+    task closure, flip the join around: decode nothing, semi-join the
+    keys DataFrame against ``lookup_rows``-style probes per partition --
+    or simply range-partition the keys and call this per batch."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    values = list(values)
+    if not values:
+        return enc_df.filter(F.lit(False))
+    ts_unit = "us"
+    if any(isinstance(v, _dt.datetime) for v in values):
+        row = enc_df.select("schema_json").limit(1).collect()
+        if row:
+            tname = dict(json.loads(row[0][0])).get(column)
+            if isinstance(tname, str) and tname.startswith("timestamp["):
+                ts_unit = tname[len("timestamp["):-1].split(";")[0]
+
+    bloom_col = f"bloom_{column}"
+    if bloom_col in enc_df.columns:
+        hs = np.concatenate([_probe_hash(v, ts_unit) for v in values])
+
+        @pandas_udf("boolean")
+        def may_contain_any(blooms: pd.Series) -> pd.Series:
+            from .kernels.bloom import SplitBlockBloom
+
+            out = np.ones(len(blooms), dtype=bool)  # no bloom -> may contain
+            for i, buf in enumerate(blooms):
+                if buf is not None and len(buf):
+                    sb = SplitBlockBloom.from_bytes(bytes(buf))
+                    out[i] = bool(sb.might_contain(hs).any())
+            return pd.Series(out)
+
+        keep = (enc_df.select("chunk_id", bloom_col)
+                .filter(may_contain_any(F.col(bloom_col)))
+                .select("chunk_id"))
+        return enc_df.join(F.broadcast(keep), "chunk_id", "left_semi")
+
+    if "payload" not in enc_df.columns:
+        return enc_df  # no pruning information on this layout
+
+    def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            pay_idx = b.schema.get_field_index("payload")
+            payloads = b.column(pay_idx)
+            keep = [i for i in range(len(b))
+                    if any(group_may_contain(payloads[i].as_py(), column, v,
+                                             ts_unit=ts_unit)
+                           for v in values)]
+            if keep:
+                yield b.take(pa.array(keep, type=pa.int32()))
+
+    return enc_df.mapInArrow(probe, enc_df.schema)
+
+
+def lookup_rows_in(enc_df, column: str, values, schema=None):
+    """Batch point lookup over ENCODED data: one bloom pass admits chunks
+    containing ANY of ``values``, survivors decode once, an IN-list
+    exact-filters the rows.  The fetch-these-K-documents-from-100TB
+    shape: K needles cost one probe scan + the union of their chunks."""
+    from pyspark.sql import functions as F
+
+    if schema is None:
+        schema = infer_decoded_schema(enc_df)
+    pruned = filter_chunks_may_contain_any(enc_df, column, values)
+    dec = decode_dataframe(pruned, schema=schema)
+    return dec.filter(
+        F.col(column).isin([_eq_literal(v) for v in values]))
+
+
 def filter_chunks_by_range(enc_df, column: str, lo=None, hi=None,
                            dtype: str = "double"):
     """Min/max-stats chunk pruning, entirely JVM-side.  When the encode

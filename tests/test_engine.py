@@ -408,6 +408,51 @@ def test_bloom_probe_reads_only_bloom_columns(spark, toks, tmp_path):
     assert dec.count() == toks.count()
 
 
+def test_lookup_rows_in_batch_needles(spark, toks, tmp_path):
+    """IN-list lookup: one vectorized bloom pass admits chunks containing
+    ANY of the K needles; the probe scan stays narrow (no payload), the
+    pruned chunk count is at most the sum of the per-needle prunes, and
+    the rows come back exact -- including an all-miss empty result."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        filter_chunks_may_contain_any, lookup_rows, lookup_rows_in,
+    )
+
+    enc_dir = str(tmp_path / "enc")
+    encode_dataframe(range_repartition(toks, 4), chunk_rows=64,
+                     bloom_columns=("doc_id",),
+                     auto_fastpath=False).write.parquet(enc_dir)
+    enc = spark.read.parquet(enc_dir)
+    ids = [r["doc_id"] for r in toks.orderBy("doc_id").limit(50).collect()]
+    targets = ids[::10]  # 5 spread-out needles
+
+    got = lookup_rows_in(enc, "doc_id", targets)
+    rows = {r["doc_id"]: r["n_tok"] for r in got.collect()}
+    exp = {r["doc_id"]: r["n_tok"] for r in
+           toks.filter(F.col("doc_id").isin(targets)).collect()}
+    assert rows == exp and len(rows) == len(targets)
+
+    # the batch probe prunes: fewer chunks than the table, and no more
+    # than the union of single-needle probes
+    n_all = enc.count()
+    n_batch = filter_chunks_may_contain_any(enc, "doc_id", targets).count()
+    singles = set()
+    for t in targets:
+        from sparkcodec.engine import filter_chunks_may_contain
+
+        singles |= {r["chunk_id"] for r in filter_chunks_may_contain(
+            enc, "doc_id", t).select("chunk_id").collect()}
+    assert n_batch <= len(singles) and n_batch < n_all
+
+    # all-miss -> empty, empty list -> empty
+    assert lookup_rows_in(enc, "doc_id", [-1, -2]).count() == 0
+    assert lookup_rows_in(enc, "doc_id", []).count() == 0
+    # consistent with the single-value operator
+    one = lookup_rows(enc, "doc_id", targets[0]).collect()
+    assert len(one) == 1 and one[0]["doc_id"] == targets[0]
+
+
 def test_probe_rows_conjunctive_pruning(spark, toks, tmp_path):
     """probe_rows composes BOTH prune structures before decode: the n_tok
     range pushes down into the encoded table's parquet scan
