@@ -152,3 +152,30 @@ def windowed_token_stats(stream_df, *, time_col: str = "event_time",
                 F.col("win.end").alias("win_end"),
                 source_col, "n_docs", "n_tokens")
     )
+
+
+def dedup_stream(stream_df, *, text_col: str = "text",
+                 time_col: str = "event_time",
+                 watermark: str = "10 minutes"):
+    """Streaming exact dedup: drop later deliveries of the same document
+    CONTENT within the watermark horizon.  The batch operator's digest
+    trick carries over -- state keys are sha2-256(text) digests (32 B per
+    distinct doc), never document bytes -- and
+    ``dropDuplicatesWithinWatermark`` expires state once a digest's event
+    time falls behind the watermark, so state stays bounded at
+    10^12-sequence scale (a plain dropDuplicates would grow forever).
+
+    Emits the first-seen row per digest; duplicates arriving within the
+    horizon are dropped, and (by watermark semantics) a duplicate older
+    than the horizon may re-emit -- the deliberate trade that bounds
+    state.  Downstream exact_dedup over the stored table remains the
+    exactness backstop, same as every at-least-once ingest pipeline."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df
+        .withColumn("_h", F.sha2(F.col(text_col), 256))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )

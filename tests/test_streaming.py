@@ -178,3 +178,39 @@ def test_streaming_encode_sink_split_payload(spark, tmp_path):
     a = sorted((r["doc_id"], tuple(r["tokens"])) for r in dec.collect())
     b = sorted((r["doc_id"], tuple(r["tokens"])) for r in toks.collect())
     assert a == b
+
+
+def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
+    """Streaming exact dedup: duplicates within the watermark horizon are
+    dropped (one survivor per distinct text), state keys are digests, and
+    the surviving set matches batch exact-dedup on the same data."""
+    import pyspark.sql.functions as F
+
+    from sparkcodec.streaming import dedup_stream
+
+    src_dir = str(tmp_path / "src")
+    base = spark.range(100).select(
+        F.expr("CAST(timestamp_micros(1700000000000000 + id * 1000000) AS TIMESTAMP)")
+        .alias("event_time"),
+        F.col("id").alias("doc_id"),
+        # 25 distinct texts, each delivered 4x within seconds
+        F.expr("concat('text body ', CAST(id % 25 AS STRING))").alias("text"),
+    )
+    base.write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(base.schema).parquet(src_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (dedup_stream(stream)
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .format("parquet").option("path", out_dir).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    texts = [r["text"] for r in got.select("text").collect()]
+    assert sorted(set(texts)) == sorted(
+        f"text body {i}" for i in range(25))
+    assert len(texts) == 25  # exactly one survivor per distinct text
+    assert "_h" not in got.columns  # digest is internal state, not output
