@@ -566,6 +566,13 @@ def group_may_contain(blob, column: str, value, ts_unit: str = "us") -> bool:
     True if the chunk may contain ``value`` in ``column`` (always True when
     the column carries no bloom filter).  ``ts_unit`` is the encoded
     timestamp unit for datetime probes (see :func:`_probe_hash`)."""
+    return group_may_contain_hashes(blob, column, _probe_hash(value, ts_unit))
+
+
+def group_may_contain_hashes(blob, column: str, hashes) -> bool:
+    """Bloom probe with precomputed xxhash64 values: ONE header walk and
+    ONE SplitBlockBloom parse per blob regardless of how many probe
+    hashes are tested (the IN-list path)."""
     from .kernels.bloom import SplitBlockBloom
 
     mv = memoryview(blob)
@@ -589,7 +596,7 @@ def group_may_contain(blob, column: str, value, ts_unit: str = "us") -> bool:
             if bloom_len == 0:
                 return True
             bloom = SplitBlockBloom.from_bytes(bytes(bloom_buf))
-            return bool(bloom.might_contain(_probe_hash(value, ts_unit))[0])
+            return bool(bloom.might_contain(hashes).any())
         pos += blen
     return True
 
@@ -1510,56 +1517,7 @@ def filter_chunks_may_contain(enc_df, column: str, value):
     one chunk's schema_json (encode-side hashing uses the column's own
     int64 ticks, so a ns/ms-unit source must not be probed at micros --
     that yields silent false negatives, never false positives)."""
-    import datetime as _dt
-
-    ts_unit = "us"
-    if isinstance(value, _dt.datetime):
-        row = enc_df.select("schema_json").limit(1).collect()
-        if row:
-            tname = dict(json.loads(row[0][0])).get(column)
-            if isinstance(tname, str) and tname.startswith("timestamp["):
-                ts_unit = tname[len("timestamp["):-1].split(";")[0]
-
-    bloom_col = f"bloom_{column}"
-    if bloom_col in enc_df.columns:
-        from pyspark.sql import functions as F
-        from pyspark.sql.functions import pandas_udf
-
-        h = _probe_hash(value, ts_unit)
-
-        @pandas_udf("boolean")
-        def may_contain(blooms: pd.Series) -> pd.Series:
-            from .kernels.bloom import SplitBlockBloom
-
-            out = np.ones(len(blooms), dtype=bool)  # no bloom -> may contain
-            for i, buf in enumerate(blooms):
-                if buf is not None and len(buf):
-                    sb = SplitBlockBloom.from_bytes(bytes(buf))
-                    out[i] = bool(sb.might_contain(h)[0])
-            return pd.Series(out)
-
-        keep = (enc_df.select("chunk_id", bloom_col)
-                .filter(may_contain(F.col(bloom_col)))
-                .select("chunk_id"))
-        return enc_df.join(F.broadcast(keep), "chunk_id", "left_semi")
-
-    if "payload" not in enc_df.columns:
-        # split-payload layout without a bloom_<col> column: the group
-        # blob (and its embedded bloom section) does not exist, so there
-        # is no pruning information -- every chunk may contain the value
-        return enc_df
-
-    def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for b in batches:
-            pay_idx = b.schema.get_field_index("payload")
-            payloads = b.column(pay_idx)
-            keep = [i for i in range(len(b))
-                    if group_may_contain(payloads[i].as_py(), column, value,
-                                         ts_unit=ts_unit)]
-            if keep:
-                yield b.take(pa.array(keep, type=pa.int32()))
-
-    return enc_df.mapInArrow(probe, enc_df.schema)
+    return filter_chunks_may_contain_any(enc_df, column, [value])
 
 
 def filter_chunks_may_contain_any(enc_df, column: str, values):
@@ -1589,11 +1547,10 @@ def filter_chunks_may_contain_any(enc_df, column: str, values):
             tname = dict(json.loads(row[0][0])).get(column)
             if isinstance(tname, str) and tname.startswith("timestamp["):
                 ts_unit = tname[len("timestamp["):-1].split(";")[0]
+    hs = np.concatenate([_probe_hash(v, ts_unit) for v in values])
 
     bloom_col = f"bloom_{column}"
     if bloom_col in enc_df.columns:
-        hs = np.concatenate([_probe_hash(v, ts_unit) for v in values])
-
         @pandas_udf("boolean")
         def may_contain_any(blooms: pd.Series) -> pd.Series:
             from .kernels.bloom import SplitBlockBloom
@@ -1611,16 +1568,19 @@ def filter_chunks_may_contain_any(enc_df, column: str, values):
         return enc_df.join(F.broadcast(keep), "chunk_id", "left_semi")
 
     if "payload" not in enc_df.columns:
-        return enc_df  # no pruning information on this layout
+        # split-payload layout without a bloom_<col> column: the group
+        # blob (and its embedded bloom section) does not exist, so there
+        # is no pruning information -- every chunk may contain the values
+        return enc_df
 
     def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             pay_idx = b.schema.get_field_index("payload")
             payloads = b.column(pay_idx)
+            # one blob materialization + one bloom parse per chunk, all K
+            # hashes tested in a single vectorized might_contain
             keep = [i for i in range(len(b))
-                    if any(group_may_contain(payloads[i].as_py(), column, v,
-                                             ts_unit=ts_unit)
-                           for v in values)]
+                    if group_may_contain_hashes(payloads[i].as_py(), column, hs)]
             if keep:
                 yield b.take(pa.array(keep, type=pa.int32()))
 
@@ -1634,6 +1594,9 @@ def lookup_rows_in(enc_df, column: str, values, schema=None):
     shape: K needles cost one probe scan + the union of their chunks."""
     from pyspark.sql import functions as F
 
+    # materialize FIRST: a one-shot iterable would be exhausted by the
+    # probe below and the isin() would silently see an empty list
+    values = list(values)
     if schema is None:
         schema = infer_decoded_schema(enc_df)
     pruned = filter_chunks_may_contain_any(enc_df, column, values)
@@ -1703,16 +1666,10 @@ def lookup_rows(enc_df, column: str, value, schema=None):
     only the survivors, exact-filter.  The needle-in-100TB query shape:
     with blooms on the key column, almost every chunk is skipped before
     any decompression happens."""
-    from pyspark.sql import functions as F
-
-    # schema from the UN-pruned table: a miss (the common case for a
-    # needle query) prunes every chunk and must return empty, not crash --
-    # and inferring here avoids running the bloom-probe pipeline twice
-    if schema is None:
-        schema = infer_decoded_schema(enc_df)
-    pruned = filter_chunks_may_contain(enc_df, column, value)
-    dec = decode_dataframe(pruned, schema=schema)
-    return dec.filter(F.col(column) == F.lit(_eq_literal(value)))
+    # (delegates to the IN-list implementation with one value: schema
+    # inference from the UN-pruned table, bloom prune, decode survivors,
+    # exact filter -- a miss prunes every chunk and returns empty)
+    return lookup_rows_in(enc_df, column, [value], schema)
 
 
 def _eq_literal(value):

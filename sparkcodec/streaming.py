@@ -172,10 +172,15 @@ def dedup_stream(stream_df, *, text_col: str = "text",
     exactness backstop, same as every at-least-once ingest pipeline."""
     from pyspark.sql import functions as F
 
+    # collision-safe internal name: withColumn would silently OVERWRITE
+    # (and the trailing drop remove) a user column of the same name
+    digest = "__sparkcodec_dedup_h"
+    if digest in stream_df.columns:
+        raise ValueError(f"input stream already has a {digest!r} column")
     return (
         stream_df
-        .withColumn("_h", F.sha2(F.col(text_col), 256))
+        .withColumn(digest, F.sha2(F.col(text_col), 256))
         .withWatermark(time_col, watermark)
-        .dropDuplicatesWithinWatermark(["_h"])
-        .drop("_h")
+        .dropDuplicatesWithinWatermark([digest])
+        .drop(digest)
     )

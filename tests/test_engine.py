@@ -448,6 +448,11 @@ def test_lookup_rows_in_batch_needles(spark, toks, tmp_path):
     # all-miss -> empty, empty list -> empty
     assert lookup_rows_in(enc, "doc_id", [-1, -2]).count() == 0
     assert lookup_rows_in(enc, "doc_id", []).count() == 0
+    # a one-shot iterable must not be exhausted by the probe before the
+    # exact IN-list filter sees it
+    gen = (t for t in targets)
+    assert {r["doc_id"] for r in lookup_rows_in(enc, "doc_id", gen).collect()} \
+        == set(targets)
     # consistent with the single-value operator
     one = lookup_rows(enc, "doc_id", targets[0]).collect()
     assert len(one) == 1 and one[0]["doc_id"] == targets[0]

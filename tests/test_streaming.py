@@ -213,4 +213,5 @@ def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
     assert sorted(set(texts)) == sorted(
         f"text body {i}" for i in range(25))
     assert len(texts) == 25  # exactly one survivor per distinct text
-    assert "_h" not in got.columns  # digest is internal state, not output
+    # digest is internal state, not output
+    assert "__sparkcodec_dedup_h" not in got.columns
