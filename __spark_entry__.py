@@ -322,6 +322,26 @@ def _dedup_minhash_candidates(spark, sf_dir):
             .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")))
 
 
+def _dedup_duplicate_spans(spark, sf_dir):
+    """Cross-document duplicate-span stats (exact-substring-dedup shape,
+    Lee et al. 2022): per document, how many 10-word spans also appear in
+    another document and how many word positions they cover.  No
+    span-keyed self-join anywhere -- one hash group-by + semi-join."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.pipeline.dedup import duplicate_span_stats
+
+    return (duplicate_span_stats(_docs(spark, sf_dir), k=10)
+            .select(F.col("id").alias("doc_id"), "n_dup_spans", "n_dup_words"))
+
+
+def _dedup_duplicate_spans_oracle() -> str:
+    from sparkcodec.pipeline.dedup import duplicate_span_stats_oracle_sql
+
+    inner = duplicate_span_stats_oracle_sql(k=10)
+    return f"SELECT id AS doc_id, n_dup_spans, n_dup_words FROM ({inner})"
+
+
 def _dedup_simhash(spark, sf_dir):
     from sparkcodec.pipeline.dedup import simhash_near_dups
 
@@ -923,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_minhash_candidates": _dedup_minhash_candidates,
         "dedup_simhash": _dedup_simhash,
+        "dedup_duplicate_spans": _dedup_duplicate_spans,
         "curate_corpus": _curate_corpus,
         "pipeline_end_to_end": _pipeline_end_to_end,
         "bloom_point_lookup": _bloom_point_lookup,
@@ -990,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         # pipeline (shingle hash -> bit votes -> signature -> hamming)
         # recomputes in DuckDB HUGEINT SQL
         "dedup_simhash": _simhash_oracle(),
+        "dedup_duplicate_spans": _dedup_duplicate_spans_oracle(),
         # the 64 permuted-min signatures are exact modular arithmetic too:
         # the candidate set recomputes in DuckDB via band equality
         "dedup_minhash_candidates": _minhash_candidates_oracle(),

@@ -39,6 +39,104 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
+def duplicate_spans(docs: DataFrame, k: int = 10, text_col: str = "text",
+                    id_col: str = "doc_id", min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicate SPAN detection (the exact-substring-dedup
+    shape of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): every k-consecutive-word span that appears in at
+    least ``min_docs`` DISTINCT documents, with its per-document
+    occurrence positions.
+
+    Returns (id, pos, span_hash) -- one row per occurrence of a
+    cross-document duplicated span (pos is the 1-based word offset;
+    span_hash is sha2-256 of the span text, so downstream joins shuffle
+    32-byte digests, never span text).  Span-removal policies (drop
+    second-plus occurrences, mask, count) compose on top.
+
+    100-TB shape: spans explode to one row per word position, but the
+    heavy side is a hash group-by with map-side combine (count distinct
+    docs per span) followed by a semi-join -- no span-keyed SELF-join
+    exists anywhere, so a boilerplate span shared by millions of
+    documents costs one big group, not a quadratic pair blowup."""
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"filter(split({text_col}, ' '), w -> w <> '')").alias("w"),
+    )
+    spans = words.select(
+        "id",
+        F.posexplode(F.expr(
+            f"CASE WHEN size(w) >= {k} THEN "
+            f"transform(sequence(0, size(w) - {k}), "
+            f"i -> sha2(concat_ws(' ', slice(w, i + 1, {k})), 256)) "
+            f"ELSE CAST(array() AS array<string>) END"
+        )).alias("pos0", "span_hash"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "span_hash")
+    dup = (spans.groupBy("span_hash")
+           .agg(F.countDistinct("id").alias("n_docs"))
+           .filter(F.col("n_docs") >= min_docs)
+           .select("span_hash"))
+    return spans.join(dup, "span_hash", "left_semi").select(
+        "id", "pos", "span_hash")
+
+
+def duplicate_span_stats(docs: DataFrame, k: int = 10,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_docs: int = 2) -> DataFrame:
+    """Per-document duplicate-span summary over :func:`duplicate_spans`:
+    (id, n_dup_spans, n_dup_words) where n_dup_words counts word
+    positions covered by at least one cross-document duplicated span --
+    the fraction-of-document-duplicated signal span-removal policies act
+    on.  Coverage is computed with codegen sequence/explode over the
+    span hits (each hit covers [pos, pos+k-1]), no Python."""
+    hits = duplicate_spans(docs, k, text_col, id_col, min_docs)
+    covered = (
+        hits.select("id", F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("wpos"))
+        .distinct()
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n_dup_words"))
+    )
+    per_doc = (hits.groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_dup_spans")))
+    return (per_doc.join(covered, "id")
+            .select(F.col("id"), "n_dup_spans", "n_dup_words"))
+
+
+def duplicate_span_stats_oracle_sql(k: int = 10, table: str = "documents",
+                                    min_docs: int = 2) -> str:
+    """DuckDB recomputation of duplicate_span_stats, grouping on the SPAN
+    TEXT itself (equals the sha2 grouping -- collisions are negligible
+    and the hash never leaves the Spark side)."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM {table}
+        ), spans AS (
+          SELECT id,
+                 unnest(generate_series(1, len(w) - {k - 1})) AS pos,
+                 unnest(list_transform(generate_series(1, len(w) - {k - 1}),
+                        i -> array_to_string(list_slice(w, i, i + {k - 1}), ' '))) AS span
+          FROM w WHERE len(w) >= {k}
+        ), dup AS (
+          SELECT span FROM spans GROUP BY span
+          HAVING count(DISTINCT id) >= {min_docs}
+        ), hits AS (
+          SELECT s.id, s.pos FROM spans s JOIN dup USING (span)
+        ), covered AS (
+          SELECT id, count(*) AS n_dup_words FROM (
+            SELECT DISTINCT id, unnest(generate_series(pos, pos + {k - 1})) AS wpos
+            FROM hits)
+          GROUP BY id
+        ), per_doc AS (
+          SELECT id, count(*) AS n_dup_spans FROM hits GROUP BY id
+        )
+        SELECT p.id, CAST(p.n_dup_spans AS BIGINT) AS n_dup_spans,
+               CAST(c.n_dup_words AS BIGINT) AS n_dup_words
+        FROM per_doc p JOIN covered c USING (id)
+    """
+
+
 def exact_dup_groups(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Groups with more than one copy (duplicate clusters).  Keyed by

@@ -435,3 +435,39 @@ def test_keep_cluster_canonical_transitive_semantics(spark):
     kept = sorted(r["doc_id"] for r in
                   keep_cluster_canonical(docs, pairs).collect())
     assert kept == ["A", "D"]
+
+
+def test_duplicate_spans_matches_duckdb(spark):
+    """Cross-document duplicate-span detection (Lee et al. exact-substring
+    shape): planted shared boilerplate is found with exact positions and
+    coverage; per-doc stats equal the DuckDB recomputation; spans only
+    duplicated WITHIN one document are not flagged (min_docs=2)."""
+    from sparkcodec.pipeline.dedup import (
+        duplicate_span_stats, duplicate_span_stats_oracle_sql, duplicate_spans,
+    )
+
+    boiler = "this content is provided as is without warranty of any kind whatsoever"
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, "intro words here " + boiler + " tail one"),
+        (3, "totally unrelated text with no shared spans at all in it today"),
+        # within-doc repetition only: k-gram repeats inside doc 4 but
+        # appears in no other doc -> not flagged
+        (4, ("unique4 " * 25).strip()),
+        (5, "short doc"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+
+    hits = duplicate_spans(sdf, k=10).collect()
+    ids = {r["id"] for r in hits}
+    assert ids == {1, 2}  # only the cross-doc boilerplate
+    # doc 2's first boilerplate span starts after the 3 intro words
+    assert min(r["pos"] for r in hits if r["id"] == 2) == 4
+
+    got = sorted(tuple(r) for r in duplicate_span_stats(sdf, k=10).collect())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = sorted(tuple(r) for r in
+                 con.execute(duplicate_span_stats_oracle_sql(k=10)).fetchall())
+    assert got == exp and len(got) == 2
