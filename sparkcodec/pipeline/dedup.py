@@ -49,8 +49,9 @@ def duplicate_spans(docs: DataFrame, k: int = 10, text_col: str = "text",
 
     Returns (id, pos, span_hash) -- one row per occurrence of a
     cross-document duplicated span (pos is the 1-based word offset;
-    span_hash is sha2-256 of the span text, so downstream joins shuffle
-    32-byte digests, never span text).  Span-removal policies (drop
+    span_hash is sha2-256 of the span text as 32-byte BINARY -- unhex'd,
+    not the 64-char hex string -- so the group-by and semi-join shuffle
+    half the bytes and never span text).  Span-removal policies (drop
     second-plus occurrences, mask, count) compose on top.
 
     100-TB shape: spans explode to one row per word position, but the
@@ -67,8 +68,8 @@ def duplicate_spans(docs: DataFrame, k: int = 10, text_col: str = "text",
         F.posexplode(F.expr(
             f"CASE WHEN size(w) >= {k} THEN "
             f"transform(sequence(0, size(w) - {k}), "
-            f"i -> sha2(concat_ws(' ', slice(w, i + 1, {k})), 256)) "
-            f"ELSE CAST(array() AS array<string>) END"
+            f"i -> unhex(sha2(concat_ws(' ', slice(w, i + 1, {k})), 256))) "
+            f"ELSE CAST(array() AS array<binary>) END"
         )).alias("pos0", "span_hash"),
     ).select("id", (F.col("pos0") + 1).alias("pos"), "span_hash")
     dup = (spans.groupBy("span_hash")
