@@ -89,18 +89,20 @@ def duplicate_span_stats(docs: DataFrame, k: int = 10,
     positions covered by at least one cross-document duplicated span --
     the fraction-of-document-duplicated signal span-removal policies act
     on.  Coverage is computed with codegen sequence/explode over the
-    span hits (each hit covers [pos, pos+k-1]), no Python."""
+    span hits (each hit covers [pos, pos+k-1]), no Python.
+
+    ONE aggregation over the exploded hits computes both counts
+    (countDistinct(pos) == hit count since pos is unique per doc): a
+    two-branch per_doc/covered join would re-execute the expensive
+    spans/group-by/semi-join subtree twice per action."""
     hits = duplicate_spans(docs, k, text_col, id_col, min_docs)
-    covered = (
-        hits.select("id", F.explode(
+    return (
+        hits.select("id", "pos", F.explode(
             F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("wpos"))
-        .distinct()
-        .groupBy("id").agg(F.count(F.lit(1)).alias("n_dup_words"))
+        .groupBy("id")
+        .agg(F.countDistinct("pos").alias("n_dup_spans"),
+             F.countDistinct("wpos").alias("n_dup_words"))
     )
-    per_doc = (hits.groupBy("id")
-               .agg(F.count(F.lit(1)).alias("n_dup_spans")))
-    return (per_doc.join(covered, "id")
-            .select(F.col("id"), "n_dup_spans", "n_dup_words"))
 
 
 def duplicate_span_stats_oracle_sql(k: int = 10, table: str = "documents",
