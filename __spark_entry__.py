@@ -342,6 +342,28 @@ def _dedup_duplicate_spans_oracle() -> str:
     return f"SELECT id AS doc_id, n_dup_spans, n_dup_words FROM ({inner})"
 
 
+def _dedup_remove_spans(spark, sf_dir):
+    """Span-removal policy (Lee et al. 2022): keep the globally first
+    occurrence of each cross-document duplicated 10-word span, cut every
+    other occurrence's words, reassemble.  Keeper election is one window
+    over span digests; everything else is group-bys + an anti-join."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.pipeline.dedup import remove_duplicate_spans
+
+    return (remove_duplicate_spans(_docs(spark, sf_dir), k=10)
+            .select(F.col("id").alias("doc_id"), "text_clean",
+                    "n_removed_words"))
+
+
+def _dedup_remove_spans_oracle() -> str:
+    from sparkcodec.pipeline.dedup import remove_duplicate_spans_oracle_sql
+
+    inner = remove_duplicate_spans_oracle_sql(k=10)
+    return (f"SELECT id AS doc_id, text_clean, n_removed_words "
+            f"FROM ({inner})")
+
+
 def _dedup_simhash(spark, sf_dir):
     from sparkcodec.pipeline.dedup import simhash_near_dups
 
@@ -944,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_candidates": _dedup_minhash_candidates,
         "dedup_simhash": _dedup_simhash,
         "dedup_duplicate_spans": _dedup_duplicate_spans,
+        "dedup_remove_spans": _dedup_remove_spans,
         "curate_corpus": _curate_corpus,
         "pipeline_end_to_end": _pipeline_end_to_end,
         "bloom_point_lookup": _bloom_point_lookup,
@@ -1012,6 +1035,7 @@ def oracle_sql() -> dict[str, str]:
         # recomputes in DuckDB HUGEINT SQL
         "dedup_simhash": _simhash_oracle(),
         "dedup_duplicate_spans": _dedup_duplicate_spans_oracle(),
+        "dedup_remove_spans": _dedup_remove_spans_oracle(),
         # the 64 permuted-min signatures are exact modular arithmetic too:
         # the candidate set recomputes in DuckDB via band equality
         "dedup_minhash_candidates": _minhash_candidates_oracle(),

@@ -105,6 +105,116 @@ def duplicate_span_stats(docs: DataFrame, k: int = 10,
     )
 
 
+def remove_duplicate_spans(docs: DataFrame, k: int = 10,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           min_docs: int = 2) -> DataFrame:
+    """Span-REMOVAL policy over :func:`duplicate_spans` (Lee et al. 2022
+    deduplication): for every cross-document duplicated k-word span, KEEP
+    its globally first occurrence (smallest (doc id, pos)) and delete
+    every other occurrence's words.  Returns
+    (id, text_clean, n_removed_words).
+
+    Semantics, exactly: a word position is deleted iff it is covered by
+    at least one NON-KEEPER occurrence of a duplicated span (overlapping
+    removals merge naturally at the word level); the cleaned text is the
+    surviving words joined by single spaces (whitespace normalizes --
+    the same normalization the span detection applies).  Docs with no
+    removals come back normalized too, so the output is uniform.
+
+    100-TB shape: keeper election is one window (row_number per span
+    digest, ordered by (id, pos)); coverage and reassembly are group-bys
+    and an anti-join keyed by (id, word-position); reassembly uses the
+    same codegen array_sort/collect_list pattern as bpe_encode -- no
+    self-joins, no Python."""
+    from pyspark.sql import Window
+
+    hits = duplicate_spans(docs, k, text_col, id_col, min_docs)
+    w = Window.partitionBy("span_hash").orderBy("id", "pos")
+    removals = (hits.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") > 1))
+    drop_words = (
+        removals.select("id", F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("wpos"))
+        .distinct()
+    )
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.expr(
+            f"filter(split(coalesce({text_col}, ''), ' '), x -> x <> '')"
+        )).alias("wpos0", "word"),
+    ).select("id", (F.col("wpos0") + 1).alias("wpos"), "word")
+    kept = words.join(drop_words, ["id", "wpos"], "left_anti")
+    reassembled = (
+        kept.groupBy("id")
+        .agg(F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("wpos", "word"))),
+            lambda s: s["word"]), " ").alias("text_clean"),
+             F.count(F.lit(1)).alias("n_kept"))
+    )
+    totals = words.groupBy("id").agg(F.count(F.lit(1)).alias("n_words"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(reassembled, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            (F.coalesce("n_words", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long").alias("n_removed_words"))
+    )
+
+
+def remove_duplicate_spans_oracle_sql(k: int = 10, table: str = "documents",
+                                      min_docs: int = 2) -> str:
+    """DuckDB mirror of remove_duplicate_spans, step for step (keeper =
+    row_number 1 per span ordered by (id, pos); word-level coverage
+    deletion; single-space reassembly)."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> x <> '') AS w
+          FROM {table}
+        ), spans AS (
+          SELECT id,
+                 unnest(generate_series(1, len(w) - {k - 1})) AS pos,
+                 unnest(list_transform(generate_series(1, len(w) - {k - 1}),
+                        i -> array_to_string(list_slice(w, i, i + {k - 1}), ' '))) AS span
+          FROM w WHERE len(w) >= {k}
+        ), dup AS (
+          SELECT span FROM spans GROUP BY span
+          HAVING count(DISTINCT id) >= {min_docs}
+        ), hits AS (
+          SELECT s.id, s.pos, s.span,
+                 row_number() OVER (PARTITION BY s.span ORDER BY s.id, s.pos) AS rn
+          FROM spans s JOIN dup USING (span)
+        ), drop_words AS (
+          SELECT DISTINCT id, unnest(generate_series(pos, pos + {k - 1})) AS wpos
+          FROM hits WHERE rn > 1
+        ), words AS (
+          SELECT id, unnest(generate_series(1, len(w))) AS wpos, unnest(w) AS word
+          FROM w
+        ), kept AS (
+          SELECT wo.id, wo.wpos, wo.word
+          FROM words wo ANTI JOIN drop_words d USING (id, wpos)
+        ), reassembled AS (
+          SELECT id,
+                 array_to_string(list(word ORDER BY wpos), ' ') AS text_clean,
+                 count(*) AS n_kept
+          FROM kept GROUP BY id
+        ), totals AS (
+          SELECT id, count(*) AS n_words FROM words GROUP BY id
+        )
+        SELECT d.id,
+               coalesce(r.text_clean, '') AS text_clean,
+               CAST(coalesce(t.n_words, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+                 AS n_removed_words
+        FROM (SELECT doc_id AS id FROM {table}) d
+        LEFT JOIN totals t USING (id)
+        LEFT JOIN reassembled r USING (id)
+    """
+
+
 def duplicate_span_stats_oracle_sql(k: int = 10, table: str = "documents",
                                     min_docs: int = 2) -> str:
     """DuckDB recomputation of duplicate_span_stats, grouping on the SPAN

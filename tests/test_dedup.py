@@ -471,3 +471,44 @@ def test_duplicate_spans_matches_duckdb(spark):
     exp = sorted(tuple(r) for r in
                  con.execute(duplicate_span_stats_oracle_sql(k=10)).fetchall())
     assert got == exp and len(got) == 2
+
+
+def test_remove_duplicate_spans_matches_duckdb(spark):
+    """Span-removal policy: the globally-first occurrence of each
+    duplicated span survives, every other occurrence's words are cut,
+    text reassembles with normalized spacing -- hash-exact vs the
+    step-mirrored DuckDB oracle, incl. no-hit, short, empty and NULL
+    docs."""
+    from sparkcodec.pipeline.dedup import (
+        remove_duplicate_spans, remove_duplicate_spans_oracle_sql,
+    )
+
+    boiler = "this content is provided as is without warranty of any kind whatsoever"
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, "intro words here " + boiler + " tail one"),
+        (3, boiler),  # a third copy, fully removed
+        (4, "totally unrelated text with no shared spans at all in it today"),
+        (5, "short doc"),
+        (6, ""),
+        (7, None),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+
+    out = {r["id"]: (r["text_clean"], r["n_removed_words"])
+           for r in remove_duplicate_spans(sdf, k=10).collect()}
+    # doc 1 holds the global first occurrence: nothing removed
+    assert out[1] == (rows[0][1], 0)
+    # docs 2 and 3's boilerplate words are cut, their own words survive
+    assert out[2] == ("intro words here tail one", 12)
+    assert out[3] == ("", 12)
+    assert out[4][1] == 0 and out[5][1] == 0
+    assert out[6] == ("", 0) and out[7] == ("", 0)
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    exp = sorted(tuple(r) for r in
+                 con.execute(remove_duplicate_spans_oracle_sql(k=10)).fetchall())
+    got = sorted((i, t, n) for i, (t, n) in out.items())
+    assert got == exp
