@@ -48,7 +48,10 @@ def _read_uvarint(data: bytes, pos: int) -> tuple[int, int]:
         if not b & 0x80:
             return n, pos
         shift += 7
-        if shift > 35:
+        # the preamble is a 32-bit length: 5 varint bytes max (shift 28 is
+        # the last valid continuation), so a 6th byte is malformed even if
+        # the end-of-stream length check would also catch it (ADVICE r4)
+        if shift >= 35:
             raise ValueError("malformed snappy length varint")
 
 

@@ -220,9 +220,12 @@ def bpe_encode_oracle_sql(merges: list[tuple[str, str]],
     """
 
 
+BROADCAST_VOCAB_MAX_WORDS = 1_000_000  # ~60-100 MB broadcast, far under Spark's 8 GB hard limit
+
+
 def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
                text_col: str = "text", id_col: str = "doc_id",
-               broadcast_vocab: bool = True) -> DataFrame:
+               broadcast_vocab: bool | None = None) -> DataFrame:
     """(id, bpe_tokens array<string>, n_bpe): distributed encode via a
     distinct-word table -- NO per-row Python over the corpus.
 
@@ -230,11 +233,19 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
     DISTINCT word, as a batched kernel over the vocabulary table (millions
     of rows at corpus scale, vs billions of corpus words).  The corpus
     itself is only touched by codegen operators: positional explode ->
-    ``word -> tokens`` join (broadcast by default: the vocab table is tiny
-    next to the corpus; pass ``broadcast_vocab=False`` to let AQE pick a
-    shuffle join for huge vocabularies) -> ordered reassembly with
-    array_sort + flatten.  Zipf skew in word frequency lands entirely on
-    the JOIN side, where a broadcast join is skew-immune.
+    ``word -> tokens`` join -> ordered reassembly with array_sort +
+    flatten.  Zipf skew in word frequency lands entirely on the JOIN
+    side, where a broadcast join is skew-immune.
+
+    ``broadcast_vocab``: True forces a broadcast join, False a shuffle
+    join (AQE picks the strategy), and the default None AUTO-DEGRADES
+    (ADVICE r4): the encoded vocab is lazily checkpointed, counted once,
+    and broadcast only if it holds <= ``BROADCAST_VOCAB_MAX_WORDS`` rows
+    -- a web-crawl vocabulary of tens of millions of types would
+    otherwise blow the 8 GB broadcast hard limit / driver memory, and
+    nothing short of a count knows that before the join plans.  The
+    count's materialization is reused by the join (checkpoint), so auto
+    mode costs no extra corpus pass.
 
     ``id_col`` values are assumed unique (one output row per id: the
     reassembly groups by id)."""
@@ -255,7 +266,11 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
             })
 
     word_toks = vocab.mapInPandas(enc_words, "w string, toks array<string>")
-    if broadcast_vocab:
+    if broadcast_vocab is None:
+        word_toks = word_toks.localCheckpoint(eager=False)
+        if word_toks.count() <= BROADCAST_VOCAB_MAX_WORDS:
+            word_toks = F.broadcast(word_toks)
+    elif broadcast_vocab:
         word_toks = F.broadcast(word_toks)
     pos = base.select(id_col, F.posexplode("__ws").alias("__pos", "w"))
     assembled = (

@@ -589,7 +589,7 @@ def test_bpe_encode_vectorized_plan_and_oracle(spark):
         "'/root/testdata/sf0.001/documents.parquet')").df()
     sdf = spark.createDataFrame(pdf)
     merges = planted_merges(100)
-    out = bpe_encode(sdf, merges).select(
+    out = bpe_encode(sdf, merges, broadcast_vocab=True).select(
         "doc_id", "n_bpe",
         F.expr("array_join(slice(bpe_tokens, 1, 5), '|')").alias("head_tokens"))
 
@@ -601,6 +601,15 @@ def test_bpe_encode_vectorized_plan_and_oracle(spark):
     # the detail section ("(n) MapInPandas") -- count tree nodes
     assert plan.count("MapInPandas (") == 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+    # default auto mode (ADVICE r4): small vocab -> still a broadcast
+    # join; the vocab kernel runs once inside the sizing count and the
+    # corpus plan scans its checkpoint (zero Python stages in the plan)
+    auto = bpe_encode(sdf, merges).select("doc_id", "n_bpe")
+    auto_plan = auto._sc._jvm.PythonSQLUtils.explainString(
+        auto._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in auto_plan, auto_plan
+    assert auto_plan.count("MapInPandas (") == 0, auto_plan
 
     got = sorted(tuple(r) for r in out.collect())
     con = duckdb.connect()
@@ -666,3 +675,23 @@ def test_source_quota_sample(spark):
     exp = sorted(r[0] for r in con.execute(
         source_quota_sample_oracle_sql(quotas, default_quota=1)).fetchall())
     assert got == exp == ["d00", "d01", "d09"]  # a keeps 2, b dropped, c keeps 1
+
+
+def test_bpe_broadcast_auto_fallback_values(spark, monkeypatch):
+    """Auto broadcast sizing (ADVICE r4): when the vocab exceeds the
+    threshold the join degrades to a shuffle join WITHOUT the broadcast
+    hint, and the encode values are unchanged."""
+    import pandas as pd
+
+    import sparkcodec.pipeline.bpe as bpe_mod
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["lower newest widest", "low lower lowest"]})
+    sdf = spark.createDataFrame(pdf)
+    merges = bpe_mod.planted_merges(30)
+    want = sorted((r["doc_id"], tuple(r["bpe_tokens"])) for r in
+                  bpe_mod.bpe_encode(sdf, merges, broadcast_vocab=True).collect())
+    monkeypatch.setattr(bpe_mod, "BROADCAST_VOCAB_MAX_WORDS", 1)
+    got = sorted((r["doc_id"], tuple(r["bpe_tokens"])) for r in
+                 bpe_mod.bpe_encode(sdf, merges).collect())
+    assert got == want

@@ -215,3 +215,44 @@ def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
     assert len(texts) == 25  # exactly one survivor per distinct text
     # digest is internal state, not output
     assert "__sparkcodec_dedup_h" not in got.columns
+
+
+def test_run_windowed_ingest_stats_closes_all_windows(spark, tmp_path):
+    """The driver-gradeable streaming runner: the sentinel file closes
+    EVERY real window under availableNow, so the streaming result equals
+    batch epoch-bucketing exactly (not merely a subset)."""
+    base = spark.range(300).select(
+        F.expr("CAST(timestamp_micros(1700000000000000 + id * 30000000) AS TIMESTAMP)")
+        .alias("event_time"),
+        F.expr("concat('s', CAST(id % 3 AS STRING))").alias("source"),
+        (F.col("id") % 17 + 1).cast("int").alias("n_tok"),
+    )
+    from sparkcodec.streaming import run_windowed_ingest_stats
+
+    got = run_windowed_ingest_stats(
+        spark, base, window="1 minute", watermark="2 minutes",
+        tmp_dir=str(tmp_path))
+    batch = (base.groupBy(F.window("event_time", "1 minute").alias("win"), "source")
+             .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+             .select(F.unix_micros("win.start").alias("win_start_us"),
+                     "source", "n_docs", "n_tokens"))
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert a == b and len(a) > 0
+
+
+def test_run_dedup_stream_drops_redelivered_corpus(spark, tmp_path):
+    """At-least-once redelivery: the corpus staged twice yields exactly
+    one survivor per distinct text, and the surviving content set equals
+    DISTINCT text."""
+    base = spark.range(60).select(
+        F.expr("CAST(timestamp_micros(1700000000000000 + id * 1000000) AS TIMESTAMP)")
+        .alias("event_time"),
+        F.col("id").alias("doc_id"),
+        F.expr("concat('text body ', CAST(id % 20 AS STRING))").alias("text"),
+    )
+    from sparkcodec.streaming import run_dedup_stream
+
+    surv = run_dedup_stream(spark, base, tmp_dir=str(tmp_path))
+    texts = sorted(r["text"] for r in surv.collect())
+    assert texts == sorted(f"text body {i}" for i in range(20))
