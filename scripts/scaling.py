@@ -58,10 +58,11 @@ spark.stop()
 _RUN_PIPELINE = r"""
 import json, sys, time
 cpus, docs_path, reps = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+warmup = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 spark = (SparkSession.builder.master(f"local[{cpus}]")
-         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+         .config("spark.sql.shuffle.partitions", str(cpus * 4))
          .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -81,7 +82,10 @@ from sparkcodec.tokens import TOKENIZE_SPARK
 def run_once():
     docs = spark.read.parquet(docs_path)
     kept = curate_corpus(docs).select("doc_id")
-    sub = docs.join(kept, "doc_id", "left_semi")
+    # sub feeds the span-removal subtree AND the source re-join below; a
+    # real pipeline stages the curated corpus once -- localCheckpoint
+    # mirrors that (without it the curate join executes 2-3x per action)
+    sub = docs.join(kept, "doc_id", "left_semi").localCheckpoint(eager=False)
     cleaned = remove_duplicate_spans(sub, k=10)
     toks = cleaned.selectExpr(
         "CAST(id AS STRING) AS doc_id",
@@ -98,11 +102,11 @@ def run_once():
 
 
 times = []
-for i in range(reps + 1):
+for i in range(reps + warmup):
     t0 = time.perf_counter()
     row = run_once()
     times.append(time.perf_counter() - t0)
-print(json.dumps({"times": times[1:], "n_tokens": int(row[1] or 0)}))
+print(json.dumps({"times": times[warmup:], "n_tokens": int(row[1] or 0)}))
 spark.stop()
 """
 
@@ -235,10 +239,14 @@ def _run_pipeline_workload(args, n: int, n4: int) -> None:
     n_tokens = 0
     env = {**os.environ,
            "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
-    for _ in range(args.reps):
+    for rnd in range(args.reps):
         for level in (n, n4):
+            # the per-invocation warmup (page cache + JIT) only pays off
+            # once; rounds after the first inherit a warm page cache from
+            # the interleaving itself
+            w = "1" if rnd == 0 else "0"
             out = subprocess.run(
-                [sys.executable, "-c", script, str(level), docs_path, "1"],
+                [sys.executable, "-c", script, str(level), docs_path, "1", w],
                 capture_output=True, text=True, env=env)
             if out.returncode != 0:
                 sys.stderr.write(out.stderr)
@@ -246,6 +254,9 @@ def _run_pipeline_workload(args, n: int, n4: int) -> None:
             rec = json.loads(out.stdout.strip().splitlines()[-1])
             samples[level].append(rec["times"][0])
             n_tokens = rec["n_tokens"]
+            sys.stderr.write(
+                f"round {rnd} local[{level}]: {rec['times'][0]:.1f}s\n")
+            sys.stderr.flush()
 
     med_n, med_4n = (statistics.median(samples[x]) for x in (n, n4))
     min_n, min_4n = (min(samples[x]) for x in (n, n4))

@@ -887,19 +887,22 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         F.col(id_col).alias("id"),
         F.expr(f"filter(split({text_col}, ' '), w -> w <> '')").alias("w"),
     )
+    # per-doc gram set in codegen (array_distinct before the explode) +
+    # broadcast anti-join against the small HOT gram set: see
+    # char_ngram_jaccard_pairs for the shuffle-hygiene rationale
     grams = words.select(
         "id",
-        F.explode(F.expr(
+        F.expr(
             f"CASE WHEN size(w) >= {n} THEN "
-            f"transform(sequence(0, size(w) - {n}), "
-            f"i -> concat_ws(' ', slice(w, i + 1, {n}))) "
+            f"array_distinct(transform(sequence(0, size(w) - {n}), "
+            f"i -> concat_ws(' ', slice(w, i + 1, {n})))) "
             f"ELSE CAST(array() AS array<string>) END"
-        )).alias("gram"),
-    ).distinct()
+        ).alias("gs"),
+    ).select("id", F.explode("gs").alias("gram"))
     if df_cap is not None:
-        rare = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-                .filter(F.col("df") <= df_cap).select("gram"))
-        grams = grams.join(rare, "gram", "left_semi")
+        hot = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > df_cap).select("gram"))
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         grams.alias("x").join(grams.alias("y"), "gram")
@@ -972,18 +975,28 @@ def char_ngram_jaccard_pairs(docs: DataFrame, k: int = SHINGLE_K,
     documents are dropped BEFORE the self-join, from both the
     intersection and the set sizes.  Without it a ubiquitous 5-gram
     (" the ") keys a quadratic join fan-out at corpus scale; with it the
-    per-key fan-out is bounded by df_cap**2."""
+    per-key fan-out is bounded by df_cap**2.
+
+    Shuffle hygiene (round 5): the per-document gram SET is built with
+    codegen ``array_distinct`` BEFORE the explode -- the old
+    ``.distinct()`` shuffled every (id, gram) occurrence of the corpus
+    once just to dedup within documents.  And the cap filter inverts to
+    a broadcast LEFT ANTI join against the HOT gram set (df > cap),
+    which is small by construction -- at most (distinct grams)/1 and at
+    most (gram occurrences)/df_cap rows, and for char k-grams the gram
+    space itself bounds it -- where the old rare-set semi-join shuffled
+    the full gram table a second time."""
     grams = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.expr(
-            f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
-            f"i -> substring({text_col}, i, {k}))"
-        )).alias("gram"),
-    ).distinct()
+        F.expr(
+            f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+            f"i -> substring({text_col}, i, {k})))"
+        ).alias("gs"),
+    ).select("id", F.explode("gs").alias("gram"))
     if df_cap is not None:
-        rare = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-                .filter(F.col("df") <= df_cap).select("gram"))
-        grams = grams.join(rare, "gram", "left_semi")
+        hot = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > df_cap).select("gram"))
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         grams.alias("x").join(grams.alias("y"), "gram")
