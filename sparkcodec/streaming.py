@@ -292,3 +292,50 @@ def run_dedup_stream(spark, docs_df, *, text_col: str = "text",
     finally:
         q.stop()
     return spark.read.parquet(out)
+
+
+def run_source_totals(spark, rows_df, *, split_expr: str,
+                      tmp_dir: str | None = None,
+                      timeout_sec: int = 300):
+    """Run :func:`running_source_stats` (the applyInPandasWithState
+    custom stateful operator) as a REAL multi-batch streaming query and
+    return the FINAL per-source totals as a batch DataFrame -- the
+    driver-gradeable shape: totals equal plain batch group-by SQL.
+
+    ``rows_df`` must have (source string, n_tok int).  ``split_expr``
+    (a boolean SQL expression) splits the corpus into two files staged
+    separately; with maxFilesPerTrigger=1 each becomes its own
+    micro-batch, so the state genuinely carries across batches (a
+    single-batch run would prove nothing about statefulness).  The
+    memory sink collects every update; counters are monotone, so the
+    max update per source is the final total."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    base = tmp_dir or tempfile.mkdtemp(prefix="sc_stream_totals_")
+    src = f"{base}/src"
+    ckpt = f"{base}/ckpt"
+    rows_df.filter(F.expr(split_expr)).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    rows_df.filter(~F.expr(split_expr)).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    name = f"sc_totals_{uuid.uuid4().hex[:12]}"
+    stream = (spark.readStream.schema(rows_df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (running_source_stats(stream)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError("source-totals streaming query did not finish")
+    finally:
+        q.stop()
+    return (spark.table(name)
+            .groupBy("source")
+            .agg(F.max("n_docs").alias("n_docs"),
+                 F.max("n_tokens").alias("n_tokens")))

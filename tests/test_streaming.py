@@ -256,3 +256,24 @@ def test_run_dedup_stream_drops_redelivered_corpus(spark, tmp_path):
     surv = run_dedup_stream(spark, base, tmp_dir=str(tmp_path))
     texts = sorted(r["text"] for r in surv.collect())
     assert texts == sorted(f"text body {i}" for i in range(20))
+
+
+def test_run_source_totals_matches_batch(spark, tmp_path):
+    """The driver-gradeable stateful-counter runner: two staged files =
+    two micro-batches, state carries across them, and the final totals
+    equal batch group-by."""
+    base = spark.range(90).select(
+        F.expr("concat('s', CAST(id % 3 AS STRING))").alias("source"),
+        (F.col("id") % 13 + 1).cast("int").alias("n_tok"),
+        F.col("id"))
+    from sparkcodec.streaming import run_source_totals
+
+    got = run_source_totals(spark, base.select("source", "n_tok", "id"),
+                            split_expr="id % 2 = 0",
+                            tmp_dir=str(tmp_path))
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in
+               base.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_tok").alias("n_tokens")).collect())
+    assert a == b and len(a) == 3
