@@ -440,6 +440,30 @@ def _dedup_maximal_spans_oracle() -> str:
             f"FROM ({inner})")
 
 
+def _dedup_maximal_token_spans(spark, sf_dir):
+    """Maximal duplicated TOKEN regions over the contract payload --
+    variable-length (>= 10 tokens) duplicated passages as single
+    (start, end, length) rows, token-native counterpart of
+    dedup_maximal_spans."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.pipeline.dedup import maximal_duplicate_token_spans
+    from sparkcodec.tokens import tokens_table
+
+    return (maximal_duplicate_token_spans(tokens_table(spark, sf_dir), k=10)
+            .select(F.col("id").alias("doc_id"), "start_pos", "end_pos",
+                    "span_tokens"))
+
+
+def _dedup_maximal_token_spans_oracle() -> str:
+    from sparkcodec.pipeline.dedup import maximal_duplicate_token_spans_oracle_sql
+    from sparkcodec.tokens import tokens_table_oracle_sql
+
+    inner = maximal_duplicate_token_spans_oracle_sql(10, tokens_table_oracle_sql())
+    return (f"SELECT id AS doc_id, start_pos, end_pos, span_tokens "
+            f"FROM ({inner})")
+
+
 def _dedup_simhash(spark, sf_dir):
     from sparkcodec.pipeline.dedup import simhash_near_dups
 
@@ -1157,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_token_spans": _dedup_token_spans,
         "dedup_remove_token_spans": _dedup_remove_token_spans,
         "dedup_maximal_spans": _dedup_maximal_spans,
+        "dedup_maximal_token_spans": _dedup_maximal_token_spans,
         "curate_corpus": _curate_corpus,
         "pipeline_end_to_end": _pipeline_end_to_end,
         "streaming_ingest_stats": _streaming_ingest_stats,
@@ -1232,6 +1257,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_token_spans": _dedup_token_spans_oracle(),
         "dedup_remove_token_spans": _dedup_remove_token_spans_oracle(),
         "dedup_maximal_spans": _dedup_maximal_spans_oracle(),
+        "dedup_maximal_token_spans": _dedup_maximal_token_spans_oracle(),
         # the 64 permuted-min signatures are exact modular arithmetic too:
         # the candidate set recomputes in DuckDB via band equality
         "dedup_minhash_candidates": _minhash_candidates_oracle(),

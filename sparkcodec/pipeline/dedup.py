@@ -469,6 +469,54 @@ def remove_duplicate_token_spans_oracle_sql(k: int, tokens_sql: str,
 # ---------- maximal duplicated regions ----------
 
 
+def maximal_duplicate_token_spans(toks: DataFrame, k: int = 10,
+                                  tokens_col: str = "tokens",
+                                  id_col: str = "doc_id",
+                                  min_docs: int = 2) -> DataFrame:
+    """Maximal duplicated TOKEN regions (variable length >= k) over the
+    contract payload: the token-native counterpart of
+    :func:`maximal_duplicate_spans`, same interval-merge mechanics.
+    Returns (id, start_pos, end_pos, span_tokens), positions 1-based."""
+    hits = duplicate_token_spans(toks, k, tokens_col, id_col, min_docs)
+    return _maximal_regions(hits, k, "span_tokens")
+
+
+def _maximal_regions(hits: DataFrame, k: int, len_alias: str) -> DataFrame:
+    per_doc = hits.groupBy("id").agg(
+        F.array_sort(F.collect_list("pos")).alias("ps"))
+    iv = per_doc.select(
+        "id", F.explode(F.expr(_merge_intervals_expr("ps", k))).alias("iv"))
+    return iv.select(
+        "id",
+        F.col("iv.s").cast("long").alias("start_pos"),
+        F.col("iv.e").cast("long").alias("end_pos"),
+        (F.col("iv.e") - F.col("iv.s") + 1).cast("long").alias(len_alias))
+
+
+def maximal_duplicate_token_spans_oracle_sql(k: int, tokens_sql: str,
+                                             min_docs: int = 2) -> str:
+    """DuckDB islands recomputation over the derived tokens table."""
+    return f"""
+        WITH {_token_spans_cte(k, tokens_sql, min_docs)},
+        marks AS (
+          SELECT id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL
+                      OR pos > lag(pos) OVER (PARTITION BY id ORDER BY pos) + {k}
+                 THEN 1 ELSE 0 END AS brk
+          FROM hits
+        ), grp AS (
+          SELECT id, pos,
+                 sum(brk) OVER (PARTITION BY id ORDER BY pos) AS g
+          FROM marks
+        )
+        SELECT id,
+               CAST(min(pos) AS BIGINT) AS start_pos,
+               CAST(max(pos) + {k - 1} AS BIGINT) AS end_pos,
+               CAST(max(pos) + {k - 1} - min(pos) + 1 AS BIGINT) AS span_tokens
+        FROM grp GROUP BY id, g
+    """
+
+
 def maximal_duplicate_spans(docs: DataFrame, k: int = 10,
                             text_col: str = "text", id_col: str = "doc_id",
                             min_docs: int = 2) -> DataFrame:
@@ -483,15 +531,7 @@ def maximal_duplicate_spans(docs: DataFrame, k: int = 10,
     Returns (id, start_pos, end_pos, span_words), positions 1-based
     inclusive."""
     hits = duplicate_spans(docs, k, text_col, id_col, min_docs)
-    per_doc = hits.groupBy("id").agg(
-        F.array_sort(F.collect_list("pos")).alias("ps"))
-    iv = per_doc.select(
-        "id", F.explode(F.expr(_merge_intervals_expr("ps", k))).alias("iv"))
-    return iv.select(
-        "id",
-        F.col("iv.s").cast("long").alias("start_pos"),
-        F.col("iv.e").cast("long").alias("end_pos"),
-        (F.col("iv.e") - F.col("iv.s") + 1).cast("long").alias("span_words"))
+    return _maximal_regions(hits, k, "span_words")
 
 
 def maximal_duplicate_spans_oracle_sql(k: int = 10, table: str = "documents",

@@ -663,3 +663,34 @@ def test_maximal_duplicate_spans_variable_length(spark):
     assert (1, 57) in spans and (2, 57) in spans     # maximal, not 48 windows
     assert (3, 23) in spans and (4, 23) in spans
     assert (1, 12) in spans and (3, 12) in spans
+
+
+def test_maximal_token_spans_match_duckdb(spark):
+    """Token-native maximal duplicated regions: planted 30- and 14-token
+    shared runs surface as single rows with true extent, hash-exact vs
+    the DuckDB islands oracle."""
+    from sparkcodec.pipeline.dedup import (
+        maximal_duplicate_token_spans, maximal_duplicate_token_spans_oracle_sql,
+    )
+
+    long_run = list(range(5000, 5030))        # 30 tokens
+    short_run = list(range(7000, 7014))       # 14 tokens
+    rows = [
+        ("a", long_run + [1, 2, 3] + short_run),
+        ("b", [9, 8] + long_run),
+        ("c", short_run + [4] * 12),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "tokens"])
+    sdf = spark.createDataFrame(pdf)
+    out = maximal_duplicate_token_spans(sdf, k=10)
+    got = sorted(tuple(r) for r in out.collect())
+
+    con = duckdb.connect()
+    con.register("toks", pdf)
+    exp = sorted(tuple(r) for r in con.execute(
+        maximal_duplicate_token_spans_oracle_sql(
+            10, "SELECT doc_id, tokens FROM toks")).fetchall())
+    assert got == exp
+    lens = {(i, e - s + 1) for i, s, e, _ in got}
+    assert ("a", 30) in lens and ("b", 30) in lens
+    assert ("a", 14) in lens and ("c", 14) in lens
