@@ -209,22 +209,32 @@ def _removal_intervals(hits: DataFrame, k: int) -> DataFrame:
                 | (F.col("pos") != F.col("keep.pos")))
         .select("id", "pos"))
     drop_iv = removals.groupBy("id").agg(
-        F.array_sort(F.collect_list("pos")).alias("dps"))
-    return drop_iv.select("id", F.expr(_merge_intervals_expr("dps", k))
-                          .alias("ivs"))
+        F.array_sort(F.collect_list("pos")).alias("ps"))
+    return _merged_intervals(drop_iv, k)
 
 
-def _merge_intervals_expr(col: str, k: int) -> str:
-    """Codegen sorted-interval merge: ascending span starts (span width k)
-    -> minimal disjoint covering intervals."""
-    return (
-        f"aggregate({col}, CAST(array() AS array<struct<s: int, e: int>>), "
-        f"(acc, p) -> CASE WHEN size(acc) > 0 "
-        f"AND p <= element_at(acc, -1).e + 1 THEN "
-        f"concat(slice(acc, 1, size(acc) - 1), "
-        f"array(named_struct('s', element_at(acc, -1).s, 'e', p + {k - 1}))) "
-        f"ELSE concat(acc, array(named_struct('s', p, 'e', p + {k - 1}))) END)"
-    )
+def _merged_intervals(per_doc: DataFrame, k: int) -> DataFrame:
+    """Codegen sorted-interval merge: (id, ps: sorted ascending span
+    starts, span width k) -> (id, ivs: minimal disjoint covering
+    intervals array<struct<s, e>>).
+
+    LINEAR per document (review r5): break indices come from one filter
+    over adjacent-start gaps and interval bounds from one zip_with --
+    the previous aggregate-with-concat rebuilt the accumulator array per
+    element, O(m^2) on exactly the boilerplate-heavy documents this path
+    exists for.  A new interval starts at position i iff
+    ps[i] > ps[i-1] + k (the spans no longer touch), matching the
+    DuckDB islands oracles."""
+    with_starts = per_doc.withColumn("sidx", F.expr(
+        f"filter(sequence(1, size(ps)), "
+        f"i -> i = 1 OR element_at(ps, i) > element_at(ps, i - 1) + {k})"))
+    return with_starts.select("id", F.expr(
+        f"zip_with(sidx, "
+        f"concat(slice(sidx, 2, size(sidx) - 1), array(size(ps) + 1)), "
+        f"(s, t) -> named_struct("
+        f"'s', element_at(ps, s), "
+        f"'e', element_at(ps, t - 1) + {k - 1}))"
+    ).alias("ivs"))
 
 
 def remove_duplicate_spans_oracle_sql(k: int = 10, table: str = "documents",
@@ -484,8 +494,8 @@ def maximal_duplicate_token_spans(toks: DataFrame, k: int = 10,
 def _maximal_regions(hits: DataFrame, k: int, len_alias: str) -> DataFrame:
     per_doc = hits.groupBy("id").agg(
         F.array_sort(F.collect_list("pos")).alias("ps"))
-    iv = per_doc.select(
-        "id", F.explode(F.expr(_merge_intervals_expr("ps", k))).alias("iv"))
+    iv = _merged_intervals(per_doc, k).select(
+        "id", F.explode("ivs").alias("iv"))
     return iv.select(
         "id",
         F.col("iv.s").cast("long").alias("start_pos"),
@@ -942,7 +952,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     if df_cap is not None:
         hot = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
                .filter(F.col("df") > df_cap).select("gram"))
-        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
+        # no broadcast HINT here (unlike the char variant): the word
+        # n-gram space is unbounded, so a Zipf corpus with a small
+        # df_cap can have a hot set too big for the 8 GB broadcast hard
+        # limit -- AQE broadcasts it at runtime when it IS small, and
+        # falls back to a shuffle join when it is not (review r5)
+        grams = grams.join(hot, "gram", "left_anti")
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         grams.alias("x").join(grams.alias("y"), "gram")

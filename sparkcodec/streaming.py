@@ -220,9 +220,15 @@ def run_windowed_ingest_stats(spark, rows_df, *, window: str = "1 hour",
     # first batch keeps the grading harness deterministic; the watermark
     # machinery is still exercised by the sentinel batch + no-data flush.
     rows_df.coalesce(1).write.mode("overwrite").parquet(src)
-    far = rows_df.agg(
-        F.date_add(F.max("event_time").cast("date"), 2).cast("timestamp")
-        .alias("t")).collect()[0]["t"]
+    # the sentinel must put the post-sentinel watermark PAST the end of
+    # the last real window: offset = watermark + 2 windows + a day of
+    # margin, derived from the actual parameters (a fixed offset would
+    # silently leave windows unclosed for watermark+window >= the fixed
+    # gap -- review r5)
+    far = rows_df.agg(F.expr(
+        f"max(event_time) + INTERVAL {watermark} + INTERVAL {window} "
+        f"+ INTERVAL {window} + INTERVAL 1 DAY").alias("t")
+    ).collect()[0]["t"]
     sentinel = spark.createDataFrame(
         [(far, "__sentinel__", 0)], rows_df.schema)
     sentinel.coalesce(1).write.mode("append").parquet(src)
@@ -241,8 +247,11 @@ def run_windowed_ingest_stats(spark, rows_df, *, window: str = "1 hour",
             raise TimeoutError("streaming ingest-stats query did not finish")
     finally:
         q.stop()
+        _cleanup_staging(tmp_dir, src, ckpt)
     return (spark.read.parquet(out)
-            .filter(F.col("source") != "__sentinel__")
+            # null-safe: a NULL source is a real group (the batch oracle
+            # keeps it), only the literal sentinel rows are ours
+            .filter(~F.col("source").eqNullSafe("__sentinel__"))
             .select(F.unix_micros("win_start").alias("win_start_us"),
                     "source", "n_docs", "n_tokens"))
 
@@ -272,10 +281,12 @@ def run_dedup_stream(spark, docs_df, *, text_col: str = "text",
     ckpt = f"{base}/ckpt"
     docs_df.write.mode("overwrite").parquet(src)
     if redeliver:
+        # timestamp_micros, NOT cast(long AS timestamp): the cast
+        # interprets the long as SECONDS, which would put the redelivered
+        # copies ~292k years in the future instead of +1 s (review r5)
         (docs_df.withColumn(
             "event_time",
-            (F.unix_micros("event_time") + F.lit(1_000_000))
-            .cast("timestamp"))
+            F.timestamp_micros(F.unix_micros("event_time") + F.lit(1_000_000)))
          .coalesce(1).write.mode("append").parquet(src))
 
     stream = (spark.readStream.schema(docs_df.schema)
@@ -291,6 +302,7 @@ def run_dedup_stream(spark, docs_df, *, text_col: str = "text",
             raise TimeoutError("streaming dedup query did not finish")
     finally:
         q.stop()
+        _cleanup_staging(tmp_dir, src, ckpt)
     return spark.read.parquet(out)
 
 
@@ -335,7 +347,22 @@ def run_source_totals(spark, rows_df, *, split_expr: str,
             raise TimeoutError("source-totals streaming query did not finish")
     finally:
         q.stop()
+        _cleanup_staging(tmp_dir, src, ckpt)
     return (spark.table(name)
             .groupBy("source")
             .agg(F.max("n_docs").alias("n_docs"),
                  F.max("n_tokens").alias("n_tokens")))
+
+
+def _cleanup_staging(tmp_dir, *paths) -> None:
+    """Remove the staged-corpus and checkpoint dirs the runner created
+    (NOT the parquet sink a returned DataFrame lazily reads).  Only when
+    the tempdir is ours: a caller-provided tmp_dir is the caller's to
+    manage.  Without this every grading run leaks corpus-sized parquet
+    copies into /tmp (review r5)."""
+    import shutil
+
+    if tmp_dir is not None:
+        return
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
