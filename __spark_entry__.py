@@ -668,6 +668,36 @@ def _media_audio_oracle() -> str:
     return audio_features_oracle_sql()
 
 
+def _compaction_roundtrip(spark, sf_dir):
+    """Small-file compaction: a deliberately fragmented encoded dataset
+    (tiny chunks, many splits) rewritten into one target-size file by a
+    pure-JVM job (no decode, nothing crosses the Python bridge), then
+    decoded -- values must equal the source tokens table exactly, so
+    the oracle is the plain tokens SQL."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.compact import compact_encoded
+    from sparkcodec.engine import decode_dataframe, encode_to_parquet
+    from sparkcodec.tokens import tokens_table
+
+    base = tempfile.mkdtemp(prefix="sc_compact_")
+    src = f"{base}/src"
+    tokens_table(spark, sf_dir).repartition(8).write.parquet(src)
+    enc_dir = f"{base}/enc"
+    encode_to_parquet(spark, src, enc_dir, chunk_rows=64,
+                      n_splits=16).collect()
+    out_dir = f"{base}/compacted"
+    compact_encoded(spark, enc_dir, out_dir).collect()
+    dec = decode_dataframe(spark.read.parquet(out_dir))
+    return dec.select(
+        "doc_id",
+        F.array_join(F.transform("tokens", lambda x: x.cast("string")), ",")
+        .alias("tokens_str"),
+        "n_tok", "source")
+
+
 def _streaming_ingest_stats(spark, sf_dir):
     """Structured Streaming graded in the driver contract (judge r4 #3):
     event-time windowed ingest stats (1h windows, 2h watermark) run as a
@@ -1187,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest_stats": _streaming_ingest_stats,
         "streaming_dedup_stats": _streaming_dedup_stats,
         "streaming_source_totals": _streaming_source_totals,
+        "compaction_roundtrip": _compaction_roundtrip,
         "bloom_point_lookup": _bloom_point_lookup,
         "bloom_batch_lookup": _bloom_batch_lookup,
         "probe_conjunctive": _probe_conjunctive,
@@ -1266,6 +1297,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_ingest_stats": _streaming_ingest_stats_oracle(),
         "streaming_dedup_stats": _streaming_dedup_stats_oracle(),
         "streaming_source_totals": _streaming_source_totals_oracle(),
+        "compaction_roundtrip": _tokens_oracle(),
         "bloom_point_lookup": _bloom_lookup_oracle(),
         "bloom_batch_lookup": _bloom_batch_lookup_oracle(),
         "probe_conjunctive": _probe_conjunctive_oracle(),
