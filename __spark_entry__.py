@@ -668,6 +668,70 @@ def _media_audio_oracle() -> str:
     return audio_features_oracle_sql()
 
 
+def _li_cols(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+def _clustered_range_scan(spark, sf_dir):
+    """Linear clustering (sort-before-encode) makes chunk min/max stats
+    selective: the range scan decodes only the few chunks owning the key
+    range (pruning ratios pinned in tests/test_cluster.py).  Values must
+    equal a plain SQL range filter exactly."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.cluster import cluster_encode
+    from sparkcodec.engine import range_scan_rows
+
+    li = _li_cols(spark, sf_dir)
+    mn, mx = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    enc = cluster_encode(li, ["l_orderkey"], chunk_rows=2048)
+    return range_scan_rows(enc, "l_orderkey", mn, mn + (mx - mn) // 5)
+
+
+def _clustered_range_scan_oracle() -> str:
+    return (
+        "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice "
+        "FROM lineitem WHERE l_orderkey BETWEEN "
+        "(SELECT min(l_orderkey) FROM lineitem) AND "
+        "(SELECT min(l_orderkey) + (max(l_orderkey) - min(l_orderkey)) // 5 "
+        "FROM lineitem)")
+
+
+def _zorder_probe(spark, sf_dir):
+    """Z-order (Morton) clustering: one layout keeps BOTH keys' per-chunk
+    ranges narrow, so a conjunctive range probe stats-prunes on both
+    before any payload decode.  Values must equal the two-predicate SQL
+    filter exactly."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.cluster import cluster_encode
+    from sparkcodec.engine import probe_rows
+
+    li = _li_cols(spark, sf_dir)
+    b = li.agg(
+        F.min("l_orderkey").alias("omn"), F.max("l_orderkey").alias("omx"),
+        F.min("l_partkey").alias("pmn"), F.max("l_partkey").alias("pmx"),
+    ).first()
+    enc = cluster_encode(li, ["l_orderkey", "l_partkey"], chunk_rows=2048)
+    return probe_rows(enc, ranges={
+        "l_orderkey": (b.omn, b.omn + (b.omx - b.omn) // 4),
+        "l_partkey": (b.pmn, b.pmn + (b.pmx - b.pmn) // 4),
+    })
+
+
+def _zorder_probe_oracle() -> str:
+    return (
+        "WITH b AS (SELECT min(l_orderkey) AS omn, "
+        "min(l_orderkey) + (max(l_orderkey) - min(l_orderkey)) // 4 AS ohi, "
+        "min(l_partkey) AS pmn, "
+        "min(l_partkey) + (max(l_partkey) - min(l_partkey)) // 4 AS phi "
+        "FROM lineitem) "
+        "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice "
+        "FROM lineitem, b WHERE l_orderkey BETWEEN b.omn AND b.ohi "
+        "AND l_partkey BETWEEN b.pmn AND b.phi")
+
+
 def _compaction_roundtrip(spark, sf_dir):
     """Small-file compaction: a deliberately fragmented encoded dataset
     (tiny chunks, many splits) rewritten into one target-size file by a
@@ -1218,6 +1282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_stats": _streaming_dedup_stats,
         "streaming_source_totals": _streaming_source_totals,
         "compaction_roundtrip": _compaction_roundtrip,
+        "clustered_range_scan": _clustered_range_scan,
+        "zorder_probe": _zorder_probe,
         "bloom_point_lookup": _bloom_point_lookup,
         "bloom_batch_lookup": _bloom_batch_lookup,
         "probe_conjunctive": _probe_conjunctive,
@@ -1298,6 +1364,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_stats": _streaming_dedup_stats_oracle(),
         "streaming_source_totals": _streaming_source_totals_oracle(),
         "compaction_roundtrip": _tokens_oracle(),
+        "clustered_range_scan": _clustered_range_scan_oracle(),
+        "zorder_probe": _zorder_probe_oracle(),
         "bloom_point_lookup": _bloom_lookup_oracle(),
         "bloom_batch_lookup": _bloom_batch_lookup_oracle(),
         "probe_conjunctive": _probe_conjunctive_oracle(),
