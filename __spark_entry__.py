@@ -732,6 +732,50 @@ def _zorder_probe_oracle() -> str:
         "AND l_partkey BETWEEN b.pmn AND b.phi")
 
 
+def _shared_dict_roundtrip(spark, sf_dir):
+    """Corpus-level shared dictionary: low-cardinality columns rewritten
+    to int32 codes (one tiny broadcast join), chunk-encoded, decoded, and
+    mapped back -- values must equal the source table exactly.  At 100 TB
+    this stores the value set once instead of once per chunk."""
+    from sparkcodec.engine import decode_dataframe, encode_dataframe
+    from sparkcodec.gdict import dict_decode_columns, dict_encode_columns
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars")
+    coded, dicts = dict_encode_columns(docs, ["lang", "source"])
+    dec = decode_dataframe(encode_dataframe(coded.repartition(8)))
+    return dict_decode_columns(dec, dicts)
+
+
+def _shared_dict_codes(spark, sf_dir):
+    """The code assignment itself is deterministic (dense rank in value
+    sort order), so DuckDB recomputes the exact codes."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.gdict import dict_encode_columns
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source")
+    coded, _ = dict_encode_columns(docs, ["lang", "source"])
+    return coded.select(
+        "doc_id",
+        F.col("lang").cast("long").alias("lang_code"),
+        F.col("source").cast("long").alias("source_code"))
+
+
+def _shared_dict_codes_oracle() -> str:
+    return (
+        "WITH dl AS (SELECT value, CAST(dense_rank() OVER (ORDER BY value) "
+        "- 1 AS BIGINT) AS code FROM "
+        "(SELECT DISTINCT lang AS value FROM documents WHERE lang IS NOT NULL)), "
+        "ds AS (SELECT value, CAST(dense_rank() OVER (ORDER BY value) "
+        "- 1 AS BIGINT) AS code FROM "
+        "(SELECT DISTINCT source AS value FROM documents WHERE source IS NOT NULL)) "
+        "SELECT d.doc_id, dl.code AS lang_code, ds.code AS source_code "
+        "FROM documents d LEFT JOIN dl ON d.lang = dl.value "
+        "LEFT JOIN ds ON d.source = ds.value")
+
+
 def _compaction_roundtrip(spark, sf_dir):
     """Small-file compaction: a deliberately fragmented encoded dataset
     (tiny chunks, many splits) rewritten into one target-size file by a
@@ -1284,6 +1328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_roundtrip": _compaction_roundtrip,
         "clustered_range_scan": _clustered_range_scan,
         "zorder_probe": _zorder_probe,
+        "shared_dict_roundtrip": _shared_dict_roundtrip,
+        "shared_dict_codes": _shared_dict_codes,
         "bloom_point_lookup": _bloom_point_lookup,
         "bloom_batch_lookup": _bloom_batch_lookup,
         "probe_conjunctive": _probe_conjunctive,
@@ -1366,6 +1412,9 @@ def oracle_sql() -> dict[str, str]:
         "compaction_roundtrip": _tokens_oracle(),
         "clustered_range_scan": _clustered_range_scan_oracle(),
         "zorder_probe": _zorder_probe_oracle(),
+        "shared_dict_roundtrip": (
+            "SELECT doc_id, lang, source, n_chars FROM documents"),
+        "shared_dict_codes": _shared_dict_codes_oracle(),
         "bloom_point_lookup": _bloom_lookup_oracle(),
         "bloom_batch_lookup": _bloom_batch_lookup_oracle(),
         "probe_conjunctive": _probe_conjunctive_oracle(),
