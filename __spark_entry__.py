@@ -1032,6 +1032,40 @@ def _stats_range_scan(spark, sf_dir):
     return range_scan_rows(enc, "l_orderkey", 1000, 2000, "long")
 
 
+def _agg_pushdown(spark, sf_dir):
+    """Metadata-only aggregation: global count/sum/min/max/avg answered
+    from the per-chunk cnt_/sum_/min_/max_ columns alone -- the plan's
+    ReadSchema over the encoded table contains no payload column, so at
+    100 TB this scans kilobytes of footer-style metadata per chunk
+    instead of the table.  Integer columns keep the comparison hash-exact
+    (float sums are order-sensitive)."""
+    from sparkcodec.engine import aggregate_encoded, encode_parquet_dataset
+
+    enc = encode_parquet_dataset(
+        spark, f"{sf_dir}/lineitem.parquet", chunk_rows=4096,
+        columns=["l_orderkey", "l_suppkey", "l_linenumber"],
+        stat_columns=("l_orderkey", "l_suppkey"),
+        agg_columns=("l_orderkey", "l_suppkey"))
+    return aggregate_encoded(enc, ["l_orderkey", "l_suppkey"],
+                             include_avg=True)
+
+
+def _agg_pushdown_oracle() -> str:
+    cols = ("l_orderkey", "l_suppkey")
+    parts = ["CAST(count(*) AS BIGINT) AS count_rows"]
+    for c in cols:
+        parts += [
+            f"CAST(count({c}) AS BIGINT) AS count_{c}",
+            f"CAST(sum({c}) AS BIGINT) AS sum_{c}",
+            f"min({c}) AS min_{c}",
+            f"max({c}) AS max_{c}",
+            # mirror the engine exactly: one double division of the two
+            # exact integer totals
+            f"CAST(sum({c}) AS DOUBLE) / CAST(count({c}) AS DOUBLE) AS avg_{c}",
+        ]
+    return f"SELECT {', '.join(parts)} FROM lineitem"
+
+
 def _pipeline_end_to_end(spark, sf_dir):
     """The whole story in one plan: curate documents (dedup -> near-dup
     drop -> lang/quality gates) -> tokenize the survivors -> TOKEN-level
@@ -1334,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_batch_lookup": _bloom_batch_lookup,
         "probe_conjunctive": _probe_conjunctive,
         "stats_range_scan": _stats_range_scan,
+        "agg_pushdown": _agg_pushdown,
         "pack_sequences": _pack_sequences,
         "source_quota_sample": _source_quota_sample,
         "scrub_pii": _scrub_pii,
@@ -1422,6 +1457,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem "
             "WHERE l_orderkey BETWEEN 1000 AND 2000"
         ),
+        "agg_pushdown": _agg_pushdown_oracle(),
         "pack_sequences": _pack_sequences_oracle(),
         "source_quota_sample": _source_quota_sample_oracle(),
         "scrub_pii": _scrub_pii_oracle(),

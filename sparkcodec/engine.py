@@ -682,12 +682,44 @@ def _stat_fields(schema: pa.Schema, stat_columns: tuple[str, ...]) -> list[tuple
     return out
 
 
+def _agg_fields(schema: pa.Schema, agg_columns: tuple[str, ...]) -> list[tuple[str, pa.DataType]]:
+    """(name, type) pairs for the typed per-chunk aggregate columns:
+    ``cnt_<col>`` (non-null value count, int64) and ``sum_<col>`` (int64
+    for integer inputs, float64 for floats).  These are the ORC-style
+    stripe sums the reference's footer stats lack (reference
+    src/metadata.js keeps min/max/null_count only,
+    src/parquet-writer.js:75-80); together with min_/max_ stat columns
+    they let :func:`aggregate_encoded` answer global
+    count/sum/min/max/avg from chunk metadata alone -- zero payload IO."""
+    out = []
+    for c in agg_columns:
+        t = schema.field(c).type
+        if pa.types.is_integer(t):
+            if t.equals(pa.uint64()):
+                raise TypeError(
+                    f"agg_columns entry {c!r} is uint64: sums above 2^63 "
+                    "have no Spark integer representation; cast the column "
+                    "or drop the aggregate")
+            sum_t = pa.int64()
+        elif pa.types.is_floating(t):
+            sum_t = pa.float64()
+        else:
+            raise TypeError(
+                f"agg_columns entry {c!r} has type {t}: per-chunk sums are "
+                "defined for integer and float columns only (strings/"
+                "timestamps/decimals/bools have no additive aggregate)")
+        out.append((f"cnt_{c}", pa.int64()))
+        out.append((f"sum_{c}", sum_t))
+    return out
+
+
 def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
                          chunk_rows: int, token_budget: int, compress,
                          partition_col: str | None,
                          bloom_columns: tuple[str, ...],
                          seq_start: int = 0,
                          stat_columns: tuple[str, ...] = (),
+                         agg_columns: tuple[str, ...] = (),
                          payload_columns: tuple[str, ...] | None = None) -> Iterator[pa.RecordBatch]:
     """Shared worker-side encode loop: window incoming Arrow batches by row
     count + token weight, encode each window as one chunk group, emit one
@@ -741,17 +773,20 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
         + [pa.field(f"bloom_{c}", pa.binary()) for c in bloom_columns])
     out_schema = base_schema
     stat_fields: list[tuple[str, pa.DataType]] = []
+    agg_fields: list[tuple[str, pa.DataType]] = []
 
     def flush(tbl: pa.Table, w: np.ndarray) -> Iterator[pa.RecordBatch]:
-        nonlocal seq, out_schema, stat_fields
+        nonlocal seq, out_schema, stat_fields, agg_fields
         bucket = part_id
         if partition_col is not None and len(tbl):
             bucket = int(tbl.column(partition_col)[0].as_py())
             tbl = tbl.drop_columns([partition_col])
-        if stat_columns and not stat_fields:
+        if (stat_columns or agg_columns) and not (stat_fields or agg_fields):
             stat_fields = _stat_fields(tbl.schema, stat_columns)
+            agg_fields = _agg_fields(tbl.schema, agg_columns)
             out_schema = pa.schema(list(base_schema)
-                                   + [pa.field(n, t) for n, t in stat_fields])
+                                   + [pa.field(n, t) for n, t in stat_fields]
+                                   + [pa.field(n, t) for n, t in agg_fields])
         for s, e in _window_boundaries(w, chunk_rows, token_budget):
             window = tbl.slice(s, e - s)
             bytes_in = sum(c.nbytes for c in window.columns)
@@ -802,6 +837,18 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
                     mm = pc.min_max(colv)
                     row[f"min_{c}"] = mm["min"].as_py()
                     row[f"max_{c}"] = mm["max"].as_py()
+            if agg_columns:
+                import pyarrow.compute as pc
+
+                sum_types = dict(agg_fields)
+                for c in agg_columns:
+                    colv = window.column(c)
+                    row[f"cnt_{c}"] = len(colv) - colv.null_count
+                    # cast pins the accumulator width (int64/float64); the
+                    # default min_count=1 makes an all-null chunk sum NULL,
+                    # matching SQL SUM semantics chunk-locally
+                    s = pc.sum(colv.cast(sum_types[f"sum_{c}"]))
+                    row[f"sum_{c}"] = s.as_py()
             seq += 1
             yield pa.RecordBatch.from_pylist([row], schema=out_schema)
 
@@ -1065,12 +1112,20 @@ def _stats_ddl(pa_schema: pa.Schema, stat_columns: tuple[str, ...]) -> str:
     return (", " + ", ".join(parts)) if parts else ""
 
 
+def _aggs_ddl(pa_schema: pa.Schema, agg_columns: tuple[str, ...]) -> str:
+    parts = []
+    for name, t in _agg_fields(pa_schema, agg_columns):
+        parts.append(f"{name} {_spark_ddl_of_pa(t)}")
+    return (", " + ", ".join(parts)) if parts else ""
+
+
 def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                      token_budget: int = DEFAULT_TOKEN_BUDGET,
                      compress: bool = True, partition_col: str | None = None,
                      bloom_columns: tuple[str, ...] = (),
                      auto_fastpath: bool = True,
                      stat_columns: tuple[str, ...] = (),
+                     agg_columns: tuple[str, ...] = (),
                      split_payload: bool = False):
     """DataFrame -> encoded chunk-group DataFrame (one row per chunk).
 
@@ -1094,17 +1149,24 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
     push down into the parquet scan of the ENCODED table, so range scans
     skip whole row groups of payload bytes.
 
+    ``agg_columns`` adds TYPED per-chunk ``cnt_<col>``/``sum_<col>``
+    columns (non-null count + sum, ORC-style stripe sums): together with
+    ``stat_columns`` min/max they make :func:`aggregate_encoded` a pure
+    metadata scan -- global count/sum/min/max/avg without decoding one
+    payload byte.
+
     ``split_payload=True`` emits the per-column payload layout (one
     ``payload_<col>`` BINARY column per source column instead of a single
     ``payload`` blob): decoding a projection then prunes unselected
     columns' bytes at the parquet reader of the encoded table.
     """
-    _check_aux_columns(bloom_columns, stat_columns,
+    _check_aux_columns(bloom_columns, (*stat_columns, *agg_columns),
                        {f.name: f.dataType.simpleString() for f in df.schema})
     if partition_col is not None and partition_col in (*bloom_columns,
-                                                       *stat_columns):
+                                                       *stat_columns,
+                                                       *agg_columns):
         raise ValueError(
-            f"partition_col {partition_col!r} cannot be a bloom/stat "
+            f"partition_col {partition_col!r} cannot be a bloom/stat/agg "
             "column: it is dropped from the encoded payload")
     if auto_fastpath and partition_col is None:
         scan = _bare_parquet_scan(df)
@@ -1114,19 +1176,21 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                 df.sparkSession, files, chunk_rows=chunk_rows,
                 token_budget=token_budget, compress=compress,
                 columns=cols, bloom_columns=bloom_columns,
-                stat_columns=stat_columns, split_payload=split_payload)
+                stat_columns=stat_columns, agg_columns=agg_columns,
+                split_payload=split_payload)
 
     payload_columns: tuple[str, ...] | None = None
     if split_payload:
         payload_columns = tuple(f.name for f in df.schema
                                 if f.name != partition_col)
     out_ddl = _encoded_out_ddl(payload_columns, bloom_columns)
-    if stat_columns:
+    if stat_columns or agg_columns:
         pa_schema = pa.schema([
             (f.name, _pa_type_of_spark(f.dataType)) for f in df.schema
-            if f.name in stat_columns
+            if f.name in (*stat_columns, *agg_columns)
         ])
         out_ddl += _stats_ddl(pa_schema, stat_columns)
+        out_ddl += _aggs_ddl(pa_schema, agg_columns)
 
     # Spark's mapInArrow re-selects its input columns by UNQUOTED name, so
     # a top-level name containing '.' breaks analysis before our code ever
@@ -1156,6 +1220,7 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                                         token_budget, compress,
                                         partition_col, bloom_columns,
                                         stat_columns=stat_columns,
+                                        agg_columns=agg_columns,
                                         payload_columns=payload_columns)
 
     return df.mapInArrow(encode_partition, out_ddl)
@@ -1229,6 +1294,7 @@ def encode_parquet_dataset(spark, path, *,
                            n_splits: int | None = None,
                            include_source_file: bool = False,
                            stat_columns: tuple[str, ...] = (),
+                           agg_columns: tuple[str, ...] = (),
                            split_payload: bool = False):
     """Scan-side encode: parquet is read directly by pyarrow inside each
     Python task; only (file, row-groups) descriptors cross the JVM.
@@ -1254,12 +1320,12 @@ def encode_parquet_dataset(spark, path, *,
     # append_column'd after the encode stream, so it must also come last
     # in the DDL)
     payload_columns: tuple[str, ...] | None = None
-    if split_payload or stat_columns or bloom_columns:
+    if split_payload or stat_columns or agg_columns or bloom_columns:
         import pyarrow.dataset as ds
 
         ds_schema = ds.dataset(path, format="parquet").schema
-    if stat_columns or bloom_columns:
-        _check_aux_columns(bloom_columns, stat_columns,
+    if stat_columns or agg_columns or bloom_columns:
+        _check_aux_columns(bloom_columns, (*stat_columns, *agg_columns),
                            _pa_simple_types(ds_schema),
                            read_columns=columns)
     if split_payload:
@@ -1267,6 +1333,8 @@ def encode_parquet_dataset(spark, path, *,
     out_ddl = _encoded_out_ddl(payload_columns, bloom_columns)
     if stat_columns:
         out_ddl += _stats_ddl(ds_schema, stat_columns)
+    if agg_columns:
+        out_ddl += _aggs_ddl(ds_schema, agg_columns)
     if include_source_file:
         out_ddl += ", source_file STRING"
     if not splits:
@@ -1296,7 +1364,8 @@ def encode_parquet_dataset(spark, path, *,
             yield from _encode_batch_stream(
                 _read_splits(batches, batch_rows, columns), part_id,
                 chunk_rows, token_budget, compress, None, bloom_columns,
-                stat_columns=stat_columns, payload_columns=payload_columns)
+                stat_columns=stat_columns, agg_columns=agg_columns,
+                payload_columns=payload_columns)
             return
 
         # file-tagged mode: one encode stream per file so chunks never
@@ -1307,6 +1376,7 @@ def encode_parquet_dataset(spark, path, *,
                                            chunk_rows, token_budget, compress,
                                            None, bloom_columns, seq_start=seq,
                                            stat_columns=stat_columns,
+                                           agg_columns=agg_columns,
                                            payload_columns=payload_columns):
                 seq += len(rb)
                 tagged = rb.append_column(
@@ -1659,6 +1729,61 @@ def range_scan_rows(enc_df, column: str, lo=None, hi=None,
     if hi is not None:
         keep = keep & (F.col(column) <= F.lit(_eq_literal(hi)))
     return dec.filter(keep)
+
+
+def aggregate_encoded(enc_df, columns, *, include_avg: bool = False):
+    """Metadata-only aggregation over an ENCODED table: global
+    count/sum/min/max (and optionally avg) for each named column, computed
+    purely from the typed per-chunk stat/agg columns -- ZERO payload bytes
+    are read or decoded.
+
+    Requires the table to have been encoded with both
+    ``stat_columns=(c,...)`` (min/max) and ``agg_columns=(c,...)``
+    (cnt/sum).  Output is one row:
+
+    * ``count_rows``    -- total logical rows (sum of per-chunk n_rows)
+    * ``count_<c>``     -- non-null values of c
+    * ``sum_<c>``       -- SUM(c) (BIGINT for int inputs, DOUBLE for float)
+    * ``min_<c>`` / ``max_<c>``
+    * ``avg_<c>``       -- sum/count as DOUBLE (include_avg=True)
+
+    At 100 TB this is the zone-map aggregate every warehouse engine runs:
+    over an on-disk encoded table, the scan's ReadSchema contains only the
+    scalar metadata columns, so parquet never materializes the payload
+    blobs (the reference keeps min/max/null_count per chunk but has no
+    query path over them -- reference src/metadata.js; this closes that
+    loop Spark-side).  NULL semantics mirror SQL: empty table ->
+    count 0 / NULL sums; all-null chunks contribute count 0 and NULL
+    partial sums, which F.sum skips.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(columns, str):
+        columns = [columns]
+    have = set(enc_df.columns)
+    aggs = [F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long")
+             .alias("count_rows")]
+    for c in columns:
+        need = (f"cnt_{c}", f"sum_{c}", f"min_{c}", f"max_{c}")
+        missing = [n for n in need if n not in have]
+        if missing:
+            raise ValueError(
+                f"aggregate_encoded({c!r}): encoded table lacks "
+                f"{missing}; encode with stat_columns=({c!r},) and "
+                f"agg_columns=({c!r},) to carry per-chunk min/max and "
+                "cnt/sum metadata")
+        aggs += [
+            F.coalesce(F.sum(f"cnt_{c}"), F.lit(0)).cast("long")
+             .alias(f"count_{c}"),
+            F.sum(f"sum_{c}").alias(f"sum_{c}"),
+            F.min(f"min_{c}").alias(f"min_{c}"),
+            F.max(f"max_{c}").alias(f"max_{c}"),
+        ]
+        if include_avg:
+            aggs.append(
+                (F.sum(f"sum_{c}").cast("double")
+                 / F.sum(f"cnt_{c}").cast("double")).alias(f"avg_{c}"))
+    return enc_df.agg(*aggs)
 
 
 def lookup_rows(enc_df, column: str, value, schema=None):
