@@ -1018,6 +1018,49 @@ def _probe_conjunctive_oracle() -> str:
     """
 
 
+def _token_contains_lookup(spark, sf_dir):
+    """Token-native needle query over the contract payload: element-level
+    SBBFs on the ``tokens array<int32>`` column hash the FLATTENED token
+    values, so "which documents contain token X" bloom-prunes encoded
+    chunks before any payload decode -- an inverted-index-free contains
+    probe at 100 TB (probe stage scans only (chunk_id, bloom_tokens),
+    survivors decode once, array_contains exact-filters in codegen).
+    Needle: the corpus-max token value (deterministic, rare).  The oracle
+    replays it with DuckDB list_contains."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        encode_dataframe,
+        lookup_rows_containing,
+        range_repartition,
+    )
+    from sparkcodec.tokens import tokens_table
+
+    toks = tokens_table(spark, sf_dir)
+    needle = toks.agg(F.max(F.array_max("tokens"))).collect()[0][0]
+    enc = encode_dataframe(range_repartition(toks, 8), chunk_rows=256,
+                           bloom_columns=("tokens",), auto_fastpath=False)
+    hit = lookup_rows_containing(enc, "tokens", [needle])
+    return hit.select(
+        "doc_id",
+        F.array_join(F.transform("tokens", lambda x: x.cast("string")), ",")
+        .alias("tokens_str"),
+        "n_tok", "source",
+    )
+
+
+def _token_contains_lookup_oracle() -> str:
+    from sparkcodec.tokens import tokens_table_oracle_sql
+
+    return f"""
+        WITH t AS ({tokens_table_oracle_sql()}),
+        needle AS (SELECT max(u.x) AS v
+                   FROM (SELECT unnest(tokens) AS x FROM t) u)
+        SELECT doc_id, array_to_string(tokens, ',') AS tokens_str, n_tok, source
+        FROM t WHERE list_contains(tokens, (SELECT v FROM needle))
+    """
+
+
 def _stats_range_scan(spark, sf_dir):
     """Range scan over encoded chunks: min/max footer stats prune chunk
     groups JVM-side (get_json_object in codegen, no payload bytes read),
@@ -1367,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_point_lookup": _bloom_point_lookup,
         "bloom_batch_lookup": _bloom_batch_lookup,
         "probe_conjunctive": _probe_conjunctive,
+        "token_contains_lookup": _token_contains_lookup,
         "stats_range_scan": _stats_range_scan,
         "agg_pushdown": _agg_pushdown,
         "pack_sequences": _pack_sequences,
@@ -1453,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_point_lookup": _bloom_lookup_oracle(),
         "bloom_batch_lookup": _bloom_batch_lookup_oracle(),
         "probe_conjunctive": _probe_conjunctive_oracle(),
+        "token_contains_lookup": _token_contains_lookup_oracle(),
         "stats_range_scan": (
             "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem "
             "WHERE l_orderkey BETWEEN 1000 AND 2000"

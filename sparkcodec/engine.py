@@ -448,6 +448,13 @@ def _column_hashes(col: pa.Array) -> np.ndarray | None:
 
     dense = col.drop_null() if col.null_count else col
     t = dense.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        # ELEMENT-level bloom: hash the flattened element values (null
+        # rows and null elements contribute nothing).  A "does any row's
+        # array contain value X" probe then reuses the same scalar probe
+        # hashes -- the token-native needle query over the contract's
+        # tokens array<int32> payload
+        return _column_hashes(dense.flatten())
     if pa.types.is_date32(t):
         # no direct date32->int64 cast in pyarrow: go through the int32
         # day count (the canonical int the probe hashes)
@@ -510,7 +517,9 @@ def _encode_group_columns(batch: pa.Table | pa.RecordBatch, compress: bool,
         if meta.get("kind") == "list":
             n_tokens += int(meta["values"]["n_values"])
         bloom_bytes = b""
-        if name in bloom_columns and isinstance(tname, str) and not tname.startswith("list<"):
+        # scalar columns bloom their values; list columns bloom their
+        # ELEMENTS (struct/map shapes return no hashes and build nothing)
+        if name in bloom_columns and isinstance(tname, str):
             hashes = _column_hashes(col)
             if hashes is not None and len(hashes):
                 bloom = build_bloom(hashes)
@@ -569,10 +578,12 @@ def group_may_contain(blob, column: str, value, ts_unit: str = "us") -> bool:
     return group_may_contain_hashes(blob, column, _probe_hash(value, ts_unit))
 
 
-def group_may_contain_hashes(blob, column: str, hashes) -> bool:
+def group_may_contain_hashes(blob, column: str, hashes,
+                             require_all: bool = False) -> bool:
     """Bloom probe with precomputed xxhash64 values: ONE header walk and
     ONE SplitBlockBloom parse per blob regardless of how many probe
-    hashes are tested (the IN-list path)."""
+    hashes are tested (the IN-list path).  ``require_all`` flips the
+    verdict to "admits EVERY hash" (the contains-all pruning shape)."""
     from .kernels.bloom import SplitBlockBloom
 
     mv = memoryview(blob)
@@ -596,7 +607,8 @@ def group_may_contain_hashes(blob, column: str, hashes) -> bool:
             if bloom_len == 0:
                 return True
             bloom = SplitBlockBloom.from_bytes(bytes(bloom_buf))
-            return bool(bloom.might_contain(hashes).any())
+            hits = bloom.might_contain(hashes)
+            return bool(hits.all() if require_all else hits.any())
         pos += blen
     return True
 
@@ -965,26 +977,37 @@ _BLOOMABLE_SPARK = {"int", "bigint", "smallint", "tinyint", "string",
                     "binary", "timestamp", "timestamp_ntz", "date"}
 
 
+def _is_bloomable_typename(tname: str) -> bool:
+    """A column can carry an SBBF when its (element) values have canonical
+    hash bytes: scalar int/string/binary/timestamp/date, or an array of
+    such -- array columns bloom their ELEMENTS (the token-native needle
+    shape over the contract's ``tokens array<int32>`` payload).  EXACT
+    name matching: prefix matching would accept e.g. 'interval day to
+    second' via the 'int' prefix."""
+    while tname.startswith("array<") and tname.endswith(">"):
+        tname = tname[len("array<"):-1]
+    return tname in _BLOOMABLE_SPARK
+
+
 def _pa_simple_types(schema: pa.Schema) -> dict[str, str]:
     """pyarrow schema -> Spark-simpleString-ish type names for the aux
     column validation (only the distinctions the bloom check needs)."""
-    out = {}
-    for f in schema:
-        t = f.type
+    def simple(t: pa.DataType) -> str:
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return f"array<{simple(t.value_type)}>"
         if pa.types.is_integer(t):
-            s = "bigint"
-        elif pa.types.is_string(t) or pa.types.is_large_string(t):
-            s = "string"
-        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
-            s = "binary"
-        elif pa.types.is_timestamp(t):
-            s = "timestamp"
-        elif pa.types.is_date32(t):
-            s = "date"
-        else:
-            s = str(t)
-        out[f.name] = s
-    return out
+            return "bigint"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return "binary"
+        if pa.types.is_timestamp(t):
+            return "timestamp"
+        if pa.types.is_date32(t):
+            return "date"
+        return str(t)
+
+    return {f.name: simple(f.type) for f in schema}
 
 
 def _check_aux_columns(bloom_columns, stat_columns,
@@ -1020,14 +1043,13 @@ def _check_aux_columns(bloom_columns, stat_columns,
                     f"{sorted(schema_types)} (a misspelled bloom column "
                     "would otherwise emit all-null blooms that never prune)")
         for c in bloom_columns:
-            # EXACT type-name match: prefix matching would accept e.g.
-            # 'interval day to second' via the 'int' prefix
-            if schema_types[c] not in _BLOOMABLE_SPARK:
+            if not _is_bloomable_typename(schema_types[c]):
                 raise ValueError(
                     f"bloom_columns entry {c!r} has type {schema_types[c]}: "
                     "blooms are built for int/string/binary/timestamp/date "
-                    "columns only (float/decimal/bool values have no "
-                    "canonical hash bytes)")
+                    "columns (or arrays of those, hashed element-wise) only "
+                    "(float/decimal/bool values have no canonical hash "
+                    "bytes)")
 
 
 def _resolve_split_columns(columns, schema_names) -> tuple[tuple[str, ...], list[str]]:
@@ -1602,6 +1624,20 @@ def filter_chunks_may_contain_any(enc_df, column: str, values):
     task closure, flip the join around: decode nothing, semi-join the
     keys DataFrame against ``lookup_rows``-style probes per partition --
     or simply range-partition the keys and call this per batch."""
+    return _filter_chunks_probe(enc_df, column, values, require_all=False)
+
+
+def filter_chunks_may_contain_all(enc_df, column: str, values):
+    """Conjunctive batch probe: keep chunks whose per-column SBBF admits
+    EVERY one of ``values`` -- the pruning shape for "rows whose array
+    contains ALL of these elements" (element-level blooms over an
+    ``array<...>`` column hash the flattened elements, so a chunk missing
+    any required element is provably row-free and prunes).  Same
+    one-bloom-parse-per-chunk cost as the ANY variant."""
+    return _filter_chunks_probe(enc_df, column, values, require_all=True)
+
+
+def _filter_chunks_probe(enc_df, column: str, values, require_all: bool):
     import datetime as _dt
 
     from pyspark.sql import functions as F
@@ -1609,7 +1645,9 @@ def filter_chunks_may_contain_any(enc_df, column: str, values):
 
     values = list(values)
     if not values:
-        return enc_df.filter(F.lit(False))
+        # ANY of zero values matches no chunk; ALL of zero values is
+        # vacuously true for every chunk
+        return enc_df.filter(F.lit(require_all))
     ts_unit = "us"
     if any(isinstance(v, _dt.datetime) for v in values):
         row = enc_df.select("schema_json").limit(1).collect()
@@ -1622,18 +1660,19 @@ def filter_chunks_may_contain_any(enc_df, column: str, values):
     bloom_col = f"bloom_{column}"
     if bloom_col in enc_df.columns:
         @pandas_udf("boolean")
-        def may_contain_any(blooms: pd.Series) -> pd.Series:
+        def may_contain(blooms: pd.Series) -> pd.Series:
             from .kernels.bloom import SplitBlockBloom
 
             out = np.ones(len(blooms), dtype=bool)  # no bloom -> may contain
             for i, buf in enumerate(blooms):
                 if buf is not None and len(buf):
                     sb = SplitBlockBloom.from_bytes(bytes(buf))
-                    out[i] = bool(sb.might_contain(hs).any())
+                    hits = sb.might_contain(hs)
+                    out[i] = bool(hits.all() if require_all else hits.any())
             return pd.Series(out)
 
         keep = (enc_df.select("chunk_id", bloom_col)
-                .filter(may_contain_any(F.col(bloom_col)))
+                .filter(may_contain(F.col(bloom_col)))
                 .select("chunk_id"))
         return enc_df.join(F.broadcast(keep), "chunk_id", "left_semi")
 
@@ -1650,7 +1689,8 @@ def filter_chunks_may_contain_any(enc_df, column: str, values):
             # one blob materialization + one bloom parse per chunk, all K
             # hashes tested in a single vectorized might_contain
             keep = [i for i in range(len(b))
-                    if group_may_contain_hashes(payloads[i].as_py(), column, hs)]
+                    if group_may_contain_hashes(payloads[i].as_py(), column,
+                                                hs, require_all=require_all)]
             if keep:
                 yield b.take(pa.array(keep, type=pa.int32()))
 
@@ -1797,6 +1837,50 @@ def lookup_rows(enc_df, column: str, value, schema=None):
     return lookup_rows_in(enc_df, column, [value], schema)
 
 
+def lookup_rows_containing(enc_df, column: str, values, schema=None, *,
+                           mode: str = "any"):
+    """Element needle lookup over an ENCODED table whose ``column`` is an
+    array: rows whose array contains ANY (``mode='any'``) or ALL
+    (``mode='all'``) of ``values``.
+
+    Array columns named in ``bloom_columns=`` at encode time carry an
+    ELEMENT-level SBBF (the flattened values hash exactly like a scalar
+    column of the element type), so "which documents contain token X"
+    over the contract's ``tokens array<int32>`` payload prunes at the
+    chunk level before any payload decode -- the inverted-index-free
+    needle shape at 100 TB: the probe stage scans only
+    (chunk_id, bloom_<col>), survivors decode once, and
+    ``array_contains`` exact-filters inside codegen.  ``mode='all'``
+    prunes harder: a chunk whose bloom rejects ANY required element is
+    provably row-free.
+
+    Null elements never match (SQL three-valued logic: ``array_contains``
+    over an array holding nulls yields NULL for a miss, which the filter
+    drops -- same verdict DuckDB's ``list_contains`` reaches)."""
+    from pyspark.sql import functions as F
+
+    if mode not in ("any", "all"):
+        raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    values = list(values)
+    if schema is None:
+        schema = infer_decoded_schema(enc_df)
+    if not values:
+        dec = decode_dataframe(enc_df, schema=schema)
+        # ALL of zero values is vacuously true; ANY of zero matches nothing
+        return dec if mode == "all" else dec.filter(F.lit(False))
+    if mode == "any":
+        pruned = filter_chunks_may_contain_any(enc_df, column, values)
+    else:
+        pruned = filter_chunks_may_contain_all(enc_df, column, values)
+    dec = decode_dataframe(pruned, schema=schema)
+    conds = [F.array_contains(F.col(column), F.lit(_eq_literal(v)))
+             for v in values]
+    keep = conds[0]
+    for c in conds[1:]:
+        keep = (keep | c) if mode == "any" else (keep & c)
+    return dec.filter(keep)
+
+
 def _eq_literal(value):
     """uint64 columns decode to DecimalType(20,0); a plain int literal
     past the long range has no Spark representation."""
@@ -1809,8 +1893,8 @@ def _eq_literal(value):
 
 
 def probe_rows(enc_df, *, equals: dict | None = None,
-               ranges: dict | None = None, schema=None,
-               range_dtypes: dict | None = None):
+               ranges: dict | None = None, contains: dict | None = None,
+               schema=None, range_dtypes: dict | None = None):
     """Conjunctive needle query over ENCODED data: EVERY pruning structure
     fires before any payload decode.
 
@@ -1819,6 +1903,12 @@ def probe_rows(enc_df, *, equals: dict | None = None,
     ``ranges``  maps column -> (lo, hi) (either bound may be None): each
                 key stats-prunes via the typed ``min_/max_<col>`` columns
                 or the JSON footer stats (:func:`filter_chunks_by_range`).
+    ``contains`` maps an ARRAY column -> element value (or list of
+                elements, ALL required): element-level bloom pruning via
+                :func:`filter_chunks_may_contain_all`, exact-filtered
+                with ``array_contains`` -- "rows in this doc_id range
+                whose tokens contain X" never decodes a chunk whose
+                bloom rejects any required element.
     ``range_dtypes`` optionally maps a ranges column to the cast dtype for
                 JSON-stats fallback (default "double").
 
@@ -1833,8 +1923,11 @@ def probe_rows(enc_df, *, equals: dict | None = None,
 
     equals = equals or {}
     ranges = ranges or {}
-    if not equals and not ranges:
-        raise ValueError("probe_rows needs at least one equals/ranges entry")
+    contains = {c: (list(v) if isinstance(v, (list, tuple, set)) else [v])
+                for c, v in (contains or {}).items()}
+    if not equals and not ranges and not contains:
+        raise ValueError(
+            "probe_rows needs at least one equals/ranges/contains entry")
     if schema is None:
         schema = infer_decoded_schema(enc_df)
     pruned = enc_df
@@ -1843,6 +1936,8 @@ def probe_rows(enc_df, *, equals: dict | None = None,
             pruned, col, lo, hi, (range_dtypes or {}).get(col, "double"))
     for col, value in equals.items():
         pruned = filter_chunks_may_contain(pruned, col, value)
+    for col, elems in contains.items():
+        pruned = filter_chunks_may_contain_all(pruned, col, elems)
     dec = decode_dataframe(pruned, schema=schema)
     keep = F.lit(True)
     for col, value in equals.items():
@@ -1852,6 +1947,9 @@ def probe_rows(enc_df, *, equals: dict | None = None,
             keep = keep & (F.col(col) >= F.lit(_eq_literal(lo)))
         if hi is not None:
             keep = keep & (F.col(col) <= F.lit(_eq_literal(hi)))
+    for col, elems in contains.items():
+        for v in elems:
+            keep = keep & F.array_contains(F.col(col), F.lit(_eq_literal(v)))
     return dec.filter(keep)
 
 

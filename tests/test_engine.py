@@ -894,3 +894,114 @@ def test_float16_stat_columns_and_np_uint64_probe(spark, tmp_path):
     t = np.uint64((np.uint64(99) << np.uint64(57)) + np.uint64(3))
     hit = lookup_rows(enc2, "u64", t).collect()
     assert len(hit) == 1 and int(hit[0]["id"]) == 99
+
+
+def test_element_bloom_planted_needles(spark):
+    """Element-level blooms on an array<int> column: 'which rows' arrays
+    contain token X' prunes at the chunk level before any decode -- the
+    token-native needle shape over the contract payload.  Planted corpus:
+    row i holds [i % 50, 1000 + i], so 1000+i is unique to row i and
+    i % 50 is corpus-wide boilerplate."""
+    from sparkcodec.engine import (
+        filter_chunks_may_contain,
+        filter_chunks_may_contain_all,
+        lookup_rows_containing,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [i % 50, 1000 + i]) for i in range(400)],
+        "id INT, tokens ARRAY<INT>").coalesce(1).sortWithinPartitions("id")
+    enc = encode_dataframe(df, chunk_rows=50, bloom_columns=("tokens",),
+                           auto_fastpath=False).cache()
+    total = enc.count()
+    assert total == 8
+    # rare element: only the chunk holding row 7 survives the bloom
+    assert filter_chunks_may_contain(enc, "tokens", 1007).count() < total
+    got = lookup_rows_containing(enc, "tokens", [1007]).collect()
+    assert [r["id"] for r in got] == [7]
+    # ANY semantics across two rare elements in different chunks
+    got = sorted(r["id"] for r in
+                 lookup_rows_containing(enc, "tokens", [1007, 1357]).collect())
+    assert got == [7, 357]
+    # ALL semantics: boilerplate 7 is everywhere, 1007 pins row 7; the
+    # contains-all prune needs BOTH admitted, so only row 7's chunk decodes
+    assert filter_chunks_may_contain_all(enc, "tokens", [7, 1007]).count() < total
+    got = lookup_rows_containing(enc, "tokens", [7, 1007], mode="all").collect()
+    assert [r["id"] for r in got] == [7]
+    # absent element: exact filter guarantees empty regardless of bloom FPs
+    assert lookup_rows_containing(enc, "tokens", [49999]).count() == 0
+    enc.unpersist()
+
+
+def test_element_bloom_matches_plain_filter_on_tokens_table(spark, toks):
+    """Integration over the contract table: lookup_rows_containing on an
+    encoded tokens table equals array_contains over the source, for a
+    rare needle (the corpus-max token value)."""
+    from sparkcodec.engine import lookup_rows_containing
+
+    needle = toks.select(
+        F.max(F.array_max("tokens")).alias("m")).collect()[0]["m"]
+    enc = encode_dataframe(range_repartition(toks, 8), chunk_rows=64,
+                           bloom_columns=("tokens",), auto_fastpath=False)
+    got = sorted(r["doc_id"] for r in
+                 lookup_rows_containing(enc, "tokens", [needle]).collect())
+    exp = sorted(r["doc_id"] for r in
+                 toks.filter(F.array_contains("tokens", needle)).collect())
+    assert got == exp and len(got) > 0
+
+
+def test_element_bloom_scan_side_and_validation(spark, tmp_path):
+    """Scan-side encode (pyarrow path) builds element blooms for list
+    columns too, and the aux-column validation accepts array<int> /
+    array<string> while still rejecting unhashable element types."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkcodec.engine import (
+        encode_parquet_dataset,
+        filter_chunks_may_contain,
+        lookup_rows_containing,
+    )
+
+    src = str(tmp_path / "toks.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array(range(200), type=pa.int32()),
+        "tokens": pa.array([[i % 10, 5000 + i] for i in range(200)],
+                           type=pa.list_(pa.int32())),
+    }), src)
+    enc = encode_parquet_dataset(spark, src, chunk_rows=25,
+                                 bloom_columns=("tokens",)).cache()
+    total = enc.count()
+    assert filter_chunks_may_contain(enc, "tokens", 5003).count() < total
+    got = lookup_rows_containing(enc, "tokens", [5003]).collect()
+    assert [r["id"] for r in got] == [3]
+    enc.unpersist()
+    # unhashable element type rejected up front, not silently no-op
+    bad = spark.createDataFrame([(1, [1.5])], "id INT, v ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="bloom_columns"):
+        encode_dataframe(bad, bloom_columns=("v",), auto_fastpath=False)
+
+
+def test_probe_rows_contains_conjunctive(spark):
+    """probe_rows composes element-containment with stats ranges: the id
+    range prunes via typed min/max (pushed into the encoded table's
+    parquet scan), the token set prunes via the element bloom, and only
+    the intersection decodes."""
+    from sparkcodec.engine import probe_rows
+
+    df = spark.createDataFrame(
+        [(i, [i % 50, 1000 + i]) for i in range(400)],
+        "id INT, tokens ARRAY<INT>").coalesce(1).sortWithinPartitions("id")
+    enc = encode_dataframe(df, chunk_rows=50, bloom_columns=("tokens",),
+                           stat_columns=("id",), auto_fastpath=False)
+    got = probe_rows(enc, ranges={"id": (100, 200)},
+                     contains={"tokens": 1150},
+                     range_dtypes={"id": "int"}).collect()
+    assert [r["id"] for r in got] == [150]
+    # conjunctive contains-all: element list with boilerplate + unique
+    got = probe_rows(enc, contains={"tokens": [150 % 50, 1150]}).collect()
+    assert [r["id"] for r in got] == [150]
+    # disjoint range and element: empty, not a crash
+    assert probe_rows(enc, ranges={"id": (0, 50)},
+                      contains={"tokens": 1150},
+                      range_dtypes={"id": "int"}).count() == 0
