@@ -732,6 +732,39 @@ def _zorder_probe_oracle() -> str:
         "AND l_partkey BETWEEN b.pmn AND b.phi")
 
 
+def _file_index_scan(spark, sf_dir):
+    """Dataset-level file index (findex.py): per-file zone maps planned
+    from a tiny sidecar prune whole container files BEFORE any parquet
+    footer is read; chunk-level stats pruning + decode + exact filter run
+    over the surviving files only.  On a clustered 100-TB layout a narrow
+    range opens a handful of files out of ~10^6.  Values must equal the
+    plain SQL range select."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkcodec.cluster import cluster_encode
+    from sparkcodec.findex import build_file_index, indexed_range_scan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    mn, mx = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    out = tempfile.mkdtemp(prefix="sc_fidx_") + "/enc"
+    cluster_encode(li, ["l_orderkey"], num_partitions=8, chunk_rows=2048,
+                   auto_fastpath=False).write.parquet(out)
+    build_file_index(spark, out)
+    return indexed_range_scan(spark, out, "l_orderkey",
+                              mn, mn + (mx - mn) // 6, "long")
+
+
+def _file_index_scan_oracle() -> str:
+    return (
+        "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem "
+        "WHERE l_orderkey BETWEEN (SELECT min(l_orderkey) FROM lineitem) "
+        "AND (SELECT min(l_orderkey) "
+        "+ (max(l_orderkey) - min(l_orderkey)) // 6 FROM lineitem)")
+
+
 def _shared_dict_roundtrip(spark, sf_dir):
     """Corpus-level shared dictionary: low-cardinality columns rewritten
     to int32 codes (one tiny broadcast join), chunk-encoded, decoded, and
@@ -1405,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_roundtrip": _compaction_roundtrip,
         "clustered_range_scan": _clustered_range_scan,
         "zorder_probe": _zorder_probe,
+        "file_index_scan": _file_index_scan,
         "shared_dict_roundtrip": _shared_dict_roundtrip,
         "shared_dict_codes": _shared_dict_codes,
         "bloom_point_lookup": _bloom_point_lookup,
@@ -1491,6 +1525,7 @@ def oracle_sql() -> dict[str, str]:
         "compaction_roundtrip": _tokens_oracle(),
         "clustered_range_scan": _clustered_range_scan_oracle(),
         "zorder_probe": _zorder_probe_oracle(),
+        "file_index_scan": _file_index_scan_oracle(),
         "shared_dict_roundtrip": (
             "SELECT doc_id, lang, source, n_chars FROM documents"),
         "shared_dict_codes": _shared_dict_codes_oracle(),
