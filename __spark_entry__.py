@@ -568,6 +568,25 @@ def _bpe_tokenize(spark, sf_dir):
                     .alias("head_tokens")))
 
 
+def _bpe_detokenize(spark, sf_dir):
+    """BPE decode closes the tokenizer loop: encode the documents with
+    the planted merges, then detokenize PURELY in codegen (concatenate
+    symbol strings, end-of-word markers become spaces -- no vocabulary,
+    no join, no Python).  decode(encode(text)) must equal the
+    space-normalized source text for every document, which the oracle
+    states directly as the normalization identity."""
+    from sparkcodec.pipeline.bpe import bpe_decode, bpe_encode, planted_merges
+
+    docs = _docs(spark, sf_dir)
+    return bpe_decode(bpe_encode(docs, planted_merges(100)))
+
+
+def _bpe_detokenize_oracle() -> str:
+    return (
+        "SELECT doc_id, array_to_string(list_filter(string_split(text, ' '), "
+        "w -> w <> ''), ' ') AS text FROM documents")
+
+
 def _gopher_repetition(spark, sf_dir):
     """Gopher-rule repetition filters (duplicate-line ratio, top word-
     2-gram mass, no-alpha word fraction): per-doc aggregations only, no
@@ -1453,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate,
         "text_gopher_repetition": _gopher_repetition,
         "bpe_tokenize": _bpe_tokenize,
+        "bpe_detokenize": _bpe_detokenize,
         "text_lang_id": _lang_id,
         "text_quality_score": _quality,
         "text_token_count": _token_count,
@@ -1546,6 +1566,7 @@ def oracle_sql() -> dict[str, str]:
         # fixed planted merges -> the distributed encode is SQL-expressible:
         # a recursive CTE replays encode_word's exact loop per distinct word
         "bpe_tokenize": _bpe_oracle(),
+        "bpe_detokenize": _bpe_detokenize_oracle(),
         "text_lang_id": _textstats_oracle("lang_id"),
         "text_quality_score": _textstats_oracle("quality"),
         "text_token_count": _textstats_oracle("token_count"),

@@ -220,6 +220,23 @@ def bpe_encode_oracle_sql(merges: list[tuple[str, str]],
     """
 
 
+def bpe_decode(df: DataFrame, tokens_col: str = "bpe_tokens",
+               id_col: str = "doc_id", out_col: str = "text") -> DataFrame:
+    """Inverse of :func:`bpe_encode`, PURE codegen -- no Python, no
+    vocabulary, no join: BPE symbols are substrings of the original words
+    with the end-of-word marker riding the last symbol, so detokenization
+    is concatenate-then-mark-to-space.  Reconstructs the space-normalized
+    source text exactly (``decode(encode(text)) ==`` the words of
+    ``text`` joined by single spaces -- the same normalization the
+    encoder's whitespace split applies).  At 100 TB this is one narrow
+    map stage over the token arrays; assumes the corpus text does not
+    itself contain the literal marker ``</w>``."""
+    return df.select(
+        id_col,
+        F.expr(f"rtrim(replace(concat_ws('', {tokens_col}), '{END}', ' '))")
+        .alias(out_col))
+
+
 BROADCAST_VOCAB_MAX_WORDS = 1_000_000  # ~60-100 MB broadcast, far under Spark's 8 GB hard limit
 
 

@@ -695,3 +695,42 @@ def test_bpe_broadcast_auto_fallback_values(spark, monkeypatch):
     got = sorted((r["doc_id"], tuple(r["bpe_tokens"])) for r in
                  bpe_mod.bpe_encode(sdf, merges).collect())
     assert got == want
+
+
+def test_bpe_decode_roundtrips_normalized_text(spark):
+    """bpe_decode inverts bpe_encode exactly up to whitespace
+    normalization, with zero Python stages in the decode plan."""
+    from sparkcodec.pipeline.bpe import bpe_decode, bpe_encode, train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "  low lower lowest   the the "),
+         (3, ""),
+         (4, "unseen-word zzzqqq the")],
+        "doc_id INT, text STRING")
+    merges = train_bpe(docs, n_merges=40)
+    enc = bpe_encode(docs, merges)
+    dec = bpe_decode(enc)
+    got = {r["doc_id"]: r["text"] for r in dec.collect()}
+    exp = {r["doc_id"]: " ".join(r["text"].split())
+           for r in docs.collect()}
+    assert got == exp
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    for node in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
+
+
+def test_bpe_decode_fixture_corpus(spark):
+    """Roundtrip over the real documents fixture with planted merges."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.pipeline.bpe import bpe_decode, bpe_encode, planted_merges
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    dec = bpe_decode(bpe_encode(docs, planted_merges(100)))
+    joined = docs.alias("s").join(dec.alias("d"), "doc_id").select(
+        F.expr("array_join(filter(split(s.text, ' '), w -> w <> ''), ' ')")
+        .alias("norm"),
+        F.col("d.text").alias("rt"))
+    assert joined.filter("norm <> rt").count() == 0
