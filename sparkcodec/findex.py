@@ -26,6 +26,7 @@ import os
 __all__ = [
     "file_index_path",
     "build_file_index",
+    "update_file_index",
     "read_file_index",
     "prune_files_by_ranges",
     "indexed_range_scan",
@@ -44,29 +45,24 @@ def _data_files(enc_dir: str) -> list[str]:
         if f.endswith(".parquet") and not f.startswith(("_", ".")))
 
 
-def build_file_index(spark, enc_dir: str):
-    """Build and persist the per-file zone map for the encoded dataset at
-    ``enc_dir``; returns the index DataFrame.
-
-    One pure-JVM aggregation: group the chunk rows by
-    ``input_file_name()`` and fold each typed stat column's per-chunk
-    bounds into per-file bounds -- min-of-mins / max-of-maxes, except
-    that a file containing ANY chunk with a NULL bound (statistics
-    unsound for that chunk) records NULL and therefore never prunes.
-    The scan reads ONLY the scalar stat/metadata columns (payload bytes
-    never leave storage), and the sidecar is one parquet file under
-    ``_file_index/``.
-    """
+def _grouped_index(spark, paths: list[str]):
+    """Per-file zone-map rows for the given container files: group the
+    chunk rows by ``input_file_name()`` and fold each typed stat column's
+    per-chunk bounds into per-file bounds -- min-of-mins / max-of-maxes,
+    except that a file containing ANY chunk with a NULL bound (statistics
+    unsound for that chunk) records NULL and therefore never prunes.  The
+    scan reads ONLY the scalar stat/metadata columns (payload bytes never
+    leave storage)."""
     from pyspark.sql import functions as F
 
-    enc = spark.read.parquet(enc_dir)
+    enc = spark.read.parquet(*paths)
     stat_cols = [c[len("min_"):] for c in enc.columns
                  if c.startswith("min_") and f"max_{c[len('min_'):]}" in enc.columns]
     if not stat_cols:
         raise ValueError(
-            f"encoded dataset {enc_dir!r} has no typed min_/max_ columns; "
-            "encode with stat_columns=(...) (or cluster_encode, which adds "
-            "them for the cluster keys) before building a file index")
+            "encoded dataset has no typed min_/max_ columns; encode with "
+            "stat_columns=(...) (or cluster_encode, which adds them for "
+            "the cluster keys) before building a file index")
     aggs = [
         F.count(F.lit(1)).alias("n_chunks"),
         (F.sum("n_rows") if "n_rows" in enc.columns else F.lit(0))
@@ -80,28 +76,96 @@ def build_file_index(spark, enc_dir: str):
                     .otherwise(F.min(mn)).alias(f"min_{c}"))
         aggs.append(F.when(has_null_mx, F.lit(None))
                     .otherwise(F.max(mx)).alias(f"max_{c}"))
-    idx = (enc
-           .select("n_rows", *(f"{p}_{c}" for c in stat_cols
-                               for p in ("min", "max")))
-           .withColumn("file", F.element_at(
-               F.split(F.input_file_name(), "/"), -1))
-           .groupBy("file").agg(*aggs))
-    # pad part files holding ZERO chunk rows (a committed writer may emit
-    # empty parts): they get NULL bounds -- always survive pruning, which
-    # is sound and harmless -- so the staleness check can tell "empty but
-    # known at build time" from "appeared after the build"
-    listing = {os.path.basename(p) for p in _data_files(enc_dir)}
-    missing = sorted(listing - {r["file"] for r in
-                                idx.select("file").collect()})
-    if missing:
-        pad = spark.createDataFrame([(m,) for m in missing], "file STRING")
-        for f in idx.schema.fields:
-            if f.name != "file":
-                pad = pad.withColumn(f.name, F.lit(None).cast(f.dataType))
-        idx = idx.unionByName(pad.select(*idx.columns))
-    (idx.coalesce(1).write.mode("overwrite")
-        .parquet(file_index_path(enc_dir)))
+    return (enc
+            .select("n_rows", *(f"{p}_{c}" for c in stat_cols
+                                for p in ("min", "max")))
+            .withColumn("file", F.element_at(
+                F.split(F.input_file_name(), "/"), -1))
+            .groupBy("file").agg(*aggs))
+
+
+def _pad_missing(spark, idx, expected_names: set[str]):
+    """Union NULL-bound rows for expected files the aggregation never saw
+    (part files holding ZERO chunk rows -- a committed writer may emit
+    empty parts).  NULL bounds always survive pruning, which is sound and
+    harmless, and the staleness check can then tell "empty but known at
+    index time" from "appeared after the build"."""
+    from pyspark.sql import functions as F
+
+    missing = sorted(expected_names
+                     - {r["file"] for r in idx.select("file").collect()})
+    if not missing:
+        return idx
+    pad = spark.createDataFrame([(m,) for m in missing], "file STRING")
+    for f in idx.schema.fields:
+        if f.name != "file":
+            pad = pad.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return idx.unionByName(pad.select(*idx.columns))
+
+
+def _write_index(idx, enc_dir: str):
+    """Publish the sidecar atomically-ish: write to ``_file_index.new``
+    then swap directories, so a reader never sees a half-written index
+    (a crash between remove and rename just forces a rebuild -- the
+    index is always derivable from the data)."""
+    import shutil
+
+    final = file_index_path(enc_dir)
+    tmp = final + ".new"
+    idx.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+
+
+def build_file_index(spark, enc_dir: str):
+    """Build and persist the per-file zone map for the encoded dataset at
+    ``enc_dir``; returns the index DataFrame.  One pure-JVM aggregation
+    over the scalar stat columns; the sidecar is one parquet file under
+    ``_file_index/``."""
+    files = _data_files(enc_dir)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {enc_dir!r}")
+    idx = _pad_missing(spark, _grouped_index(spark, files),
+                       {os.path.basename(p) for p in files})
+    _write_index(idx, enc_dir)
     return spark.read.parquet(file_index_path(enc_dir))
+
+
+def update_file_index(spark, enc_dir: str):
+    """Incremental sidecar maintenance for the append-mostly ingest
+    shape: scan ONLY the container files that appeared since the last
+    build/update, carry existing rows over unchanged, and drop rows for
+    files that disappeared (compaction, retention deletes).  At 100 TB a
+    daily append touches thousands of new files, not the million already
+    indexed -- re-aggregating those would re-read every footer for
+    nothing.  Falls back to :func:`build_file_index` when no sidecar
+    exists; returns the refreshed index DataFrame."""
+    from pyspark.sql import functions as F
+
+    final = file_index_path(enc_dir)
+    if not os.path.isdir(final):
+        return build_file_index(spark, enc_dir)
+    idx = spark.read.parquet(final)
+    listing = {os.path.basename(p): p for p in _data_files(enc_dir)}
+    indexed = {r["file"] for r in idx.select("file").collect()}
+    new = sorted(set(listing) - indexed)
+    removed = sorted(indexed - set(listing))
+    if not new and not removed:
+        return idx
+    if removed:
+        idx = idx.filter(~F.col("file").isin(removed))
+    if new:
+        fresh = _pad_missing(spark, _grouped_index(
+            spark, [listing[n] for n in new]), set(new))
+        if set(fresh.columns) != set(idx.columns):
+            raise ValueError(
+                f"new files carry stat columns {sorted(fresh.columns)} but "
+                f"the index has {sorted(idx.columns)}; encode appends with "
+                "the same stat_columns or rebuild with build_file_index")
+        idx = idx.unionByName(fresh.select(*idx.columns))
+    _write_index(idx, enc_dir)
+    return spark.read.parquet(final)
 
 
 def read_file_index(spark, enc_dir: str):

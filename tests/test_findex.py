@@ -94,3 +94,60 @@ def test_file_index_requires_stat_columns(spark, tmp_path):
     encode_dataframe(df, auto_fastpath=False).write.parquet(out)
     with pytest.raises(ValueError, match="stat_columns"):
         build_file_index(spark, out)
+
+
+def test_update_file_index_incremental(spark, tmp_path):
+    """Append-only maintenance: only NEW files are scanned, removed files
+    drop out, and planning stays correct across the update."""
+    from sparkcodec.findex import build_file_index, update_file_index
+
+    li = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select("l_orderkey", "l_quantity", "l_returnflag"))
+    lo_half = li.filter("l_orderkey <= 3000")
+    hi_half = li.filter("l_orderkey > 3000")
+    out = str(tmp_path / "enc")
+    cluster_encode(lo_half, ["l_orderkey"], num_partitions=4,
+                   chunk_rows=256, auto_fastpath=False).write.parquet(out)
+    n0 = build_file_index(spark, out).count()
+    # append new encoded files, then update: index grows, no rebuild
+    cluster_encode(hi_half, ["l_orderkey"], num_partitions=3,
+                   chunk_rows=256, auto_fastpath=False) \
+        .write.mode("append").parquet(out)
+    idx = update_file_index(spark, out)
+    n_files = len([f for f in os.listdir(out)
+                   if f.endswith(".parquet") and not f.startswith("_")])
+    assert idx.count() == n_files > n0
+    # planning over the refreshed index covers the appended key range
+    mx = li.agg(F.max("l_orderkey")).collect()[0][0]
+    paths = prune_files_by_ranges(spark, out, {"l_orderkey": (mx, mx)})
+    assert 0 < len(paths) < n_files
+    got = sorted(tuple(r) for r in indexed_range_scan(
+        spark, out, "l_orderkey", mx, mx, "long").collect())
+    exp = sorted(tuple(r) for r in
+                 li.filter(F.col("l_orderkey") == mx).collect())
+    assert got == exp and len(got) > 0
+    # a deleted file drops out of the index on the next update
+    victim = next(os.path.join(out, f) for f in sorted(os.listdir(out))
+                  if f.endswith(".parquet") and not f.startswith("_"))
+    os.remove(victim)
+    assert update_file_index(spark, out).count() == n_files - 1
+    # no-op update leaves the index unchanged
+    assert update_file_index(spark, out).count() == n_files - 1
+
+
+def test_update_file_index_stat_schema_drift_raises(spark, tmp_path):
+    from sparkcodec.engine import encode_dataframe
+    from sparkcodec.findex import build_file_index, update_file_index
+
+    li = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select("l_orderkey", "l_quantity").limit(100))
+    out = str(tmp_path / "enc")
+    encode_dataframe(li.coalesce(1), chunk_rows=64,
+                     stat_columns=("l_orderkey",),
+                     auto_fastpath=False).write.parquet(out)
+    build_file_index(spark, out)
+    encode_dataframe(li.coalesce(1), chunk_rows=64,
+                     stat_columns=("l_quantity",),
+                     auto_fastpath=False).write.mode("append").parquet(out)
+    with pytest.raises(ValueError, match="stat columns"):
+        update_file_index(spark, out)
