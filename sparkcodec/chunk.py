@@ -39,6 +39,13 @@ from .kernels.delta import (
     for_unpack,
 )
 from .kernels.dictionary import dict_indexes_decode, dict_indexes_encode, factorize
+from .kernels.alp import alp_decode, alp_encode
+from .kernels.pfor import (
+    delta_pfor_pack,
+    delta_pfor_unpack,
+    pfor_pack,
+    pfor_unpack,
+)
 from .kernels.plain import (
     arrow_binary_from_buffers,
     binary_buffers,
@@ -545,8 +552,14 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
         if codec is None:
             samp = S.sample_numeric(vals)
             ratio = _sample_comp_ratio(vals[: S.SAMPLE_N].tobytes(), compress)
+            bss_ratio = None
+            if kind == "f":
+                bss_ratio = _sample_comp_ratio(
+                    byte_stream_split_encode(vals[: S.SAMPLE_N],
+                                             vals.dtype.itemsize), compress)
             codec = S.pick(S.estimate_costs_numeric(samp, kind, n_total=len(vals),
-                                                    comp_ratio=ratio))
+                                                    comp_ratio=ratio,
+                                                    bss_comp_ratio=bss_ratio))
         if codec == S.PLAIN:
             payload = plain_encode_numeric(vals, _PHYS_NAMES[type_tag])
         elif codec == S.RANK:
@@ -558,12 +571,18 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
             payload = for_pack(ints)
         elif codec == S.DELTA_FOR:
             payload = delta_for_pack(ints)
+        elif codec == S.PFOR:
+            payload = pfor_pack(ints)
+        elif codec == S.DELTA_PFOR:
+            payload = delta_pfor_pack(ints)
         elif codec == S.DELTA_BP:
             payload = delta_binary_pack(ints)
         elif codec == S.RLE:
             payload = _rle_for_encode(ints)
         elif codec == S.BSS:
             payload = byte_stream_split_encode(vals, vals.dtype.itemsize)
+        elif codec == S.ALP:
+            payload = alp_encode(vals)
         elif codec == S.DICT:
             idx, d = factorize(ints, "numeric")
             dict_block = plain_encode_numeric(d.astype(np.int64), "int64")
@@ -715,6 +734,8 @@ def decode_array(buf) -> pa.Array:
         elif codec == S.BSS:
             itemsize = int(_NP_DTYPES[type_tag][-1])
             vals = byte_stream_split_decode(payload, itemsize, n_dense, _NP_DTYPES[type_tag])
+        elif codec == S.ALP:
+            vals = alp_decode(payload)
         else:
             if codec == S.RANK:
                 ints = _rank_decode(payload)
@@ -722,6 +743,10 @@ def decode_array(buf) -> pa.Array:
                 ints = for_unpack(payload)
             elif codec == S.DELTA_FOR:
                 ints = delta_for_unpack(payload)
+            elif codec == S.PFOR:
+                ints = pfor_unpack(payload)
+            elif codec == S.DELTA_PFOR:
+                ints = delta_pfor_unpack(payload)
             elif codec == S.DELTA_BP:
                 ints = delta_binary_unpack(payload)
             elif codec == S.RLE:

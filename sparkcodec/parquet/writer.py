@@ -519,12 +519,20 @@ def _pick_encoding(values: pa.Array, phys: int, use_dictionary: bool):
     # the closest spec encoding
     costs.pop(S.RLE, None)
     costs.pop(S.FOR, None)
+    costs.pop(S.PFOR, None)  # no patched encoding in the parquet spec
+    costs.pop(S.ALP, None)   # no ALP either; BSS is the in-spec float path
     if kind == "f":
         costs.pop(S.DELTA_FOR, None)
+        costs.pop(S.DELTA_PFOR, None)
         costs.pop(S.DELTA_BP, None)
     else:
-        if S.DELTA_FOR in costs:
-            costs[S.DELTA_BP] = min(costs.get(S.DELTA_BP, 1e18), costs.pop(S.DELTA_FOR))
+        # DELTA_BINARY_PACKED min-references each miniblock, so it realizes
+        # both delta-FOR (constant-delta ~0 bits) and most of delta-PFOR's
+        # (outlier damage contained to one block): fold their costs in
+        for folded in (S.DELTA_FOR, S.DELTA_PFOR):
+            if folded in costs:
+                costs[S.DELTA_BP] = min(costs.get(S.DELTA_BP, 1e18),
+                                        costs.pop(folded))
     if not use_dictionary:
         costs.pop(S.DICT, None)
     pick = S.pick(costs)

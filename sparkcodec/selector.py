@@ -35,6 +35,14 @@ DELTA_BA = 8
 FSST = 9
 RANK = 10  # frequency-ranked dictionary + byte-plane split (the reference's
            # "TODO: sort by frequency?" at src/dictionary.js:133, realized)
+PFOR = 11  # patched frame-of-reference (public: Zukowski et al. ICDE 2006):
+           # cost-optimal base width + exception side lists, so outliers
+           # no longer force the whole chunk to the max width
+DELTA_PFOR = 12  # PFOR over the zigzag deltas: near-monotonic streams with
+                 # occasional huge jumps pack at the TYPICAL step width
+ALP = 13  # adaptive lossless float compression (public: Afroozeh & Boncz
+          # VLDB 2023): decimal doubles as PFOR-packed scaled ints, true
+          # reals via left-bits dictionary / right-bits split (ALP-RD)
 
 CODEC_NAMES = {
     PLAIN: "PLAIN",
@@ -48,6 +56,9 @@ CODEC_NAMES = {
     DELTA_BA: "DELTA_BA",
     FSST: "FSST",
     RANK: "RANK",
+    PFOR: "PFOR",
+    DELTA_PFOR: "DELTA_PFOR",
+    ALP: "ALP",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -64,6 +75,9 @@ class SampleStats:
     avg_prefix: float = 0.0  # binary only
     top256_mass: float = 0.0  # fraction of sampled values among the 256 most
                               # frequent sampled values (skew probe for RANK)
+    pfor_bpv: float = 64.0   # exact PFOR payload bits/value on the sample
+    pfor_delta_bpv: float = 64.0  # same, over the zigzag deltas
+    alp_bpv: float = 1e9     # exact ALP probe (floats only)
 
 
 def _bw_of(x: int) -> int:
@@ -85,6 +99,8 @@ def sample_numeric(values: np.ndarray) -> SampleStats:
     top = np.sort(counts)[::-1][:256]
     top256 = float(top.sum() / n)
     runs = 1 + int(np.count_nonzero(as_int[1:] != as_int[:-1]))
+    from .kernels.pfor import pfor_bits_per_value
+
     with np.errstate(over="ignore"):
         span = int(as_int.max()) - int(as_int.min())
         for_bw = _bw_of(span if span >= 0 else (1 << 64) - 1)
@@ -92,10 +108,20 @@ def sample_numeric(values: np.ndarray) -> SampleStats:
             d = as_int[1:] - as_int[:-1]
             zz = ((d << 1) ^ (d >> 63)).view(np.uint64)
             delta_bw = int(bit_widths(np.array([zz.max()], dtype=np.uint64))[0])
+            pfor_delta_bpv = pfor_bits_per_value(zz.view(np.int64))
         else:
             delta_bw = 0
+            pfor_delta_bpv = 0.0
+        pfor_bpv = pfor_bits_per_value(as_int)
+    alp_bpv = 1e9
+    if s.dtype.kind == "f" and s.dtype.itemsize in (4, 8):
+        from .kernels.alp import alp_bits_per_value
+
+        alp_bpv = alp_bits_per_value(s)
     return SampleStats(n, ndv / n, n / runs, for_bw, delta_bw,
-                       values.dtype.itemsize, top256_mass=top256)
+                       values.dtype.itemsize, top256_mass=top256,
+                       pfor_bpv=pfor_bpv, pfor_delta_bpv=pfor_delta_bpv,
+                       alp_bpv=alp_bpv)
 
 
 def sample_binary(offsets: np.ndarray, data: np.ndarray) -> SampleStats:
@@ -132,7 +158,8 @@ def sample_binary(offsets: np.ndarray, data: np.ndarray) -> SampleStats:
 
 def estimate_costs_numeric(st: SampleStats, dtype_kind: str,
                            n_total: int | None = None,
-                           comp_ratio: float = 1.0) -> dict[int, float]:
+                           comp_ratio: float = 1.0,
+                           bss_comp_ratio: float | None = None) -> dict[int, float]:
     """Estimated bytes per value for each candidate codec.  ``n_total`` is
     the true chunk length (one-time costs like dictionaries amortize over
     it, not over the sample).
@@ -151,6 +178,11 @@ def estimate_costs_numeric(st: SampleStats, dtype_kind: str,
         costs[FOR] = st.for_bw / 8 + 16 / max(st.n, 1)
         costs[DELTA_FOR] = st.delta_bw / 8 + 16 / max(st.n, 1)
         costs[DELTA_BP] = st.delta_bw / 8 + 5 / 128  # block headers; widths adapt downward
+        # exact payload bits/value measured on the sample; ties lose to
+        # FOR/DELTA_FOR (lower codec ids) so PFOR only wins when the
+        # patch lists strictly pay for themselves
+        costs[PFOR] = st.pfor_bpv / 8 + 16 / max(st.n, 1)
+        costs[DELTA_PFOR] = st.pfor_delta_bpv / 8 + 16 / max(st.n, 1)
         if 8 < st.for_bw <= 22 and st.n >= SAMPLE_N and n_total >= 4 * SAMPLE_N:
             # frequency-ranked dict: low byte ~raw, high plane shrinks with
             # skew; dictionary stored once per chunk.  NDV extrapolated
@@ -165,9 +197,16 @@ def estimate_costs_numeric(st: SampleStats, dtype_kind: str,
             costs[RLE] = (2 + vbytes) / st.mean_run
     if dtype_kind == "f":
         # BSS exists to help the general compressor (exponent/mantissa
-        # byte planes compress better than interleaved floats): credit it
-        # slightly beyond the measured raw-byte ratio
-        costs[BSS] = float(st.item_size) * min(comp_ratio * 0.9, 1.0)
+        # byte planes compress better than interleaved floats).  When the
+        # caller measured the compressor on the BSS-TRANSFORMED sample,
+        # use that exact ratio; otherwise credit the raw-byte ratio a bit
+        if bss_comp_ratio is not None:
+            costs[BSS] = float(st.item_size) * min(bss_comp_ratio, 1.0)
+        else:
+            costs[BSS] = float(st.item_size) * min(comp_ratio * 0.9, 1.0)
+        # exact sample probe; ALP payloads are bit-packed so they get no
+        # post-compression credit (consistent with FOR/PFOR pricing)
+        costs[ALP] = st.alp_bpv / 8 + 32 / max(st.n, 1)
         if st.mean_run >= 4:
             costs[RLE] = (2 + st.item_size) / st.mean_run
     if dtype_kind == "b":

@@ -336,3 +336,255 @@ def test_snappy_rejects_corrupt_streams():
     full = snappy_compress(b"abcdabcdabcdabcdabcdabcdabcdabcd")
     with pytest.raises(ValueError, match="truncated"):
         snappy_decompress(full[:-1])
+
+
+# ---------------------------------------------------------------- PFOR
+
+class TestPfor:
+    CASES = [
+        np.array([], dtype=np.int64),
+        np.array([5], dtype=np.int64),
+        np.array([0, 0, 0], dtype=np.int64),
+        np.array([7, -3, 2**40, 0, -(2**40)], dtype=np.int64),
+        np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max, 0, -1],
+                 dtype=np.int64),
+    ]
+
+    def test_roundtrip_edge_cases(self):
+        from sparkcodec.kernels.pfor import (
+            delta_pfor_pack, delta_pfor_unpack, pfor_pack, pfor_unpack)
+
+        for v in self.CASES:
+            assert np.array_equal(pfor_unpack(pfor_pack(v)), v)
+            assert np.array_equal(delta_pfor_unpack(delta_pfor_pack(v)), v)
+
+    def test_roundtrip_fuzz(self):
+        from sparkcodec.kernels.pfor import (
+            delta_pfor_pack, delta_pfor_unpack, pfor_pack, pfor_unpack)
+
+        rng = np.random.default_rng(11)
+        for _ in range(20):
+            n = int(rng.integers(1, 5000))
+            base = rng.integers(-1000, 1000, n)
+            out = np.where(rng.random(n) < 0.01,
+                           rng.integers(-2**50, 2**50, n), base).astype(np.int64)
+            assert np.array_equal(pfor_unpack(pfor_pack(out)), out)
+            assert np.array_equal(delta_pfor_unpack(delta_pfor_pack(out)), out)
+
+    def test_outliers_beat_plain_for(self):
+        # 0.5% outliers at 2**40: FOR packs EVERY value at 41 bits, PFOR
+        # patches only the outliers -- must be at least 3x smaller
+        from sparkcodec.kernels.delta import for_pack
+        from sparkcodec.kernels.pfor import pfor_pack
+
+        rng = np.random.default_rng(3)
+        n = 100_000
+        v = np.where(rng.random(n) < 0.005, 2**40,
+                     rng.integers(0, 1000, n)).astype(np.int64)
+        assert len(pfor_pack(v)) * 3 < len(for_pack(v))
+
+    def test_uniform_matches_for_size(self):
+        # no useful exceptions -> base width == max width, payload == FOR's
+        # (within the few header bytes); codec-id tie-break keeps FOR picked
+        from sparkcodec.kernels.delta import for_pack
+        from sparkcodec.kernels.pfor import pfor_pack
+
+        rng = np.random.default_rng(4)
+        v = rng.integers(0, 2**20, 50_000).astype(np.int64)
+        assert abs(len(pfor_pack(v)) - len(for_pack(v))) <= 8
+
+    def test_delta_pfor_near_monotonic_with_jumps(self):
+        # typical step 1-3 (2-bit zigzag deltas), rare 10**12 jumps: the
+        # jump must not widen the whole stream
+        from sparkcodec.kernels.delta import delta_for_pack
+        from sparkcodec.kernels.pfor import delta_pfor_pack, delta_pfor_unpack
+
+        rng = np.random.default_rng(5)
+        n = 50_000
+        v = (np.cumsum(rng.integers(1, 4, n))
+             + np.cumsum(np.where(rng.random(n) < 0.001, 10**12, 0))).astype(np.int64)
+        packed = delta_pfor_pack(v)
+        assert np.array_equal(delta_pfor_unpack(packed), v)
+        assert len(packed) * 5 < len(delta_for_pack(v))
+
+    def test_corrupt_exception_position_rejected(self):
+        import pytest
+
+        from sparkcodec.kernels.pfor import pfor_pack, pfor_unpack
+
+        v = np.array([0, 0, 0, 0, 2**40], dtype=np.int64)
+        buf = bytearray(pfor_pack(v))
+        # header: uvarint n(=5) | zigzag ref(=0) | u8 b | uvarint n_exc(=1)
+        # | u8 pos_bw | u8 high_bw | packed positions ...
+        assert buf[3] == 1  # one exception
+        buf[6] = 0xFF  # exception position -> 255 >= n
+        with pytest.raises(ValueError, match="corrupt PFOR"):
+            pfor_unpack(bytes(buf))
+
+    def test_chunk_auto_selects_pfor_on_skew(self):
+        from sparkcodec.chunk import decode_array, encode_array
+
+        rng = np.random.default_rng(7)
+        n = 50_000
+        v = np.where(rng.random(n) < 0.005, 2**40,
+                     rng.integers(0, 1000, n)).astype(np.int64)
+        buf, meta = encode_array(v)
+        assert meta["codec"] == "PFOR"
+        assert np.array_equal(np.asarray(decode_array(buf)), v)
+
+    def test_chunk_forced_codecs_preserve_nulls(self):
+        import pyarrow as pa
+
+        from sparkcodec import selector as S
+        from sparkcodec.chunk import decode_array, encode_array
+
+        arr = pa.array([1, None, 5, 2**40, None, 7], type=pa.int64())
+        for codec in (S.PFOR, S.DELTA_PFOR):
+            buf, meta = encode_array(arr, codec=codec)
+            assert meta["codec"] in ("PFOR", "DELTA_PFOR")
+            assert decode_array(buf).to_pylist() == arr.to_pylist()
+
+    def test_selector_prefers_for_on_ties(self):
+        # dense uniform small-range ints: PFOR's exact probe equals FOR's
+        # cost, and the lower codec id must win (no churn on old data)
+        from sparkcodec import selector as S
+
+        rng = np.random.default_rng(9)
+        v = rng.integers(0, 250, 5000).astype(np.int64)
+        st = S.sample_numeric(v)
+        costs = S.estimate_costs_numeric(st, "i", n_total=len(v))
+        assert costs[S.PFOR] >= costs[S.FOR] - 1e-9
+        picked = S.pick({c: costs[c] for c in (S.FOR, S.PFOR)})
+        assert picked == S.FOR
+
+
+# ---------------------------------------------------------------- ALP
+
+class TestAlp:
+    def test_decimal_roundtrip_and_ratio(self):
+        from sparkcodec.kernels.alp import alp_decode, alp_encode
+
+        rng = np.random.default_rng(1)
+        prices = np.round(rng.uniform(0, 1000, 100_000), 2)
+        buf = alp_encode(prices)
+        assert buf[0] == 0  # decimal mode
+        out = alp_decode(buf)
+        assert np.array_equal(out.view(np.uint64), prices.view(np.uint64))
+        assert len(buf) < 0.3 * prices.nbytes  # ~17 bits/value
+
+    def test_decimal_exceptions_patch_bitwise(self):
+        from sparkcodec.kernels.alp import alp_decode, alp_encode
+
+        rng = np.random.default_rng(2)
+        v = np.round(rng.uniform(0, 100, 20_000), 2)
+        idx = rng.choice(20_000, 60, replace=False)
+        v[idx[:20]] = np.nan
+        v[idx[20:40]] = np.inf
+        v[idx[40:]] = np.pi
+        buf = alp_encode(v)
+        assert buf[0] == 0  # still decimal; exceptions side-listed
+        out = alp_decode(buf)
+        assert np.array_equal(out.view(np.uint64), v.view(np.uint64))
+        # exceptions must not widen the int frame: still small
+        assert len(buf) < 0.35 * v.nbytes
+
+    def test_rd_mode_true_reals(self):
+        from sparkcodec.kernels.alp import alp_decode, alp_encode
+
+        rng = np.random.default_rng(3)
+        for dtype in (np.float64, np.float32):
+            v = rng.normal(size=50_000).astype(dtype)
+            buf = alp_encode(v)
+            assert buf[0] == 1  # RD mode
+            out = alp_decode(buf)
+            bd = np.uint64 if dtype == np.float64 else np.uint32
+            assert out.dtype == v.dtype
+            assert np.array_equal(out.view(bd), v.view(bd))
+            # left-bits dictionary must save vs raw
+            assert len(buf) < 0.95 * v.nbytes
+
+    def test_edge_cases(self):
+        from sparkcodec.kernels.alp import alp_decode, alp_encode
+
+        cases = [
+            np.array([], dtype=np.float64),
+            np.array([0.0], dtype=np.float64),
+            np.array([-0.0, 0.0, np.nan, np.inf, -np.inf], dtype=np.float64),
+            np.full(5_000, 3.14159),
+            np.array([1e308, -1e308, 5e-324, -5e-324], dtype=np.float64),
+            np.array([], dtype=np.float32),
+            np.array([np.float32("nan"), np.float32("-0.0")], dtype=np.float32),
+        ]
+        for v in cases:
+            out = alp_decode(alp_encode(v))
+            bd = np.uint64 if v.dtype.itemsize == 8 else np.uint32
+            assert out.dtype == v.dtype
+            assert np.array_equal(out.view(bd), v.view(bd))
+
+    def test_fuzz_roundtrip(self):
+        from sparkcodec.kernels.alp import alp_decode, alp_encode
+
+        rng = np.random.default_rng(4)
+        for trial in range(15):
+            n = int(rng.integers(1, 3000))
+            mode = trial % 3
+            if mode == 0:
+                v = np.round(rng.uniform(-1e6, 1e6, n), int(rng.integers(0, 5)))
+            elif mode == 1:
+                v = rng.normal(size=n) * 10.0 ** rng.integers(-200, 200)
+            else:
+                v = rng.normal(size=n).astype(np.float32)
+            bd = np.uint64 if v.dtype.itemsize == 8 else np.uint32
+            out = alp_decode(alp_encode(v))
+            assert np.array_equal(out.view(bd), v.view(bd)), (trial, v.dtype)
+
+    def test_size_scored_param_choice(self):
+        # the (e, f) search must weigh encoded SIZE, not hit ratio alone: a
+        # few non-decimal values must not push the search to a wide scale
+        from sparkcodec.kernels.alp import choose_decimal_params
+
+        rng = np.random.default_rng(5)
+        v = np.round(rng.uniform(0, 1000, 2000), 2)
+        v[::401] = np.pi  # sprinkle non-decimals
+        e, f, ratio, bits = choose_decimal_params(v)
+        assert ratio > 0.95
+        assert bits < 24  # ~17-bit ints + exception cost, NOT 50-bit scale
+
+    def test_rejects_non_float(self):
+        import pytest
+
+        from sparkcodec.kernels.alp import alp_encode
+
+        with pytest.raises(ValueError, match="float32/float64"):
+            alp_encode(np.arange(10, dtype=np.int64))
+
+    def test_chunk_auto_selects_alp(self):
+        from sparkcodec.chunk import decode_array, encode_array
+
+        rng = np.random.default_rng(6)
+        prices = np.round(rng.uniform(0, 1000, 50_000), 2)
+        buf, meta = encode_array(prices)
+        assert meta["codec"] == "ALP"
+        out = np.asarray(decode_array(buf))
+        assert np.array_equal(out.view(np.uint64), prices.view(np.uint64))
+
+    def test_chunk_forced_alp_preserves_nulls(self):
+        import pyarrow as pa
+
+        from sparkcodec import selector as S
+        from sparkcodec.chunk import decode_array, encode_array
+
+        arr = pa.array([1.25, None, 3.5, None, 1e308], type=pa.float64())
+        buf, meta = encode_array(arr, codec=S.ALP)
+        assert meta["codec"] == "ALP"
+        assert decode_array(buf).to_pylist() == arr.to_pylist()
+
+    def test_corrupt_mode_rejected(self):
+        import pytest
+
+        from sparkcodec.kernels.alp import alp_decode, alp_encode
+
+        buf = bytearray(alp_encode(np.array([1.5, 2.5], dtype=np.float64)))
+        buf[0] = 7
+        with pytest.raises(ValueError, match="mode"):
+            alp_decode(bytes(buf))
