@@ -117,6 +117,47 @@ def _roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_dataframe(encode_dataframe(docs))
 
 
+def _roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode+decode the embeddings table (vec_id, embedding:array<float>,
+    label) -- the float path, exercising the ALP codec (decimal / RD modes,
+    kernels/alp.py) on real vector data.  The decode is bitwise-lossless
+    (pinned in tests); the graded projection renders each element as
+    floor(x * 2^40): a power-of-two scale is EXACT float64 arithmetic on
+    both engines and captures every float32 mantissa bit for |x| >= ~1e-5,
+    avoiding the cross-engine float-to-string rendering trap."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import decode_dataframe, encode_dataframe
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dec = decode_dataframe(encode_dataframe(emb))
+    scale = F.lit(float(1 << 40))
+    return dec.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * scale).cast("string"),
+            ),
+            ",",
+        ).alias("emb_fp"),
+        "label",
+    )
+
+
+_EMB_ORACLE = """
+    SELECT vec_id,
+           array_to_string(
+               list_transform(
+                   embedding,
+                   x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1099511627776.0)
+                                  AS BIGINT) AS VARCHAR)),
+               ',') AS emb_fp,
+           label
+    FROM embeddings
+"""
+
+
 def _chunk_stats_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global min/max token id + token count recovered ONLY from the
     footer-style chunk metadata (no decode) -- proves stats correctness."""
@@ -1433,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_lineitem": _roundtrip_lineitem,
         "roundtrip_events": _roundtrip_events,
         "roundtrip_documents": _roundtrip_documents,
+        "roundtrip_embeddings": _roundtrip_embeddings,
         "chunk_stats_tokens": _chunk_stats_tokens,
         "codec_histogram": _codec_histogram,
         "compression_summary": _compression_summary,
@@ -1511,6 +1553,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_documents": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
+        "roundtrip_embeddings": _EMB_ORACLE,
         "chunk_stats_tokens": _chunk_stats_oracle(),
         # codec_histogram / compression_summary: engine-internal, rows-only
         "dedup_exact": (

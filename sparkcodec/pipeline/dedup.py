@@ -626,11 +626,12 @@ def _char_shingle_hashes(texts: pd.Series, k: int = SHINGLE_K) -> tuple[np.ndarr
     B = np.uint64(1000003)
     powers = np.empty(k, dtype=np.uint64)
     powers[0] = 1
-    for i in range(1, k):
-        powers[i] = powers[i - 1] * B
     with np.errstate(over="ignore"):
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * B
         win = np.lib.stride_tricks.sliding_window_view(padded, k)
         hashes_all = (win * powers[::-1]).sum(axis=1, dtype=np.uint64)
+    # (uint64 wraparound above is the rolling-hash modulus, intentional)
     # shingle count per doc: max(len - k + 1, 1) (short docs hash whole text)
     sh_lens = np.maximum(lens - k + 1, np.minimum(lens, 1))
     np.cumsum(sh_lens, out=sh_off[1:])
