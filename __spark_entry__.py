@@ -158,6 +158,75 @@ _EMB_ORACLE = """
 """
 
 
+def _ndv_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk HyperLogLog NDV sketches (ndv_<col> BINARY, 4 KiB of
+    registers over the same canonical xxhash64 value hashes the blooms
+    use) merged into the dataset-level sketch -- METADATA-ONLY distinct
+    counting (sparkcodec.engine.estimate_ndv).  Graded on the merged
+    REGISTERS (integer-exact): the oracle replays xxhash64 in HUGEINT SQL
+    (32-bit-split multiplies, BIGINT xor round-trips) and the bucket
+    maxima per the HLL definition, so any hashing/merge divergence flips
+    a register.  The float estimate is deliberately NOT the graded value
+    (floating-point summation order differs across engines)."""
+    from sparkcodec.engine import encode_dataframe, ndv_registers, range_repartition
+    from sparkcodec.tokens import tokens_table
+
+    enc = encode_dataframe(range_repartition(tokens_table(spark, sf_dir), 8),
+                           ndv_columns=("tokens",))
+    return ndv_registers(enc, "tokens")
+
+
+def _ndv_tokens_sketch_oracle() -> str:
+    from sparkcodec.kernels.hll import hll_registers_oracle_sql
+    from sparkcodec.tokens import tokens_table_oracle_sql
+
+    values = (f"SELECT CAST(unnest(tokens) AS BIGINT) AS v "
+              f"FROM ({tokens_table_oracle_sql()})")
+    return hll_registers_oracle_sql(values)
+
+
+def _token_magnitude_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk power-of-two magnitude histograms (hist_<col>
+    ARRAY<BIGINT>, 128 exact counts, mergeable by elementwise sum) rolled
+    up to the dataset distribution profile in PURE codegen (posexplode +
+    partial-aggregating sum over a narrow metadata scan -- no payload
+    decode, no Python).  The skew/width profile zone maps can't give."""
+    from sparkcodec.engine import encode_dataframe, magnitude_histogram, range_repartition
+    from sparkcodec.tokens import tokens_table
+
+    enc = encode_dataframe(range_repartition(tokens_table(spark, sf_dir), 8),
+                           hist_columns=("tokens",))
+    return magnitude_histogram(enc, "tokens")
+
+
+def _token_magnitude_hist_oracle() -> str:
+    from sparkcodec.engine import magnitude_hist_oracle_sql
+    from sparkcodec.tokens import tokens_table_oracle_sql
+
+    values = (f"SELECT CAST(unnest(tokens) AS BIGINT) AS v "
+              f"FROM ({tokens_table_oracle_sql()})")
+    return magnitude_hist_oracle_sql(values)
+
+
+def _text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (pipeline.textstats.normalize_text): the
+    canonicalization step before dedup, Arrow-batched pandas UDF over
+    CPython's unicodedata; oracle = DuckDB nfc_normalize (same Unicode
+    tables, exactness pinned on planted composed/decomposed fixtures in
+    tests/test_pipeline.py)."""
+    from sparkcodec.pipeline.textstats import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id", "text")
+    return normalize_text(docs).select("doc_id", "text", "was_normalized")
+
+
+def _text_normalize_oracle() -> str:
+    from sparkcodec.pipeline.textstats import normalize_text_oracle_sql
+
+    return normalize_text_oracle_sql()
+
+
 def _chunk_stats_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global min/max token id + token count recovered ONLY from the
     footer-style chunk metadata (no decode) -- proves stats correctness."""
@@ -1475,6 +1544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_events": _roundtrip_events,
         "roundtrip_documents": _roundtrip_documents,
         "roundtrip_embeddings": _roundtrip_embeddings,
+        "ndv_tokens_sketch": _ndv_tokens_sketch,
+        "token_magnitude_hist": _token_magnitude_hist,
+        "text_normalize": _text_normalize,
         "chunk_stats_tokens": _chunk_stats_tokens,
         "codec_histogram": _codec_histogram,
         "compression_summary": _compression_summary,
@@ -1554,6 +1626,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         "roundtrip_embeddings": _EMB_ORACLE,
+        "ndv_tokens_sketch": _ndv_tokens_sketch_oracle(),
+        "token_magnitude_hist": _token_magnitude_hist_oracle(),
+        "text_normalize": _text_normalize_oracle(),
         "chunk_stats_tokens": _chunk_stats_oracle(),
         # codec_histogram / compression_summary: engine-internal, rows-only
         "dedup_exact": (

@@ -325,10 +325,11 @@ def _rank_encode(ints: np.ndarray, compress) -> bytes | None:
     # negative slipping past the guard into np.bincount (ADVICE r1)
     with np.errstate(over="ignore"):
         shifted_u = (ints - ref).view(np.uint64)
-    if int(shifted_u.max()) >= (1 << 22):
+    max_shift = int(shifted_u.max())
+    if max_shift >= (1 << 22):
         return None
     shifted = shifted_u.view(np.int64)
-    span = int(shifted.max()) + 1
+    span = max_shift + 1
     counts = np.bincount(shifted, minlength=span)
     nz = np.flatnonzero(counts)
     order = np.argsort(-counts[nz], kind="stable")

@@ -494,9 +494,45 @@ def _column_hashes(col: pa.Array) -> np.ndarray | None:
     return None
 
 
+N_MAG_BUCKETS = 128  # 0, pos bit-lengths 1..63, 64 + neg magnitude bits
+
+
+def _magnitude_bucket_counts(col: pa.Array) -> np.ndarray | None:
+    """Power-of-two magnitude histogram of an int-like column (list
+    columns: their ELEMENTS).  Bucket 0 holds zeros, 1..63 positive values
+    by bit length, 64+k negatives by bit length of ~v (two's-complement
+    safe for INT64_MIN).  Deterministic, merges by elementwise SUM, and
+    replayable exactly in SQL (length(bin(x))) -- the profiling/selectivity
+    metadata zone maps can't give (min/max says nothing about skew)."""
+    from .kernels.bitpack import bit_widths
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dense = col.drop_null() if col.null_count else col
+    t = dense.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _magnitude_bucket_counts(dense.flatten())
+    if pa.types.is_date32(t):
+        dense = dense.cast(pa.int32())
+        t = dense.type
+    if not (pa.types.is_integer(t) or pa.types.is_timestamp(t)):
+        return None
+    v = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    buckets = np.zeros(len(v), dtype=np.int64)
+    pos = v > 0
+    neg = v < 0
+    if pos.any():
+        buckets[pos] = bit_widths(v[pos].astype(np.uint64)).astype(np.int64)
+    if neg.any():
+        buckets[neg] = 64 + bit_widths((~v[neg]).astype(np.uint64)).astype(np.int64)
+    return np.bincount(buckets, minlength=N_MAG_BUCKETS)
+
+
 def _encode_group_columns(batch: pa.Table | pa.RecordBatch, compress: bool,
                           bloom_columns: tuple[str, ...] = (),
                           bloom_sink: dict[str, bytes] | None = None,
+                          ndv_columns: tuple[str, ...] = (),
+                          ndv_sink: dict[str, bytes] | None = None,
                           ) -> tuple[list[tuple[str, bytes, bytes]], dict, list[list[str]], int]:
     """Per-column encode loop shared by both payload layouts.  Returns
     ([(name, column blob, bloom bytes)], per-column meta, schema pairs,
@@ -517,17 +553,26 @@ def _encode_group_columns(batch: pa.Table | pa.RecordBatch, compress: bool,
         if meta.get("kind") == "list":
             n_tokens += int(meta["values"]["n_values"])
         bloom_bytes = b""
-        # scalar columns bloom their values; list columns bloom their
-        # ELEMENTS (struct/map shapes return no hashes and build nothing)
-        if name in bloom_columns and isinstance(tname, str):
+        # scalar columns bloom/sketch their values; list columns their
+        # ELEMENTS (struct/map shapes return no hashes and build nothing).
+        # Both consumers share ONE canonical-hash pass over the column.
+        want_bloom = name in bloom_columns and isinstance(tname, str)
+        want_ndv = (ndv_sink is not None and name in ndv_columns
+                    and isinstance(tname, str))
+        if want_bloom or want_ndv:
             hashes = _column_hashes(col)
-            if hashes is not None and len(hashes):
-                bloom = build_bloom(hashes)
-                if bloom is not None:
-                    bloom_bytes = bloom.to_bytes()
-                    meta["bloom_bytes"] = len(bloom_bytes)
-                    if bloom_sink is not None:
-                        bloom_sink[name] = bloom_bytes
+            if hashes is not None:
+                if want_bloom and len(hashes):
+                    bloom = build_bloom(hashes)
+                    if bloom is not None:
+                        bloom_bytes = bloom.to_bytes()
+                        meta["bloom_bytes"] = len(bloom_bytes)
+                        if bloom_sink is not None:
+                            bloom_sink[name] = bloom_bytes
+                if want_ndv:
+                    from .kernels.hll import hll_sketch
+
+                    ndv_sink[name] = hll_sketch(hashes)
         cols.append((name, blob, bloom_bytes))
         metas[name] = meta
     return cols, metas, pairs, n_tokens
@@ -535,7 +580,9 @@ def _encode_group_columns(batch: pa.Table | pa.RecordBatch, compress: bool,
 
 def encode_chunk_group(batch: pa.Table | pa.RecordBatch, compress: bool = True,
                        bloom_columns: tuple[str, ...] = (),
-                       bloom_sink: dict[str, bytes] | None = None) -> tuple[bytes, dict, list[list[str]], int]:
+                       bloom_sink: dict[str, bytes] | None = None,
+                       ndv_columns: tuple[str, ...] = (),
+                       ndv_sink: dict[str, bytes] | None = None) -> tuple[bytes, dict, list[list[str]], int]:
     """Encode all columns of a row window into ONE self-describing group
     blob.  Returns (blob, per-column meta, schema pairs, n_tokens).
 
@@ -553,7 +600,7 @@ def encode_chunk_group(batch: pa.Table | pa.RecordBatch, compress: bool = True,
     ``split_payload=True`` on the encode entry points.
     """
     cols, metas, pairs, n_tokens = _encode_group_columns(
-        batch, compress, bloom_columns, bloom_sink)
+        batch, compress, bloom_columns, bloom_sink, ndv_columns, ndv_sink)
     out = bytearray()
     out.extend(GROUP_MAGIC)
     out.append(GROUP_VERSION)
@@ -732,7 +779,9 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
                          seq_start: int = 0,
                          stat_columns: tuple[str, ...] = (),
                          agg_columns: tuple[str, ...] = (),
-                         payload_columns: tuple[str, ...] | None = None) -> Iterator[pa.RecordBatch]:
+                         payload_columns: tuple[str, ...] | None = None,
+                         ndv_columns: tuple[str, ...] = (),
+                         hist_columns: tuple[str, ...] = ()) -> Iterator[pa.RecordBatch]:
     """Shared worker-side encode loop: window incoming Arrow batches by row
     count + token weight, encode each window as one chunk group, emit one
     encoded row per chunk.  Used by both :func:`encode_dataframe` (data via
@@ -782,7 +831,9 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
                           for c in payload_columns])
     base_schema = pa.schema(
         base_fields
-        + [pa.field(f"bloom_{c}", pa.binary()) for c in bloom_columns])
+        + [pa.field(f"bloom_{c}", pa.binary()) for c in bloom_columns]
+        + [pa.field(f"ndv_{c}", pa.binary()) for c in ndv_columns]
+        + [pa.field(f"hist_{c}", pa.list_(pa.int64())) for c in hist_columns])
     out_schema = base_schema
     stat_fields: list[tuple[str, pa.DataType]] = []
     agg_fields: list[tuple[str, pa.DataType]] = []
@@ -804,10 +855,12 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
             bytes_in = sum(c.nbytes for c in window.columns)
             t0 = time.perf_counter()
             bloom_sink: dict[str, bytes] = {}
+            ndv_sink: dict[str, bytes] = {}
             if payload_columns is None:
                 blob, metas, pairs, n_tokens = encode_chunk_group(
                     window, compress, bloom_columns=bloom_columns,
-                    bloom_sink=bloom_sink)
+                    bloom_sink=bloom_sink, ndv_columns=ndv_columns,
+                    ndv_sink=ndv_sink)
                 bytes_out = len(blob)
                 pay_cells: dict[str, bytes] = {"payload": blob}
             else:
@@ -817,7 +870,8 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
                         f"{window.schema.names} but the output schema was "
                         f"declared for {list(payload_columns)}")
                 cols, metas, pairs, n_tokens = _encode_group_columns(
-                    window, compress, bloom_columns, bloom_sink)
+                    window, compress, bloom_columns, bloom_sink,
+                    ndv_columns, ndv_sink)
                 pay_cells = {f"payload_{name}": cblob for name, cblob, _ in cols}
                 bytes_out = sum(len(cblob) for _, cblob, _ in cols)
             encode_ms = (time.perf_counter() - t0) * 1000.0
@@ -837,6 +891,12 @@ def _encode_batch_stream(batches: Iterator[pa.RecordBatch], part_id: int,
             }
             for c in bloom_columns:
                 row[f"bloom_{c}"] = bloom_sink.get(c)
+            for c in ndv_columns:
+                row[f"ndv_{c}"] = ndv_sink.get(c)
+            for c in hist_columns:
+                counts = _magnitude_bucket_counts(window.column(c))
+                row[f"hist_{c}"] = (counts.tolist() if counts is not None
+                                    else None)
             if stat_columns:
                 import pyarrow.compute as pc
 
@@ -977,6 +1037,27 @@ _BLOOMABLE_SPARK = {"int", "bigint", "smallint", "tinyint", "string",
                     "binary", "timestamp", "timestamp_ntz", "date"}
 
 
+_HISTABLE_SPARK = {"int", "bigint", "smallint", "tinyint", "timestamp",
+                   "timestamp_ntz", "date"}
+
+
+def _is_histable_typename(tname: str) -> bool:
+    """Magnitude histograms need int-like (element) values: scalar
+    int/timestamp/date or an array of such (elements are bucketed)."""
+    while tname.startswith("array<") and tname.endswith(">"):
+        tname = tname[len("array<"):-1]
+    return tname in _HISTABLE_SPARK
+
+
+def _check_hist_types(hist_columns, schema_types: dict[str, str]) -> None:
+    for c in hist_columns:
+        if c in schema_types and not _is_histable_typename(schema_types[c]):
+            raise ValueError(
+                f"hist_columns entry {c!r} has type {schema_types[c]}: "
+                "magnitude histograms are built for int/timestamp/date "
+                "columns (or arrays of those, bucketed element-wise) only")
+
+
 def _is_bloomable_typename(tname: str) -> bool:
     """A column can carry an SBBF when its (element) values have canonical
     hash bytes: scalar int/string/binary/timestamp/date, or an array of
@@ -1063,13 +1144,17 @@ def _resolve_split_columns(columns, schema_names) -> tuple[tuple[str, ...], list
 
 
 def _encoded_out_ddl(payload_columns: tuple[str, ...] | None,
-                     bloom_columns: tuple[str, ...]) -> str:
+                     bloom_columns: tuple[str, ...],
+                     ndv_columns: tuple[str, ...] = (),
+                     hist_columns: tuple[str, ...] = ()) -> str:
     """Output DDL for an encode: single-blob layout, or per-column
-    payload_<col> when ``payload_columns`` is given, plus bloom columns."""
+    payload_<col> when ``payload_columns`` is given, plus bloom / NDV
+    sketch / magnitude histogram columns."""
+    aux = (_blooms_ddl(bloom_columns) + _ndv_ddl(ndv_columns)
+           + _hist_ddl(hist_columns))
     if payload_columns is None:
-        return ENCODED_DDL + _blooms_ddl(bloom_columns)
-    return (ENCODED_BASE_DDL + ", " + _payloads_ddl(payload_columns)
-            + _blooms_ddl(bloom_columns))
+        return ENCODED_DDL + aux
+    return ENCODED_BASE_DDL + ", " + _payloads_ddl(payload_columns) + aux
 
 
 def _descriptor_df(spark, splits: list[dict]):
@@ -1127,6 +1212,24 @@ def _blooms_ddl(bloom_columns: tuple[str, ...]) -> str:
     return ", " + ", ".join(f"bloom_{c} BINARY" for c in bloom_columns)
 
 
+def _ndv_ddl(ndv_columns: tuple[str, ...]) -> str:
+    """Dedicated top-level HLL sketch columns (4 KiB each): the NDV path
+    scans ONLY these, so a dataset-level distinct count reads kilobytes of
+    registers per chunk and zero payload bytes."""
+    if not ndv_columns:
+        return ""
+    return ", " + ", ".join(f"ndv_{c} BINARY" for c in ndv_columns)
+
+
+def _hist_ddl(hist_columns: tuple[str, ...]) -> str:
+    """Per-chunk magnitude histograms (128 BIGINT counts): merge by
+    elementwise sum in pure codegen (posexplode + group-by), giving
+    dataset-level value-distribution profiles without payload decode."""
+    if not hist_columns:
+        return ""
+    return ", " + ", ".join(f"hist_{c} ARRAY<BIGINT>" for c in hist_columns)
+
+
 def _stats_ddl(pa_schema: pa.Schema, stat_columns: tuple[str, ...]) -> str:
     parts = []
     for name, t in _stat_fields(pa_schema, stat_columns):
@@ -1148,7 +1251,9 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                      auto_fastpath: bool = True,
                      stat_columns: tuple[str, ...] = (),
                      agg_columns: tuple[str, ...] = (),
-                     split_payload: bool = False):
+                     split_payload: bool = False,
+                     ndv_columns: tuple[str, ...] = (),
+                     hist_columns: tuple[str, ...] = ()):
     """DataFrame -> encoded chunk-group DataFrame (one row per chunk).
 
     ``partition_col`` names an int column carrying a deterministic bucket
@@ -1181,10 +1286,26 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
     ``payload_<col>`` BINARY column per source column instead of a single
     ``payload`` blob): decoding a projection then prunes unselected
     columns' bytes at the parquet reader of the encoded table.
+
+    ``ndv_columns`` adds per-chunk HyperLogLog sketches (``ndv_<col>``
+    BINARY, 4 KiB dense registers over the same canonical value hashes the
+    bloom filters use): :func:`estimate_ndv` then answers dataset-level
+    distinct counts from metadata alone (partition-local register merges,
+    one blob per partition to the driver, no payload decode).
+
+    ``hist_columns`` adds per-chunk power-of-two magnitude histograms
+    (``hist_<col> ARRAY<BIGINT>``, 128 counts): exact, mergeable by
+    elementwise sum, so :func:`magnitude_histogram` profiles a column's
+    value distribution (skew, sign mix, width classes) metadata-only.
     """
-    _check_aux_columns(bloom_columns, (*stat_columns, *agg_columns),
-                       {f.name: f.dataType.simpleString() for f in df.schema})
+    _df_types = {f.name: f.dataType.simpleString() for f in df.schema}
+    _check_aux_columns((*bloom_columns, *ndv_columns),
+                       (*stat_columns, *agg_columns, *hist_columns),
+                       _df_types)
+    _check_hist_types(hist_columns, _df_types)
     if partition_col is not None and partition_col in (*bloom_columns,
+                                                       *ndv_columns,
+                                                       *hist_columns,
                                                        *stat_columns,
                                                        *agg_columns):
         raise ValueError(
@@ -1199,13 +1320,15 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                 token_budget=token_budget, compress=compress,
                 columns=cols, bloom_columns=bloom_columns,
                 stat_columns=stat_columns, agg_columns=agg_columns,
-                split_payload=split_payload)
+                split_payload=split_payload, ndv_columns=ndv_columns,
+                hist_columns=hist_columns)
 
     payload_columns: tuple[str, ...] | None = None
     if split_payload:
         payload_columns = tuple(f.name for f in df.schema
                                 if f.name != partition_col)
-    out_ddl = _encoded_out_ddl(payload_columns, bloom_columns)
+    out_ddl = _encoded_out_ddl(payload_columns, bloom_columns, ndv_columns,
+                               hist_columns)
     if stat_columns or agg_columns:
         pa_schema = pa.schema([
             (f.name, _pa_type_of_spark(f.dataType)) for f in df.schema
@@ -1243,7 +1366,9 @@ def encode_dataframe(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                                         partition_col, bloom_columns,
                                         stat_columns=stat_columns,
                                         agg_columns=agg_columns,
-                                        payload_columns=payload_columns)
+                                        payload_columns=payload_columns,
+                                        ndv_columns=ndv_columns,
+                                        hist_columns=hist_columns)
 
     return df.mapInArrow(encode_partition, out_ddl)
 
@@ -1317,7 +1442,9 @@ def encode_parquet_dataset(spark, path, *,
                            include_source_file: bool = False,
                            stat_columns: tuple[str, ...] = (),
                            agg_columns: tuple[str, ...] = (),
-                           split_payload: bool = False):
+                           split_payload: bool = False,
+                           ndv_columns: tuple[str, ...] = (),
+                           hist_columns: tuple[str, ...] = ()):
     """Scan-side encode: parquet is read directly by pyarrow inside each
     Python task; only (file, row-groups) descriptors cross the JVM.
 
@@ -1342,17 +1469,22 @@ def encode_parquet_dataset(spark, path, *,
     # append_column'd after the encode stream, so it must also come last
     # in the DDL)
     payload_columns: tuple[str, ...] | None = None
-    if split_payload or stat_columns or agg_columns or bloom_columns:
+    if split_payload or stat_columns or agg_columns or bloom_columns \
+            or ndv_columns or hist_columns:
         import pyarrow.dataset as ds
 
         ds_schema = ds.dataset(path, format="parquet").schema
-    if stat_columns or agg_columns or bloom_columns:
-        _check_aux_columns(bloom_columns, (*stat_columns, *agg_columns),
+    if stat_columns or agg_columns or bloom_columns or ndv_columns \
+            or hist_columns:
+        _check_aux_columns((*bloom_columns, *ndv_columns),
+                           (*stat_columns, *agg_columns, *hist_columns),
                            _pa_simple_types(ds_schema),
                            read_columns=columns)
+        _check_hist_types(hist_columns, _pa_simple_types(ds_schema))
     if split_payload:
         payload_columns, columns = _resolve_split_columns(columns, ds_schema.names)
-    out_ddl = _encoded_out_ddl(payload_columns, bloom_columns)
+    out_ddl = _encoded_out_ddl(payload_columns, bloom_columns, ndv_columns,
+                               hist_columns)
     if stat_columns:
         out_ddl += _stats_ddl(ds_schema, stat_columns)
     if agg_columns:
@@ -1387,7 +1519,8 @@ def encode_parquet_dataset(spark, path, *,
                 _read_splits(batches, batch_rows, columns), part_id,
                 chunk_rows, token_budget, compress, None, bloom_columns,
                 stat_columns=stat_columns, agg_columns=agg_columns,
-                payload_columns=payload_columns)
+                payload_columns=payload_columns, ndv_columns=ndv_columns,
+                hist_columns=hist_columns)
             return
 
         # file-tagged mode: one encode stream per file so chunks never
@@ -1399,7 +1532,9 @@ def encode_parquet_dataset(spark, path, *,
                                            None, bloom_columns, seq_start=seq,
                                            stat_columns=stat_columns,
                                            agg_columns=agg_columns,
-                                           payload_columns=payload_columns):
+                                           payload_columns=payload_columns,
+                                           ndv_columns=ndv_columns,
+                                           hist_columns=hist_columns):
                 seq += len(rb)
                 tagged = rb.append_column(
                     "source_file", pa.array([p] * len(rb), type=pa.string()))
@@ -2316,3 +2451,100 @@ def range_repartition(df, num_partitions: int, source_col: str = "source",
     """Range repartition on (source, doc_id): stable chunk locality, lets
     sorted doc_id prefix-compress inside chunks."""
     return df.repartitionByRange(num_partitions, source_col, id_col)
+
+
+def merged_ndv_sketch(enc_df, column: str) -> bytes:
+    """Merge the per-chunk ``ndv_<column>`` HLL sketches of an encoded
+    DataFrame into one dataset-level sketch, metadata-only.
+
+    100-TB shape: the scan reads ONLY the 4 KiB sketch column;
+    partition-local merges (elementwise register max, associative) fold
+    each task's chunks down to ONE sketch, so the driver receives
+    n_partitions blobs -- the same bounded-collect contract as the IVF
+    partial reductions (simsearch.refine_ivf_centroids)."""
+    from .kernels.hll import hll_merge
+
+    ndv_col = f"ndv_{column}"
+    if ndv_col not in enc_df.columns:
+        raise ValueError(
+            f"encoded table has no {ndv_col!r} column: encode with "
+            f"ndv_columns=({column!r},)")
+
+    def merge_part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: bytes | None = None
+        for b in batches:
+            for s in b.column(0).to_pylist():
+                if s is None:
+                    continue
+                acc = s if acc is None else hll_merge(acc, s)
+        if acc is not None:
+            yield pa.RecordBatch.from_pylist([{"sketch": acc}],
+                                             schema=pa.schema(
+                                                 [("sketch", pa.binary())]))
+
+    parts = enc_df.select(ndv_col).mapInArrow(
+        merge_part, "sketch BINARY").collect()
+    return hll_merge(*[r.sketch for r in parts]) if parts else \
+        hll_merge()
+
+
+def estimate_ndv(enc_df, column: str) -> float:
+    """Dataset-level distinct-count estimate (~1.6% std error at the
+    default precision) from chunk metadata alone -- no payload decode."""
+    from .kernels.hll import hll_estimate
+
+    return hll_estimate(merged_ndv_sketch(enc_df, column))
+
+
+def ndv_registers(enc_df, column: str):
+    """The merged sketch's nonzero (bucket, register) rows as a DataFrame:
+    integer-exact, so an SQL oracle can replay them value-for-value
+    (kernels.hll.hll_registers_oracle_sql)."""
+    from .kernels.hll import hll_registers
+
+    reg = hll_registers(merged_ndv_sketch(enc_df, column))
+    rows = [(int(b), int(r)) for b, r in enumerate(reg) if r]
+    return enc_df.sparkSession.createDataFrame(
+        rows or [(-1, -1)][0:0], "bucket INT, register INT")
+
+
+def magnitude_histogram(enc_df, column: str):
+    """Dataset-level power-of-two magnitude histogram from the per-chunk
+    ``hist_<column>`` metadata -- (bucket, cnt) rows for nonzero buckets.
+
+    Pure codegen: one narrow scan of the 128-element count arrays,
+    posexplode, partial-aggregating group-by sum.  Bucket semantics:
+    0 = zeros, 1..63 = positive values by bit length, 64+k = negative
+    values by bit length of ~v.  Exact (no sketching), so it grades
+    against a plain SQL recomputation (magnitude_hist_oracle_sql)."""
+    from pyspark.sql import functions as F
+
+    hist_col = f"hist_{column}"
+    if hist_col not in enc_df.columns:
+        raise ValueError(
+            f"encoded table has no {hist_col!r} column: encode with "
+            f"hist_columns=({column!r},)")
+    return (enc_df.select(F.posexplode(hist_col).alias("bucket", "cnt"))
+            .groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0))
+
+
+def magnitude_hist_oracle_sql(values_sql: str, value_col: str = "v") -> str:
+    """DuckDB recomputation of :func:`magnitude_histogram` from the raw
+    BIGINT values: bucket = bit length via length(bin(x)) (~v for
+    negatives, two's-complement safe for the INT64 minimum)."""
+    return f"""
+        WITH vals AS (SELECT {value_col} AS v FROM ({values_sql})),
+        b AS (
+          SELECT CASE
+                   WHEN v = 0 THEN 0
+                   WHEN v > 0 THEN length(bin(v))
+                   WHEN -(v + 1) = 0 THEN 64
+                   ELSE 64 + length(bin(-(v + 1)))
+                 END AS bucket
+          FROM vals
+        )
+        SELECT CAST(bucket AS INTEGER) AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY bucket
+    """

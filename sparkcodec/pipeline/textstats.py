@@ -331,3 +331,48 @@ def token_bigram_topk_oracle_sql(k: int = 100,
         ORDER BY cnt DESC, a, b
         LIMIT {k}
     """
+
+
+def normalize_text(docs: DataFrame, form: str = "NFC",
+                   text_col: str = "text") -> DataFrame:
+    """Unicode canonical normalization of a text column -- the curation
+    step that runs BEFORE dedup so composed ("é") and decomposed
+    ("é") spellings of the same text hash identically.
+
+    Spark has no built-in normalizer, so this is an Arrow-batched pandas
+    UDF over ``Series.str.normalize`` (CPython's unicodedata, one C call
+    per string -- the sanctioned Python fallback, never per-row SQL UDF).
+    ``form``: NFC/NFD/NFKC/NFKD.  Output replaces ``text_col`` and adds
+    ``was_normalized`` (value changed), useful as a curation audit column.
+    """
+    import unicodedata
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.map(lambda t: unicodedata.normalize(form, t)
+                     if t is not None else None)
+
+    out = docs.withColumn("__norm", _norm(F.col(text_col)))
+    return (out
+            .withColumn("was_normalized",
+                        ~F.col("__norm").eqNullSafe(F.col(text_col)))
+            .withColumn(text_col, F.col("__norm"))
+            .drop("__norm"))
+
+
+def normalize_text_oracle_sql(table: str = "documents") -> str:
+    """DuckDB replay: nfc_normalize implements the same Unicode NFC
+    tables (exactness cross-checked in tests on planted composed/
+    decomposed/compatibility fixtures)."""
+    return f"""
+        SELECT doc_id,
+               nfc_normalize(text) AS text,
+               (nfc_normalize(text) IS DISTINCT FROM text) AS was_normalized
+        FROM {table}
+    """

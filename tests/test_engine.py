@@ -1005,3 +1005,114 @@ def test_probe_rows_contains_conjunctive(spark):
     assert probe_rows(enc, ranges={"id": (0, 50)},
                       contains={"tokens": 1150},
                       range_dtypes={"id": "int"}).count() == 0
+
+
+def test_ndv_sketches_metadata_only(spark, toks, tmp_path):
+    """Per-chunk HLL sketches: estimate_ndv answers dataset-level distinct
+    counts from the ndv_<col> columns alone -- the scan over a PERSISTED
+    encoded table must not read payload bytes -- and the estimate tracks
+    the true cardinalities (exact via linear counting at fixture scale,
+    <2% at sketch scale by construction)."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        encode_dataframe, estimate_ndv, ndv_registers, range_repartition,
+    )
+
+    enc_dir = str(tmp_path / "enc")
+    encode_dataframe(range_repartition(toks, 4), chunk_rows=64,
+                     ndv_columns=("tokens", "source"),
+                     auto_fastpath=False).write.parquet(enc_dir)
+    enc = spark.read.parquet(enc_dir)
+    assert "ndv_tokens" in enc.columns
+
+    true_tok = toks.select(F.explode("tokens").alias("t")) \
+                   .agg(F.countDistinct("t")).collect()[0][0]
+    est = estimate_ndv(enc, "tokens")
+    assert abs(est - true_tok) / true_tok < 0.05
+    true_src = toks.agg(F.countDistinct("source")).collect()[0][0]
+    assert abs(estimate_ndv(enc, "source") - true_src) / true_src < 0.05
+
+    # metadata-only: the merge plan's parquet scan reads ONLY the sketch
+    narrow = enc.select("ndv_tokens")
+    plan = narrow._sc._jvm.PythonSQLUtils.explainString(
+        narrow._jdf.queryExecution(), "formatted")
+    scans = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert scans and all(
+        "ndv_tokens" in s and "payload" not in s for s in scans), plan
+
+    # registers are integer-exact and partitioning-independent: re-encode
+    # at a different parallelism, same merged registers
+    enc2 = encode_dataframe(range_repartition(toks, 2), chunk_rows=256,
+                            ndv_columns=("tokens",), auto_fastpath=False)
+    r1 = sorted(map(tuple, ndv_registers(enc, "tokens").collect()))
+    r2 = sorted(map(tuple, ndv_registers(enc2, "tokens").collect()))
+    assert r1 == r2
+
+
+def test_ndv_column_validation(spark, toks):
+    import pytest
+
+    from sparkcodec.engine import encode_dataframe
+
+    with pytest.raises(ValueError, match="does not exist"):
+        encode_dataframe(toks, ndv_columns=("nope",), auto_fastpath=False)
+
+
+def test_magnitude_histogram_exact(spark, tmp_path):
+    """hist_<col>: exact power-of-two magnitude counts, mergeable across
+    chunks by elementwise sum, covering sign/zero/INT64-extreme buckets;
+    the rollup runs over the persisted metadata without payload reads."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_dataframe, magnitude_histogram
+
+    vals = [0, 1, 2, 3, 255, 256, -1, -2, -255, -256,
+            (1 << 62), -(1 << 62), -(1 << 63), (1 << 63) - 1]
+    df = spark.createDataFrame([(v,) for v in vals * 10], "x BIGINT")
+    enc = encode_dataframe(df.repartition(3), chunk_rows=16,
+                           hist_columns=("x",), auto_fastpath=False)
+    got = {r.bucket: r.cnt for r in magnitude_histogram(enc, "x").collect()}
+
+    def bucket(v: int) -> int:
+        if v == 0:
+            return 0
+        if v > 0:
+            return v.bit_length()
+        return 64 + (-(v + 1)).bit_length()
+
+    expected: dict[int, int] = {}
+    for v in vals * 10:
+        expected[bucket(v)] = expected.get(bucket(v), 0) + 1
+    assert got == expected
+
+    # persisted table: the rollup's scan must read only the hist column
+    enc_dir = str(tmp_path / "enc")
+    enc.write.parquet(enc_dir)
+    roll = magnitude_histogram(spark.read.parquet(enc_dir), "x")
+    plan = roll._sc._jvm.PythonSQLUtils.explainString(
+        roll._jdf.queryExecution(), "formatted")
+    scans = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert scans and all("hist_x" in s and "payload" not in s for s in scans), plan
+    assert {r.bucket: r.cnt for r in roll.collect()} == expected
+
+
+def test_magnitude_histogram_list_elements_and_validation(spark, toks):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import encode_dataframe, magnitude_histogram
+
+    enc = encode_dataframe(toks.repartition(2), chunk_rows=64,
+                           hist_columns=("tokens",), auto_fastpath=False)
+    got = {r.bucket: r.cnt for r in magnitude_histogram(enc, "tokens").collect()}
+    exp_rows = (toks.select(F.explode("tokens").alias("t"))
+                .select(F.when(F.col("t") == 0, 0)
+                        .when(F.col("t") > 0,
+                              (F.floor(F.log2(F.col("t"))) + 1).cast("int"))
+                        .alias("b"))
+                .groupBy("b").count().collect())
+    assert got == {r.b: r["count"] for r in exp_rows}
+
+    with pytest.raises(ValueError, match="int/timestamp/date"):
+        encode_dataframe(toks, hist_columns=("doc_id",), auto_fastpath=False)

@@ -588,3 +588,88 @@ class TestAlp:
         buf[0] = 7
         with pytest.raises(ValueError, match="mode"):
             alp_decode(bytes(buf))
+
+
+# ---------------------------------------------------------------- HLL
+
+class TestHll:
+    def test_sketch_merge_estimate(self):
+        from sparkcodec.kernels.bloom import xxhash64_int64
+        from sparkcodec.kernels.hll import hll_estimate, hll_merge, hll_sketch
+
+        rng = np.random.default_rng(1)
+        a = rng.integers(0, 10**6, 50_000)
+        b = rng.integers(5 * 10**5, 15 * 10**5, 50_000)
+        sa = hll_sketch(xxhash64_int64(a))
+        sb = hll_sketch(xxhash64_int64(b))
+        # commutative + idempotent merge
+        assert hll_merge(sa, sb) == hll_merge(sb, sa)
+        assert hll_merge(sa, sa) == sa
+        true = len(np.union1d(a, b))
+        est = hll_estimate(hll_merge(sa, sb))
+        assert abs(est - true) / true < 0.05
+
+    def test_estimate_accuracy_ladder(self):
+        from sparkcodec.kernels.bloom import xxhash64_int64
+        from sparkcodec.kernels.hll import hll_estimate, hll_sketch
+
+        for n in (0, 1, 100, 5_000, 200_000):
+            u = np.arange(n, dtype=np.int64) * 2654435761
+            est = hll_estimate(hll_sketch(xxhash64_int64(u)))
+            if n == 0:
+                assert est == 0.0
+            else:
+                assert abs(est - n) / max(n, 1) < 0.05, (n, est)
+
+    def test_order_and_partition_independence(self):
+        # the merged registers must not depend on value order or on how
+        # the values were split across sketches (what makes the exact SQL
+        # oracle possible)
+        from sparkcodec.kernels.bloom import xxhash64_int64
+        from sparkcodec.kernels.hll import hll_merge, hll_sketch
+
+        rng = np.random.default_rng(2)
+        v = rng.integers(-10**9, 10**9, 30_000)
+        whole = hll_sketch(xxhash64_int64(v))
+        shuffled = hll_sketch(xxhash64_int64(rng.permutation(v)))
+        parts = hll_merge(*[hll_sketch(xxhash64_int64(c))
+                            for c in np.array_split(v, 7)])
+        assert whole == shuffled == parts
+
+    def test_corrupt_sketch_rejected(self):
+        import pytest
+
+        from sparkcodec.kernels.hll import hll_merge, hll_registers, hll_sketch
+
+        sk = hll_sketch(np.array([1, 2, 3], dtype=np.uint64))
+        with pytest.raises(ValueError, match="corrupt"):
+            hll_registers(sk[:-10])
+        other = bytes([9]) + bytes(1 << 9)
+        with pytest.raises(ValueError, match="precision"):
+            hll_merge(sk, other)
+
+    def test_sql_replay_matches_python(self):
+        import duckdb
+
+        from sparkcodec.kernels.bloom import xxhash64_int64
+        from sparkcodec.kernels.hll import (
+            hll_registers, hll_registers_oracle_sql, hll_sketch,
+            xxhash64_int64_sql)
+
+        rng = np.random.default_rng(3)
+        vals = np.concatenate([
+            rng.integers(-2**63, 2**63, 300),
+            np.array([0, 1, -1, 2**63 - 1, -2**63, 255, -256, 2**32, -2**32]),
+        ]).astype(np.int64)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (SELECT unnest(?) AS v)",
+            [vals.tolist()])
+        expected = {int(v): int(h) for v, h in zip(vals, xxhash64_int64(vals))}
+        rows = con.execute(xxhash64_int64_sql("SELECT v FROM t")).fetchall()
+        assert all(expected[int(v)] == int(h) for v, h in rows)
+        reg = hll_registers(hll_sketch(xxhash64_int64(np.unique(vals))))
+        py_regs = {int(b): int(r) for b, r in enumerate(reg) if r}
+        sql_regs = dict(con.execute(
+            hll_registers_oracle_sql("SELECT v FROM t")).fetchall())
+        assert py_regs == {int(b): int(r) for b, r in sql_regs.items()}
