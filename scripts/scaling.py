@@ -195,7 +195,9 @@ def main() -> None:
     }
     print(json.dumps(result))
 
-    with open(args.out, "w") as f:
+    # append: the file accumulates windows across rounds (a "w" here once
+    # clobbered the historical windows and control experiments)
+    with open(args.out, "a") as f:
         f.write(_report(result))
 
 
@@ -300,7 +302,9 @@ median {result['scaling_efficiency_median']}).
 
 
 def _report(r: dict) -> str:
-    return f"""# BENCH — throughput & two-cluster-size scaling evidence
+    return f"""
+
+## Encode scaling window (appended by scripts/scaling.py)
 
 North-rule criterion: throughput scaling efficiency >= 0.8 between N and
 4N executors.  No real cluster exists in this sandbox, so the evidence is

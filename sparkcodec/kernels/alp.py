@@ -55,12 +55,22 @@ _IF10 = 10.0 ** -np.arange(_MAX_EXP + 1)
 
 
 def _decimal_fit(v: np.ndarray, e: int, f: int) -> np.ndarray:
-    """Boolean mask of values that reconstruct bitwise under (e, f)."""
+    """Boolean mask of values that reconstruct bitwise under (e, f).
+
+    The arithmetic is forced to float64 so the verification EXACTLY
+    mirrors the decoder (int64 d promotes to f64 there); with float32
+    inputs, value-based casting would otherwise verify in f32 and admit
+    values whose f64 reconstruction rounds to a different f32 (found by
+    hypothesis on 2**-14)."""
+    v64 = v.astype(np.float64, copy=False)
     with np.errstate(over="ignore", invalid="ignore"):
-        scaled = v * _F10[e] * _IF10[f]
+        scaled = v64 * _F10[e] * _IF10[f]
         d = np.round(scaled)
-        rec = d * _F10[f] * _IF10[e]
-    ok = (np.abs(d) < _SAFE_INT) & np.isfinite(scaled)
+        ok = (np.abs(d) < _SAFE_INT) & np.isfinite(scaled)
+        # reconstruct through the INT64 cast the storage applies: float d
+        # would carry -0.0 through the check while the stored int cannot
+        di = np.where(ok, d, 0.0).astype(np.int64)
+        rec = di * _F10[f] * _IF10[e]
     # bitwise equality (handles -0.0 vs 0.0 and NaN correctly: NaN never
     # reconstructs, so it always lands in the exception list)
     return ok & (rec.astype(v.dtype, copy=False).view(_bits_dtype(v))
@@ -95,7 +105,8 @@ def choose_decimal_params(sample: np.ndarray) -> tuple[int, int, float, float]:
             # probe for pairs that cannot beat the incumbent
             if (n - hits) * (16 + width) / n >= best[3] - 1e-12:
                 continue
-            d = np.round(sample[fit] * _F10[e] * _IF10[f]).astype(np.int64)
+            d = np.round(sample[fit].astype(np.float64, copy=False)
+                         * _F10[e] * _IF10[f]).astype(np.int64)
             bits = (pfor_bits_per_value(d) * hits
                     + (n - hits) * (16 + width)) / n
             if bits < best[3] - 1e-12:
@@ -160,7 +171,9 @@ def alp_encode(values: np.ndarray, sample_n: int = 1024) -> bytes:
             out.append(e)
             out.append(f)
             d = np.zeros(n, dtype=np.int64)
-            d[fit] = np.round(v[fit] * _F10[e] * _IF10[f]).astype(np.int64)
+            # f64 like the fit check and the decoder (f32 inputs included)
+            d[fit] = np.round(v[fit].astype(np.float64, copy=False)
+                              * _F10[e] * _IF10[f]).astype(np.int64)
             exc_idx = np.flatnonzero(~fit)
             write_uvarint(out, len(exc_idx))
             if len(exc_idx):

@@ -402,3 +402,56 @@ def test_snappy_roundtrip_and_pyarrow_interop_any(data):
     native = pa.Codec("snappy")
     assert bytes(native.decompress(ours, len(data))) == data
     assert snappy_decompress(bytes(native.compress(data))) == data
+
+
+@given(st.lists(I64, max_size=300))
+def test_pfor_roundtrip_any_int64(vals):
+    from sparkcodec.kernels.pfor import (
+        delta_pfor_pack, delta_pfor_unpack, pfor_pack, pfor_unpack)
+
+    v = np.array(vals, dtype=np.int64)
+    assert np.array_equal(pfor_unpack(pfor_pack(v)), v)
+    assert np.array_equal(delta_pfor_unpack(delta_pfor_pack(v)), v)
+
+
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64),
+                max_size=250))
+def test_alp_roundtrip_any_float64(vals):
+    from sparkcodec.kernels.alp import alp_decode, alp_encode
+
+    v = np.array(vals, dtype=np.float64)
+    out = alp_decode(alp_encode(v))
+    assert out.dtype == v.dtype
+    assert np.array_equal(out.view(np.uint64), v.view(np.uint64))
+
+
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=32),
+                max_size=250))
+def test_alp_roundtrip_any_float32(vals):
+    from sparkcodec.kernels.alp import alp_decode, alp_encode
+
+    v = np.array(vals, dtype=np.float32)
+    out = alp_decode(alp_encode(v))
+    assert out.dtype == v.dtype
+    assert np.array_equal(out.view(np.uint32), v.view(np.uint32))
+
+
+@settings(deadline=None, max_examples=25)  # one DuckDB connect per example
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=1, max_size=80))
+def test_hll_sql_replay_any_int64(vals):
+    import duckdb
+
+    from sparkcodec.kernels.bloom import xxhash64_int64
+    from sparkcodec.kernels.hll import hll_registers, hll_registers_oracle_sql, hll_sketch
+
+    v = np.array(vals, dtype=np.int64)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (SELECT unnest(?) AS v)",
+                [v.tolist()])
+    reg = hll_registers(hll_sketch(xxhash64_int64(np.unique(v))))
+    py_regs = {int(b): int(r) for b, r in enumerate(reg) if r}
+    sql_regs = dict(con.execute(
+        hll_registers_oracle_sql("SELECT v FROM t")).fetchall())
+    con.close()
+    assert py_regs == {int(b): int(r) for b, r in sql_regs.items()}
