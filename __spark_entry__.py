@@ -227,6 +227,49 @@ def _text_normalize_oracle() -> str:
     return normalize_text_oracle_sql()
 
 
+def _delete_rows_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletion vectors (engine.apply_deletes): rows are
+    deleted by per-chunk RLE bitmaps without rewriting one payload byte
+    (the Iceberg/Delta deletion-vector shape).  Two sequential deletes
+    (a stat-range delete, then a bloom-guarded equality delete) OR into
+    the mask; decode skips n_live=0 chunks before any payload read and
+    filters the rest through the bitmap.  Oracle: plain WHERE NOT(...)
+    over the recomputed tokens table."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        apply_deletes, decode_dataframe, encode_dataframe, range_repartition,
+    )
+    from sparkcodec.tokens import tokens_table
+
+    enc = encode_dataframe(range_repartition(tokens_table(spark, sf_dir), 8),
+                           stat_columns=("n_tok",),
+                           bloom_columns=("source",))
+    marked = apply_deletes(enc, ranges={"n_tok": (80, None)})
+    marked = apply_deletes(marked, equals={"source": "src7"})
+    dec = decode_dataframe(marked)
+    return dec.select(
+        "doc_id",
+        F.array_join(F.transform("tokens", lambda x: x.cast("string")),
+                     ",").alias("tokens_str"),
+        "n_tok",
+        "source",
+    )
+
+
+def _delete_rows_masked_oracle() -> str:
+    from sparkcodec.tokens import tokens_table_oracle_sql
+
+    return f"""
+        SELECT doc_id,
+               array_to_string(tokens, ',') AS tokens_str,
+               n_tok,
+               source
+        FROM ({tokens_table_oracle_sql()})
+        WHERE NOT (n_tok >= 80) AND NOT (source = 'src7')
+    """
+
+
 def _chunk_stats_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global min/max token id + token count recovered ONLY from the
     footer-style chunk metadata (no decode) -- proves stats correctness."""
@@ -1547,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndv_tokens_sketch": _ndv_tokens_sketch,
         "token_magnitude_hist": _token_magnitude_hist,
         "text_normalize": _text_normalize,
+        "delete_rows_masked": _delete_rows_masked,
         "chunk_stats_tokens": _chunk_stats_tokens,
         "codec_histogram": _codec_histogram,
         "compression_summary": _compression_summary,
@@ -1629,6 +1673,7 @@ def oracle_sql() -> dict[str, str]:
         "ndv_tokens_sketch": _ndv_tokens_sketch_oracle(),
         "token_magnitude_hist": _token_magnitude_hist_oracle(),
         "text_normalize": _text_normalize_oracle(),
+        "delete_rows_masked": _delete_rows_masked_oracle(),
         "chunk_stats_tokens": _chunk_stats_oracle(),
         # codec_histogram / compression_summary: engine-internal, rows-only
         "dedup_exact": (

@@ -2292,18 +2292,36 @@ def decode_dataframe(enc_df, schema=None, columns: list[str] | None = None):
     if "payload" not in enc_df.columns:
         return _decode_split_dataframe(enc_df, schema)
 
+    has_mask = "del_mask" in enc_df.columns
+    if has_mask:
+        from pyspark.sql import functions as F
+
+        # fully-deleted chunks never leave storage: the n_live predicate
+        # pushes into the encoded table's parquet scan
+        if "n_live" in enc_df.columns:
+            enc_df = enc_df.filter(F.col("n_live").isNull()
+                                   | (F.col("n_live") > 0))
+
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             payloads = b.column(b.schema.get_field_index("payload"))
             schemas = b.column(b.schema.get_field_index("schema_json"))
+            mask_col = (b.column(b.schema.get_field_index("del_mask"))
+                        if has_mask else None)
             for i in range(len(b)):
                 pairs = json.loads(schemas[i].as_py())
-                yield _spark_compatible_batch(
-                    decode_chunk_group(payloads[i].as_py(), pairs, col_set))
+                rb = decode_chunk_group(payloads[i].as_py(), pairs, col_set)
+                if mask_col is not None:
+                    mbuf = mask_col[i].as_py()
+                    if mbuf is not None:
+                        keep = ~_decode_delete_mask(mbuf, len(rb))
+                        rb = rb.filter(pa.array(keep))
+                yield _spark_compatible_batch(rb)
 
-    # project before mapInArrow so the scan reads only these two columns
+    # project before mapInArrow so the scan reads only these columns
     # (column pruning reaches the parquet ReadSchema)
-    return enc_df.select("schema_json", "payload").mapInArrow(decode_partition, schema)
+    sel = ["schema_json", "payload"] + (["del_mask"] if has_mask else [])
+    return enc_df.select(*sel).mapInArrow(decode_partition, schema)
 
 
 def _spark_arrow_type(t: pa.DataType) -> pa.DataType:
@@ -2548,3 +2566,159 @@ def magnitude_hist_oracle_sql(values_sql: str, value_col: str = "v") -> str:
                CAST(count(*) AS BIGINT) AS cnt
         FROM b GROUP BY bucket
     """
+
+
+# ---------- deletion vectors (merge-on-read deletes) ----------
+
+def _encode_delete_mask(deleted: np.ndarray) -> bytes:
+    """RLE/bit-packed hybrid encoding of a per-chunk deleted-row bitmap
+    (1 = deleted), the same stream grammar chunk validity uses."""
+    from .kernels.rle import rle_hybrid_encode
+
+    return rle_hybrid_encode(deleted.astype(np.uint64), 1)
+
+
+def _decode_delete_mask(buf, n_rows: int) -> np.ndarray:
+    from .kernels.rle import rle_hybrid_decode
+
+    return rle_hybrid_decode(memoryview(buf), 1, n_rows).astype(bool)
+
+
+def apply_deletes(enc_df, *, equals: dict | None = None,
+                  ranges: dict | None = None):
+    """Merge-on-read row deletion over an ENCODED table: rows matching the
+    conjunctive predicate (same ``equals``/``ranges`` shapes as
+    :func:`probe_rows`) are marked deleted in a per-chunk bitmap -- the
+    payload bytes are NEVER rewritten (the Iceberg/Delta deletion-vector
+    shape).  Returns the encoded DataFrame with two extra columns:
+    ``del_mask`` (RLE-encoded deleted bitmap, NULL = no deletes in the
+    chunk) and ``n_live`` (live-row count; :func:`decode_dataframe` skips
+    ``n_live = 0`` chunks before any payload byte is read and filters the
+    rest through the mask).
+
+    100-TB shape: ONE pass over the encoded table; per chunk, the typed
+    ``min_/max_<col>`` stats (for range predicates) and the
+    ``bloom_<col>`` SBBF (for equality predicates) short-circuit the
+    chunk BEFORE decode -- a delete touching a narrow key range decodes
+    only the chunks that can match, and decodes ONLY the predicate
+    columns of those.  Re-applying deletes ORs into the existing mask
+    (idempotent for the same predicate).
+    """
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ callers)
+
+    equals = dict(equals or {})
+    ranges = dict(ranges or {})
+    if not equals and not ranges:
+        raise ValueError("apply_deletes needs at least one equals/ranges entry")
+    if "payload" not in enc_df.columns:
+        raise ValueError(
+            "apply_deletes currently supports the single-blob layout; for "
+            "split_payload tables decode+filter+re-encode, or encode the "
+            "dataset without split_payload where merge-on-read deletes "
+            "are needed")
+    pred_cols = sorted({*equals, *ranges})
+    in_cols = list(enc_df.columns)
+    has_mask = "del_mask" in in_cols
+    base_cols = [c for c in in_cols if c not in ("del_mask", "n_live")]
+    out_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in enc_df.schema.fields if f.name in base_cols
+    ) + ", del_mask BINARY, n_live BIGINT"
+    col_idx = {c: i for i, c in enumerate(in_cols)}
+    bloom_cols = {c for c in equals if f"bloom_{c}" in col_idx}
+    stat_cols = {c for c in (*ranges, *equals) if f"min_{c}" in col_idx}
+
+    def mark_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .kernels.bloom import SplitBlockBloom
+
+        for b in batches:
+            masks: list[bytes | None] = []
+            lives: list[int] = []
+            schemas = b.column(col_idx["schema_json"])
+            payloads = b.column(col_idx["payload"])
+            n_rows_col = b.column(col_idx["n_rows"])
+            for i in range(len(b)):
+                n_rows = n_rows_col[i].as_py()
+                prev_buf = (b.column(col_idx["del_mask"])[i].as_py()
+                            if has_mask else None)
+                prev = (_decode_delete_mask(prev_buf, n_rows)
+                        if prev_buf is not None else None)
+
+                def untouched():
+                    masks.append(prev_buf)
+                    lives.append(n_rows - (int(prev.sum()) if prev is not None
+                                           else 0))
+
+                # per-chunk short-circuits BEFORE any decode
+                skip = False
+                for c in stat_cols:
+                    mn = b.column(col_idx[f"min_{c}"])[i].as_py()
+                    mx = b.column(col_idx[f"max_{c}"])[i].as_py()
+                    if mn is None or mx is None:
+                        continue
+                    if c in ranges:
+                        lo, hi = ranges[c]
+                        if (lo is not None and mx < lo) or \
+                                (hi is not None and mn > hi):
+                            skip = True
+                    if c in equals and not (mn <= equals[c] <= mx):
+                        skip = True
+                if not skip:
+                    for c in bloom_cols:
+                        bb = b.column(col_idx[f"bloom_{c}"])[i].as_py()
+                        if bb is None:
+                            continue
+                        h = _probe_hash(equals[c])
+                        if not bool(SplitBlockBloom.from_bytes(bb)
+                                    .might_contain(h).all()):
+                            skip = True
+                            break
+                if skip:
+                    untouched()
+                    continue
+
+                pairs = json.loads(schemas[i].as_py())
+                rb = decode_chunk_group(payloads[i].as_py(), pairs,
+                                        set(pred_cols))
+                match = None
+                for c, v in equals.items():
+                    m = pc.fill_null(pc.equal(rb.column(c), v), False)
+                    match = m if match is None else pc.and_(match, m)
+                for c, (lo, hi) in ranges.items():
+                    arr = rb.column(c)
+                    if lo is not None:
+                        m = pc.fill_null(pc.greater_equal(arr, lo), False)
+                        match = m if match is None else pc.and_(match, m)
+                    if hi is not None:
+                        m = pc.fill_null(pc.less_equal(arr, hi), False)
+                        match = m if match is None else pc.and_(match, m)
+                deleted = match.to_numpy(zero_copy_only=False).astype(bool)
+                if prev is not None:
+                    deleted |= prev
+                if not deleted.any():
+                    untouched()
+                    continue
+                masks.append(_encode_delete_mask(deleted))
+                lives.append(int(n_rows - deleted.sum()))
+            arrays = [b.column(col_idx[c]) for c in base_cols]
+            arrays.append(pa.array(masks, type=pa.binary()))
+            arrays.append(pa.array(lives, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[*base_cols, "del_mask", "n_live"])
+
+    return enc_df.mapInArrow(mark_partition, out_ddl)
+
+
+def materialize_deletes(marked_enc_df, **encode_kwargs):
+    """Rewrite deleted rows OUT of the payloads: decode through the
+    deletion bitmaps, re-encode clean chunks (no ``del_mask``/``n_live``
+    columns in the result).  The compaction-time half of the
+    merge-on-read lifecycle -- run it when accumulated deletes make the
+    mask overhead or the dead-row decode waste worth a rewrite; until
+    then :func:`compact_encoded` carries masks through untouched (it
+    rewrites containers, not payloads).  ``encode_kwargs`` forward to
+    :func:`encode_dataframe` (stat/bloom/ndv/hist columns, chunk sizing).
+    """
+    encode_kwargs.setdefault("auto_fastpath", False)
+    return encode_dataframe(decode_dataframe(marked_enc_df), **encode_kwargs)

@@ -1116,3 +1116,122 @@ def test_magnitude_histogram_list_elements_and_validation(spark, toks):
 
     with pytest.raises(ValueError, match="int/timestamp/date"):
         encode_dataframe(toks, hist_columns=("doc_id",), auto_fastpath=False)
+
+
+def test_apply_deletes_mask_exact_and_idempotent(spark, toks):
+    """Deletion vectors: payloads untouched, decode equals the plain
+    filter, sequential deletes OR into the mask, re-applying the same
+    predicate changes nothing."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import apply_deletes, decode_dataframe
+
+    enc = encode_dataframe(range_repartition(toks, 4), chunk_rows=64,
+                           stat_columns=("n_tok",),
+                           bloom_columns=("source",), auto_fastpath=False)
+    thr = int(toks.agg(F.expr("percentile(n_tok, 0.8)")).collect()[0][0])
+    src = toks.select("source").first()["source"]
+
+    m1 = apply_deletes(enc, ranges={"n_tok": (thr, None)})
+    exp1 = toks.filter(~(F.col("n_tok") >= thr))
+    got1 = sorted(map(tuple, decode_dataframe(m1)
+                      .select("doc_id", "n_tok", "source").collect()))
+    want1 = sorted(map(tuple, exp1.select("doc_id", "n_tok", "source").collect()))
+    assert got1 == want1
+    # live accounting matches
+    assert (m1.agg(F.sum("n_live")).collect()[0][0] == exp1.count())
+
+    m2 = apply_deletes(m1, equals={"source": src})
+    exp2 = exp1.filter(~(F.col("source") == src))
+    assert decode_dataframe(m2).count() == exp2.count()
+    m3 = apply_deletes(m2, equals={"source": src})
+    assert decode_dataframe(m3).count() == exp2.count()
+
+    # deleting a value no bloom admits touches nothing (short-circuit)
+    m4 = apply_deletes(m2, equals={"source": "no-such-source"})
+    a = sorted(map(tuple, m2.select("chunk_id", "n_live").collect()))
+    b = sorted(map(tuple, m4.select("chunk_id", "n_live").collect()))
+    assert a == b
+
+
+def test_apply_deletes_stat_short_circuit_and_dead_chunks(spark, toks):
+    """On a layout clustered by the predicate column, chunks outside the
+    deleted range keep a NULL mask (they were never decoded), chunks fully
+    inside it reach n_live = 0, and decode drops them before payload
+    reads (the encoded-side n_live filter)."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import apply_deletes, decode_dataframe
+
+    clustered = toks.orderBy("n_tok").coalesce(1)
+    enc = encode_dataframe(clustered, chunk_rows=64,
+                           stat_columns=("n_tok",), auto_fastpath=False)
+    lo = int(toks.agg(F.expr("percentile(n_tok, 0.9)")).collect()[0][0])
+    marked = apply_deletes(enc, ranges={"n_tok": (lo, None)})
+    rows = marked.select("n_rows", "n_live",
+                         F.col("del_mask").isNull().alias("untouched")).collect()
+    assert any(r.untouched for r in rows)          # stats skipped some chunks
+    assert any(r.n_live == 0 for r in rows) or \
+        any(0 < r.n_live < r.n_rows for r in rows)  # clustered tail deleted
+    got = sorted(r.doc_id for r in decode_dataframe(marked)
+                 .select("doc_id").collect())
+    want = sorted(r.doc_id for r in toks.filter(F.col("n_tok") < lo)
+                  .select("doc_id").collect())
+    assert got == want
+
+
+def test_apply_deletes_validation(spark, toks):
+    import pytest
+
+    from sparkcodec.engine import apply_deletes
+
+    enc = encode_dataframe(toks, auto_fastpath=False)
+    with pytest.raises(ValueError, match="at least one"):
+        apply_deletes(enc)
+    enc_split = encode_dataframe(toks, split_payload=True, auto_fastpath=False)
+    with pytest.raises(ValueError, match="single-blob"):
+        apply_deletes(enc_split, equals={"source": "x"})
+
+
+def test_materialize_deletes_rewrites_clean(spark, toks):
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import (
+        apply_deletes, decode_dataframe, materialize_deletes,
+    )
+
+    enc = encode_dataframe(range_repartition(toks, 4), chunk_rows=64,
+                           stat_columns=("n_tok",), auto_fastpath=False)
+    thr = int(toks.agg(F.expr("percentile(n_tok, 0.5)")).collect()[0][0])
+    marked = apply_deletes(enc, ranges={"n_tok": (thr, None)})
+    clean = materialize_deletes(marked, stat_columns=("n_tok",))
+    assert "del_mask" not in clean.columns
+    got = sorted(r.doc_id for r in decode_dataframe(clean)
+                 .select("doc_id").collect())
+    want = sorted(r.doc_id for r in toks.filter(F.col("n_tok") < thr)
+                  .select("doc_id").collect())
+    assert got == want
+    # payload really shrank: fewer encoded rows survive in the bytes
+    assert (clean.agg(F.sum("n_rows")).collect()[0][0]
+            == toks.filter(F.col("n_tok") < thr).count())
+
+
+def test_compaction_preserves_delete_masks(spark, toks, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparkcodec.compact import compact_encoded
+    from sparkcodec.engine import apply_deletes, decode_dataframe
+
+    enc = encode_dataframe(range_repartition(toks, 4), chunk_rows=64,
+                           stat_columns=("n_tok",), auto_fastpath=False)
+    thr = int(toks.agg(F.expr("percentile(n_tok, 0.7)")).collect()[0][0])
+    marked = apply_deletes(enc, ranges={"n_tok": (thr, None)})
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    marked.write.parquet(in_dir)
+    compact_encoded(spark, in_dir, out_dir, target_file_bytes=1 << 16)
+    got = sorted(r.doc_id for r in
+                 decode_dataframe(spark.read.parquet(out_dir))
+                 .select("doc_id").collect())
+    want = sorted(r.doc_id for r in toks.filter(F.col("n_tok") < thr)
+                  .select("doc_id").collect())
+    assert got == want
