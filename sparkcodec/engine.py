@@ -1126,11 +1126,12 @@ def _check_aux_columns(bloom_columns, stat_columns,
         for c in bloom_columns:
             if not _is_bloomable_typename(schema_types[c]):
                 raise ValueError(
-                    f"bloom_columns entry {c!r} has type {schema_types[c]}: "
-                    "blooms are built for int/string/binary/timestamp/date "
-                    "columns (or arrays of those, hashed element-wise) only "
-                    "(float/decimal/bool values have no canonical hash "
-                    "bytes)")
+                    f"bloom_columns/ndv_columns entry {c!r} has type "
+                    f"{schema_types[c]}: blooms are built -- and NDV "
+                    "sketches share the rule -- for int/string/binary/"
+                    "timestamp/date columns (or arrays of those, hashed "
+                    "element-wise) only (float/decimal/bool values have no "
+                    "canonical hash bytes)")
 
 
 def _resolve_split_columns(columns, schema_names) -> tuple[tuple[str, ...], list[str]]:
@@ -1936,6 +1937,16 @@ def aggregate_encoded(enc_df, columns, *, include_avg: bool = False):
     if isinstance(columns, str):
         columns = [columns]
     have = set(enc_df.columns)
+    if "del_mask" in have:
+        # the per-chunk cnt_/sum_/min_/max_ metadata describes the rows AS
+        # ENCODED; deletion bitmaps don't rewrite it, so a metadata-only
+        # aggregate over a marked table would silently include deleted rows
+        raise ValueError(
+            "aggregate_encoded over a table carrying deletion vectors "
+            "(del_mask column) would include deleted rows: run "
+            "materialize_deletes(...) first (rewrites masks out and "
+            "refreshes the per-chunk metadata), or aggregate the decoded "
+            "DataFrame")
     aggs = [F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long")
              .alias("count_rows")]
     for c in columns:
@@ -2502,8 +2513,7 @@ def merged_ndv_sketch(enc_df, column: str) -> bytes:
 
     parts = enc_df.select(ndv_col).mapInArrow(
         merge_part, "sketch BINARY").collect()
-    return hll_merge(*[r.sketch for r in parts]) if parts else \
-        hll_merge()
+    return hll_merge(*(r.sketch for r in parts))  # zero args -> empty sketch
 
 
 def estimate_ndv(enc_df, column: str) -> float:
@@ -2523,7 +2533,7 @@ def ndv_registers(enc_df, column: str):
     reg = hll_registers(merged_ndv_sketch(enc_df, column))
     rows = [(int(b), int(r)) for b, r in enumerate(reg) if r]
     return enc_df.sparkSession.createDataFrame(
-        rows or [(-1, -1)][0:0], "bucket INT, register INT")
+        rows, "bucket INT, register INT")
 
 
 def magnitude_histogram(enc_df, column: str):
@@ -2611,6 +2621,18 @@ def apply_deletes(enc_df, *, equals: dict | None = None,
     ranges = dict(ranges or {})
     if not equals and not ranges:
         raise ValueError("apply_deletes needs at least one equals/ranges entry")
+    for c, (lo, hi) in ranges.items():
+        if lo is None and hi is None:
+            raise ValueError(
+                f"ranges entry {c!r} has neither bound: a (None, None) "
+                "range matches nothing; give at least one of (lo, hi)")
+    known = {n for n, _ in _schema_pairs(enc_df)}
+    unknown = sorted({*equals, *ranges} - known)
+    if unknown:
+        raise ValueError(
+            f"predicate columns {unknown} are not in the encoded schema "
+            f"{sorted(known)} (a typo here would otherwise KeyError inside "
+            "the Spark task)")
     if "payload" not in enc_df.columns:
         raise ValueError(
             "apply_deletes currently supports the single-blob layout; for "

@@ -158,7 +158,8 @@ def alp_encode(values: np.ndarray, sample_n: int = 1024) -> bytes:
     sample = v[:sample_n]
     e, f, ratio, dec_bits = choose_decimal_params(sample)
     all_bits = v.view(_bits_dtype(v)).astype(np.uint64)
-    _, rd_cost = choose_rd_cut(all_bits[:sample_n], width) if n else (width - 1, np.inf)
+    rd_bw, rd_cost = choose_rd_cut(all_bits[:sample_n], width) if n \
+        else (width - 1, np.inf)
     if n and dec_bits < rd_cost:
         fit = _decimal_fit(v, e, f)
         n_exc = n - int(fit.sum())
@@ -192,7 +193,7 @@ def alp_encode(values: np.ndarray, sample_n: int = 1024) -> bytes:
     out.append(v.dtype.itemsize)
     write_uvarint(out, n)
     bits = all_bits
-    right_bw, _ = choose_rd_cut(bits[:sample_n], width) if n else (width - 1, 0.0)
+    right_bw = rd_bw  # cut already searched for the mode decision above
     left = (bits >> np.uint64(right_bw)).astype(np.uint64)
     right_mask = np.uint64((1 << right_bw) - 1)
     uniq, counts = np.unique(left, return_counts=True)

@@ -101,18 +101,22 @@ def sample_numeric(values: np.ndarray) -> SampleStats:
     runs = 1 + int(np.count_nonzero(as_int[1:] != as_int[:-1]))
     from .kernels.pfor import pfor_bits_per_value
 
+    int_like = s.dtype.kind in ("i", "u", "b")
     with np.errstate(over="ignore"):
         span = int(as_int.max()) - int(as_int.min())
         for_bw = _bw_of(span if span >= 0 else (1 << 64) - 1)
+        pfor_bpv, pfor_delta_bpv = 64.0, 64.0
         if n > 1:
             d = as_int[1:] - as_int[:-1]
             zz = ((d << 1) ^ (d >> 63)).view(np.uint64)
             delta_bw = int(bit_widths(np.array([zz.max()], dtype=np.uint64))[0])
-            pfor_delta_bpv = pfor_bits_per_value(zz.view(np.int64))
+            if int_like:  # PFOR is priced for int kinds only: skip on floats
+                pfor_delta_bpv = pfor_bits_per_value(zz.view(np.int64))
         else:
             delta_bw = 0
             pfor_delta_bpv = 0.0
-        pfor_bpv = pfor_bits_per_value(as_int)
+        if int_like:
+            pfor_bpv = pfor_bits_per_value(as_int)
     alp_bpv = 1e9
     if s.dtype.kind == "f" and s.dtype.itemsize in (4, 8):
         from .kernels.alp import alp_bits_per_value

@@ -1235,3 +1235,30 @@ def test_compaction_preserves_delete_masks(spark, toks, tmp_path):
     want = sorted(r.doc_id for r in toks.filter(F.col("n_tok") < thr)
                   .select("doc_id").collect())
     assert got == want
+
+
+def test_apply_deletes_predicate_validation(spark, toks):
+    import pytest
+
+    from sparkcodec.engine import apply_deletes
+
+    enc = encode_dataframe(toks, auto_fastpath=False)
+    with pytest.raises(ValueError, match="neither bound"):
+        apply_deletes(enc, ranges={"n_tok": (None, None)})
+    with pytest.raises(ValueError, match="not in the encoded schema"):
+        apply_deletes(enc, equals={"typo_col": 1})
+
+
+def test_aggregate_encoded_refuses_masked_tables(spark, toks):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import aggregate_encoded, apply_deletes
+
+    enc = encode_dataframe(range_repartition(toks, 2), chunk_rows=64,
+                           stat_columns=("n_tok",), agg_columns=("n_tok",),
+                           auto_fastpath=False)
+    thr = int(toks.agg(F.expr("percentile(n_tok, 0.5)")).collect()[0][0])
+    marked = apply_deletes(enc, ranges={"n_tok": (thr, None)})
+    with pytest.raises(ValueError, match="deletion vectors"):
+        aggregate_encoded(marked, ["n_tok"])
