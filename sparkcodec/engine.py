@@ -2402,29 +2402,47 @@ def _decode_split_cells(types: dict, names: list[str], cells: list) -> pa.Record
 def _decode_split_dataframe(enc_df, schema):
     """Decode the per-column payload layout: select ONLY schema_json plus
     the payload_<col> columns the caller asked for -- that projection is
-    what pushes column pruning into the encoded table's parquet scan."""
+    what pushes column pruning into the encoded table's parquet scan.
+    Deletion bitmaps (``del_mask``) are honored like the single-blob path:
+    ``n_live = 0`` chunks are filtered out before any payload read."""
     names = [f.name for f in schema.fields]
     missing = [n for n in names if f"payload_{n}" not in enc_df.columns]
     if missing:
         raise ValueError(
             f"encoded DataFrame has no payload_<col> column for {missing}; "
             f"available: {[c for c in enc_df.columns if c.startswith('payload_')]}")
+    has_mask = "del_mask" in enc_df.columns
+    if has_mask and "n_live" in enc_df.columns:
+        from pyspark.sql import functions as F
+
+        enc_df = enc_df.filter(F.col("n_live").isNull()
+                               | (F.col("n_live") > 0))
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             schemas = b.column(0)
             pay_cols = [b.column(j + 1) for j in range(len(names))]
+            mask_col = b.column(1 + len(names)) if has_mask else None
             for i in range(len(b)):
                 types = dict(json.loads(schemas[i].as_py()))
-                yield _spark_compatible_batch(_decode_split_cells(
+                rb = _decode_split_cells(
                     types, names, [pay_cols[j][i].as_py()
-                                   for j in range(len(names))]))
+                                   for j in range(len(names))])
+                if mask_col is not None:
+                    mbuf = mask_col[i].as_py()
+                    if mbuf is not None:
+                        keep = ~_decode_delete_mask(mbuf, len(rb))
+                        rb = rb.filter(pa.array(keep))
+                yield _spark_compatible_batch(rb)
 
-    proj = enc_df.select("schema_json", *[f"`payload_{n}`" for n in names])
+    sel = ["schema_json", *[f"`payload_{n}`" for n in names]] \
+        + (["del_mask"] if has_mask else [])
+    proj = enc_df.select(*sel)
     # mapInArrow re-selects by unquoted name: alias positionally so dotted
     # source column names survive the bridge (the worker indexes columns
     # by POSITION, and the output schema carries the real names)
-    proj = proj.toDF("schema_json", *[f"_p{i}" for i in range(len(names))])
+    proj = proj.toDF("schema_json", *[f"_p{i}" for i in range(len(names))],
+                     *(["del_mask"] if has_mask else []))
     return proj.mapInArrow(decode_partition, schema)
 
 
@@ -2611,7 +2629,9 @@ def apply_deletes(enc_df, *, equals: dict | None = None,
     ``bloom_<col>`` SBBF (for equality predicates) short-circuit the
     chunk BEFORE decode -- a delete touching a narrow key range decodes
     only the chunks that can match, and decodes ONLY the predicate
-    columns of those.  Re-applying deletes ORs into the existing mask
+    columns of those.  Both payload layouts are supported; on
+    ``split_payload`` tables only the predicate columns' payload cells
+    are even read.  Re-applying deletes ORs into the existing mask
     (idempotent for the same predicate).
     """
     import pyarrow.compute as pc
@@ -2633,13 +2653,15 @@ def apply_deletes(enc_df, *, equals: dict | None = None,
             f"predicate columns {unknown} are not in the encoded schema "
             f"{sorted(known)} (a typo here would otherwise KeyError inside "
             "the Spark task)")
-    if "payload" not in enc_df.columns:
-        raise ValueError(
-            "apply_deletes currently supports the single-blob layout; for "
-            "split_payload tables decode+filter+re-encode, or encode the "
-            "dataset without split_payload where merge-on-read deletes "
-            "are needed")
+    split = "payload" not in enc_df.columns
     pred_cols = sorted({*equals, *ranges})
+    if split:
+        missing = [c for c in pred_cols
+                   if f"payload_{c}" not in enc_df.columns]
+        if missing:
+            raise ValueError(
+                f"split-layout table has no payload_<col> column for "
+                f"predicate columns {missing}")
     in_cols = list(enc_df.columns)
     has_mask = "del_mask" in in_cols
     base_cols = [c for c in in_cols if c not in ("del_mask", "n_live")]
@@ -2658,7 +2680,7 @@ def apply_deletes(enc_df, *, equals: dict | None = None,
             masks: list[bytes | None] = []
             lives: list[int] = []
             schemas = b.column(col_idx["schema_json"])
-            payloads = b.column(col_idx["payload"])
+            payloads = None if split else b.column(col_idx["payload"])
             n_rows_col = b.column(col_idx["n_rows"])
             for i in range(len(b)):
                 n_rows = n_rows_col[i].as_py()
@@ -2701,8 +2723,16 @@ def apply_deletes(enc_df, *, equals: dict | None = None,
                     continue
 
                 pairs = json.loads(schemas[i].as_py())
-                rb = decode_chunk_group(payloads[i].as_py(), pairs,
-                                        set(pred_cols))
+                if split:
+                    # the split layout's win: ONLY the predicate columns'
+                    # cells are decoded (the rest never decompress)
+                    rb = _decode_split_cells(
+                        dict(pairs), pred_cols,
+                        [b.column(col_idx[f"payload_{c}"])[i].as_py()
+                         for c in pred_cols])
+                else:
+                    rb = decode_chunk_group(payloads[i].as_py(), pairs,
+                                            set(pred_cols))
                 match = None
                 for c, v in equals.items():
                     m = pc.fill_null(pc.equal(rb.column(c), v), False)

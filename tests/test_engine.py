@@ -1188,9 +1188,30 @@ def test_apply_deletes_validation(spark, toks):
     enc = encode_dataframe(toks, auto_fastpath=False)
     with pytest.raises(ValueError, match="at least one"):
         apply_deletes(enc)
-    enc_split = encode_dataframe(toks, split_payload=True, auto_fastpath=False)
-    with pytest.raises(ValueError, match="single-blob"):
-        apply_deletes(enc_split, equals={"source": "x"})
+
+
+def test_apply_deletes_split_layout(spark, toks):
+    """Deletion vectors on the per-column payload layout: marking decodes
+    ONLY the predicate columns' cells, and the split decode honors the
+    bitmap (and skips n_live=0 chunks) like the single-blob path."""
+    from pyspark.sql import functions as F
+
+    from sparkcodec.engine import apply_deletes, decode_dataframe
+
+    enc = encode_dataframe(range_repartition(toks, 4), chunk_rows=64,
+                           split_payload=True, stat_columns=("n_tok",),
+                           auto_fastpath=False)
+    thr = int(toks.agg(F.expr("percentile(n_tok, 0.7)")).collect()[0][0])
+    marked = apply_deletes(enc, ranges={"n_tok": (thr, None)})
+    exp = toks.filter(F.col("n_tok") < thr)
+    got = sorted(map(tuple, decode_dataframe(marked)
+                     .select("doc_id", "n_tok", "source").collect()))
+    want = sorted(map(tuple, exp.select("doc_id", "n_tok", "source").collect()))
+    assert got == want
+    # projection decode still prunes AND honors the mask
+    got_proj = sorted(r.doc_id for r in
+                      decode_dataframe(marked, columns=["doc_id"]).collect())
+    assert got_proj == sorted(r.doc_id for r in exp.select("doc_id").collect())
 
 
 def test_materialize_deletes_rewrites_clean(spark, toks):
