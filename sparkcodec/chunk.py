@@ -503,8 +503,14 @@ def encode_array(values, codec: int | None = None, stats: bool = True,
         fsst_table = None
         if codec is None:
             samp = S.sample_binary(offsets, data)
-            gain, fsst_table = _fsst_gain(offsets, data)
-            codec = S.pick(S.estimate_costs_binary(samp, fsst_gain=gain))
+            costs = S.estimate_costs_binary(samp)
+            # the FSST probe trains a symbol table on the sample (~tens of
+            # ms); run it only when it could still win the pick (see
+            # S.FSST_COST_FLOOR -- skipping never changes the selection)
+            if min(costs.values()) > S.FSST_COST_FLOOR:
+                gain, fsst_table = _fsst_gain(offsets, data)
+                costs = S.estimate_costs_binary(samp, fsst_gain=gain)
+            codec = S.pick(costs)
         if codec == S.PLAIN:
             payload = plain_encode_binary(dense)
         elif codec == S.DELTA_LENGTH:

@@ -61,6 +61,20 @@ class SymbolTable:
             keys = np.array([_sym_key(symbols[c]) for c in codes], dtype=np.uint64)
             order = np.argsort(keys)
             self._by_len[L] = (keys[order], np.array(codes, dtype=np.int16)[order])
+        # direct-index tables for 1- and 2-byte symbols (-1 = no symbol):
+        # a gather replaces the per-position binary search on the two hot
+        # lengths (same membership semantics as the searchsorted path)
+        self._lut1 = self._lut2 = None
+        ent = self._by_len.get(1)
+        if ent is not None:
+            lut = np.full(256, -1, dtype=np.int16)
+            lut[ent[0].astype(np.int64)] = ent[1]
+            self._lut1 = lut
+        ent = self._by_len.get(2)
+        if ent is not None:
+            lut = np.full(1 << 16, -1, dtype=np.int16)
+            lut[ent[0].astype(np.int64)] = ent[1]
+            self._lut2 = lut
 
     def serialize(self) -> bytes:
         out = bytearray([len(self.symbols)])
@@ -82,30 +96,52 @@ class SymbolTable:
         return SymbolTable(syms), pos
 
 
-def _match_table(data: np.ndarray, table: SymbolTable) -> tuple[np.ndarray, np.ndarray]:
+def _match_table(data: np.ndarray, table: SymbolTable,
+                 win: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Per position: (code, match_len) of the longest symbol match,
-    ignoring string boundaries (caller constrains lengths)."""
+    ignoring string boundaries (caller constrains lengths).  ``win`` is the
+    cached :func:`_windows_u64` view (callers that match several times over
+    the same buffer pass it to skip the 8x window copy)."""
     n = len(data)
-    win = _windows_u64(data)
     best_code = np.full(n, ESCAPE, dtype=np.int16)
     best_len = np.ones(n, dtype=np.int8)
-    for L in range(1, MAX_SYM_LEN + 1):
-        ent = table._by_len.get(L)
-        if ent is None:
-            continue
-        keys, codes = ent
-        masked = win & _LEN_MASKS[L - 1]
-        idx = np.searchsorted(keys, masked)
-        idx_c = np.minimum(idx, len(keys) - 1)
-        hit = keys[idx_c] == masked
-        best_code[hit] = codes[idx_c[hit]]
-        best_len[hit] = L
+    if n == 0:
+        return best_code, best_len
+    # L=1/2: direct LUT gathers (the hot lengths; identical verdicts to the
+    # searchsorted membership test below)
+    if table._lut1 is not None:
+        codes1 = table._lut1[data]
+        hit = codes1 >= 0
+        best_code[hit] = codes1[hit]
+    if table._lut2 is not None:
+        u16 = data.astype(np.uint16)
+        u16[:-1] |= data[1:].astype(np.uint16) << 8  # last position pads \0
+        codes2 = table._lut2[u16]
+        hit = codes2 >= 0
+        best_code[hit] = codes2[hit]
+        best_len[hit] = 2
+    if any(L in table._by_len for L in range(3, MAX_SYM_LEN + 1)):
+        if win is None:
+            win = _windows_u64(data)
+        masked = np.empty(n, dtype=np.uint64)
+        for L in range(3, MAX_SYM_LEN + 1):
+            ent = table._by_len.get(L)
+            if ent is None:
+                continue
+            keys, codes = ent
+            np.bitwise_and(win, _LEN_MASKS[L - 1], out=masked)
+            idx = np.searchsorted(keys, masked)
+            np.minimum(idx, len(keys) - 1, out=idx)
+            hit = keys[idx] == masked
+            best_code[hit] = codes[idx[hit]]
+            best_len[hit] = L
     return best_code, best_len
 
 
 def _constrain_to_strings(best_code: np.ndarray, best_len: np.ndarray,
                           data: np.ndarray, offsets: np.ndarray,
-                          table: SymbolTable) -> tuple[np.ndarray, np.ndarray]:
+                          table: SymbolTable,
+                          win: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Clamp matches so they never cross a string boundary; where the
     longest match crosses, fall back to shorter lengths, else escape."""
     n = len(data)
@@ -115,7 +151,8 @@ def _constrain_to_strings(best_code: np.ndarray, best_len: np.ndarray,
     if not cross.any():
         return best_code, best_len
     # re-resolve crossing positions over decreasing lengths
-    win = _windows_u64(data)
+    if win is None:
+        win = _windows_u64(data)
     fix_idx = np.flatnonzero(cross)
     fixed_code = np.full(len(fix_idx), ESCAPE, dtype=np.int16)
     fixed_len = np.ones(len(fix_idx), dtype=np.int64)
@@ -182,9 +219,10 @@ def train(offsets: np.ndarray, data: np.ndarray) -> SymbolTable:
     symbols = [bytes([b]) for b in order[:MAX_SYMBOLS] if byte_counts[b] > 0]
     table = SymbolTable(symbols)
 
+    s_win = _windows_u64(s_data)  # shared across iterations (8x-copy once)
     for _ in range(TRAIN_ITERS):
-        bc, bl = _match_table(s_data, table)
-        bc, bl = _constrain_to_strings(bc, bl, s_data, s_off, table)
+        bc, bl = _match_table(s_data, table, win=s_win)
+        bc, bl = _constrain_to_strings(bc, bl, s_data, s_off, table, win=s_win)
         vis_idx, is_esc, _, _ = _greedy_parse(s_off, bc, bl)
         # count adjacent (code, code) pairs within strings
         codes_at = bc[vis_idx]
@@ -203,7 +241,7 @@ def train(offsets: np.ndarray, data: np.ndarray) -> SymbolTable:
         if ok.any():
             merged_len = (len_a + len_b)[ok]
             starts = pos_a[ok]
-            win = _windows_u64(s_data)[starts] & _LEN_MASKS[np.minimum(merged_len, 8) - 1]
+            win = s_win[starts] & _LEN_MASKS[np.minimum(merged_len, 8) - 1]
             if len(starts):
                 # 1-D unique on (window, len) combined via index recovery --
                 # axis-unique would sort a structured view, ~10x slower
@@ -243,8 +281,10 @@ def fsst_encode(offsets: np.ndarray, data: np.ndarray,
         write_uvarint(out, len(lc))
         out.extend(lc)
         return bytes(out)
-    bc, bl = _match_table(data, table)
-    bc, bl = _constrain_to_strings(bc, bl, data, offsets, table)
+    win = _windows_u64(data)
+    bc, bl = _match_table(data, table, win=win)
+    bc, bl = _constrain_to_strings(bc, bl, data, offsets, table, win=win)
+    del win
     vis_idx, is_esc, out_w, counts = _greedy_parse(offsets, bc, bl)
     lc = delta_binary_pack(counts)
     write_uvarint(out, len(lc))

@@ -22,6 +22,14 @@ SAMPLE_N = 1000          # reference: src/dictionary.js:80
 DICT_NDV_RATIO = 0.5     # reference: src/dictionary.js:85
 DICT_MAX_BYTES = 1 << 20  # page-budget abort, reference: src/dictionary.js:113-114
 
+# Sound lower bound on estimate_costs_binary's FSST entry
+# (avg_len * (1 - gain) + 1.5): the measured gain is < 1 for any sample,
+# so cost_FSST > 1.5 always.  When some other codec already costs <= this
+# floor, the (expensive) FSST training probe cannot change the pick --
+# ties break toward the lower codec id and FSST has the highest -- so the
+# probe is skipped without ever altering codec selection.
+FSST_COST_FLOOR = 1.5
+
 # codec tags (stable wire ids, recorded in chunk headers and manifests)
 PLAIN = 0
 RLE = 1
