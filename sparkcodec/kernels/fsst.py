@@ -75,6 +75,19 @@ class SymbolTable:
             lut = np.full(1 << 16, -1, dtype=np.int16)
             lut[ent[0].astype(np.int64)] = ent[1]
             self._lut2 = lut
+        # 2-byte-prefix candidate mask for lengths 3..8 (bit L-3 set iff
+        # some L-symbol starts with those two bytes): only positions whose
+        # low 2 window bytes hit the mask can match, so the binary search
+        # runs over that (usually small) candidate subset
+        self._pref_mask = None
+        if any(L in self._by_len for L in range(3, MAX_SYM_LEN + 1)):
+            mask = np.zeros(1 << 16, dtype=np.uint8)
+            for L in range(3, MAX_SYM_LEN + 1):
+                ent = self._by_len.get(L)
+                if ent is not None:
+                    pref = (ent[0] & np.uint64(0xFFFF)).astype(np.int64)
+                    mask[pref] |= np.uint8(1 << (L - 3))
+            self._pref_mask = mask
 
     def serialize(self) -> bytes:
         out = bytearray([len(self.symbols)])
@@ -113,28 +126,34 @@ def _match_table(data: np.ndarray, table: SymbolTable,
         codes1 = table._lut1[data]
         hit = codes1 >= 0
         best_code[hit] = codes1[hit]
-    if table._lut2 is not None:
+    u16 = None
+    if table._lut2 is not None or table._pref_mask is not None:
         u16 = data.astype(np.uint16)
         u16[:-1] |= data[1:].astype(np.uint16) << 8  # last position pads \0
+    if table._lut2 is not None:
         codes2 = table._lut2[u16]
         hit = codes2 >= 0
         best_code[hit] = codes2[hit]
         best_len[hit] = 2
-    if any(L in table._by_len for L in range(3, MAX_SYM_LEN + 1)):
+    if table._pref_mask is not None:
         if win is None:
             win = _windows_u64(data)
-        masked = np.empty(n, dtype=np.uint64)
+        pmask = table._pref_mask[u16]
         for L in range(3, MAX_SYM_LEN + 1):
             ent = table._by_len.get(L)
             if ent is None:
                 continue
             keys, codes = ent
-            np.bitwise_and(win, _LEN_MASKS[L - 1], out=masked)
+            cand = np.flatnonzero(pmask & np.uint8(1 << (L - 3)))
+            if len(cand) == 0:
+                continue
+            masked = win[cand] & _LEN_MASKS[L - 1]
             idx = np.searchsorted(keys, masked)
             np.minimum(idx, len(keys) - 1, out=idx)
             hit = keys[idx] == masked
-            best_code[hit] = codes[idx[hit]]
-            best_len[hit] = L
+            sub = cand[hit]
+            best_code[sub] = codes[idx[hit]]
+            best_len[sub] = L
     return best_code, best_len
 
 
