@@ -360,7 +360,7 @@ def _rank_encode(ints: np.ndarray, compress) -> bytes | None:
     return bytes(out)
 
 
-def _rank_decode(buf) -> np.ndarray:
+def _rank_decode(buf, out_dtype=None) -> np.ndarray:
     mv = memoryview(buf)
     n, pos = read_uvarint(mv, 0)
     zz, pos = read_uvarint(mv, pos)
@@ -384,7 +384,13 @@ def _rank_decode(buf) -> np.ndarray:
         pos += clen
         rb[:, p] = plane
     with np.errstate(over="ignore"):
-        return dict_vals[r32] + ref
+        # de-reference on the ndv-sized dictionary, THEN gather: the +ref
+        # add and the final dtype cast touch ndv values instead of n (values
+        # fit out_dtype by construction -- it is the column's own type)
+        final_dict = dict_vals + ref
+        if out_dtype is not None:
+            final_dict = final_dict.astype(out_dtype)
+        return final_dict[r32]
 
 
 def _bits_of(values: np.ndarray) -> np.ndarray:
@@ -745,7 +751,9 @@ def decode_array(buf) -> pa.Array:
             vals = alp_decode(payload)
         else:
             if codec == S.RANK:
-                ints = _rank_decode(payload)
+                out_dt = (None if type_tag in (T_FLOAT32, T_FLOAT64)
+                          else _NP_DTYPES[type_tag])
+                ints = _rank_decode(payload, out_dt)
             elif codec == S.FOR:
                 ints = for_unpack(payload)
             elif codec == S.DELTA_FOR:
@@ -767,7 +775,10 @@ def decode_array(buf) -> pa.Array:
             if type_tag in (T_FLOAT32, T_FLOAT64):
                 vals = _bits_back(ints, type_tag)
             else:
-                vals = ints.astype(_NP_DTYPES[type_tag])
+                # copy=False: decoders return fresh arrays (never views of
+                # the input buffer), so an already-int64 result passes
+                # through without a redundant full-column copy
+                vals = ints.astype(_NP_DTYPES[type_tag], copy=False)
         if type_tag == T_DECIMAL:
             dense = _decimal_from_unscaled(vals, dec_precision, dec_scale)
         elif type_tag == T_FLOAT16:

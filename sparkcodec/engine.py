@@ -1821,11 +1821,11 @@ def _filter_chunks_probe(enc_df, column: str, values, require_all: bool):
     def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             pay_idx = b.schema.get_field_index("payload")
-            payloads = b.column(pay_idx)
-            # one blob materialization + one bloom parse per chunk, all K
+            payloads = _binary_cells(b.column(pay_idx))
+            # one zero-copy blob view + one bloom parse per chunk, all K
             # hashes tested in a single vectorized might_contain
             keep = [i for i in range(len(b))
-                    if group_may_contain_hashes(payloads[i].as_py(), column,
+                    if group_may_contain_hashes(payloads[i], column,
                                                 hs, require_all=require_all)]
             if keep:
                 yield b.take(pa.array(keep, type=pa.int32()))
@@ -2154,11 +2154,10 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
                         f"encoded table has {sorted(known)}")
         read_cols = ["schema_json", "payload"]
 
-    def _decode_split_row(enc_b: pa.RecordBatch, i: int) -> pa.RecordBatch:
+    def _decode_split_row(enc_b: pa.RecordBatch, cells: list, i: int) -> pa.RecordBatch:
         types = dict(json.loads(enc_b.column(0)[i].as_py()))
         sel = [n[len("payload_"):] for n in enc_b.schema.names[1:]]
-        return _decode_split_cells(
-            types, sel, [enc_b.column(j + 1)[i].as_py() for j in range(len(sel))])
+        return _decode_split_cells(types, sel, [col[i] for col in cells])
 
     manifest_schema = pa.schema([("path", pa.string()), ("n_rows", pa.int64()),
                                  ("n_bytes", pa.int64())])
@@ -2204,13 +2203,18 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
                     for enc_b in pf.iter_batches(batch_size=64, row_groups=rgs,
                                                  columns=read_cols):
                         schemas = enc_b.column(0)
-                        payloads = None if split_layout else enc_b.column(1)
+                        if split_layout:
+                            cells = [_binary_cells(enc_b.column(j))
+                                     for j in range(1, enc_b.num_columns)]
+                            payloads = None
+                        else:
+                            payloads = _binary_cells(enc_b.column(1))
                         for i in range(len(enc_b)):
                             if split_layout:
-                                rb = _decode_split_row(enc_b, i)
+                                rb = _decode_split_row(enc_b, cells, i)
                             else:
                                 pairs = json.loads(schemas[i].as_py())
-                                rb = decode_chunk_group(payloads[i].as_py(), pairs, col_set)
+                                rb = decode_chunk_group(payloads[i], pairs, col_set)
                             if state["schema"] is None:
                                 state["schema"] = rb.schema
                             elif not rb.schema.equals(state["schema"]):
@@ -2315,13 +2319,13 @@ def decode_dataframe(enc_df, schema=None, columns: list[str] | None = None):
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
-            payloads = b.column(b.schema.get_field_index("payload"))
+            payloads = _binary_cells(b.column(b.schema.get_field_index("payload")))
             schemas = b.column(b.schema.get_field_index("schema_json"))
             mask_col = (b.column(b.schema.get_field_index("del_mask"))
                         if has_mask else None)
             for i in range(len(b)):
                 pairs = json.loads(schemas[i].as_py())
-                rb = decode_chunk_group(payloads[i].as_py(), pairs, col_set)
+                rb = decode_chunk_group(payloads[i], pairs, col_set)
                 if mask_col is not None:
                     mbuf = mask_col[i].as_py()
                     if mbuf is not None:
@@ -2390,6 +2394,29 @@ def _spark_compatible_batch(rb: pa.RecordBatch) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
 
+def _binary_cells(arr) -> list:
+    """Zero-copy per-cell views of a (large_)binary column (None for null
+    cells): memoryview slices over the Arrow data buffer.  ``.as_py()``
+    would copy every payload cell -- multi-MB per chunk -- before decode;
+    the decoders never retain views of their input, so slicing is safe."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if not (pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        return [v.as_py() for v in arr]
+    n = len(arr)
+    bufs = arr.buffers()
+    width = 8 if pa.types.is_large_binary(t) else 4
+    off = np.frombuffer(bufs[1], dtype=f"<i{width}", count=n + 1,
+                        offset=arr.offset * width)
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    if arr.null_count:
+        valid = np.asarray(arr.is_valid())
+        return [data[off[i]:off[i + 1]] if valid[i] else None
+                for i in range(n)]
+    return [data[off[i]:off[i + 1]] for i in range(n)]
+
+
 def _decode_split_cells(types: dict, names: list[str], cells: list) -> pa.RecordBatch:
     """Decode one split-layout chunk row: per-column payload cells ->
     RecordBatch.  Shared by :func:`_decode_split_dataframe` and the
@@ -2421,12 +2448,13 @@ def _decode_split_dataframe(enc_df, schema):
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             schemas = b.column(0)
-            pay_cols = [b.column(j + 1) for j in range(len(names))]
+            pay_cols = [_binary_cells(b.column(j + 1))
+                        for j in range(len(names))]
             mask_col = b.column(1 + len(names)) if has_mask else None
             for i in range(len(b)):
                 types = dict(json.loads(schemas[i].as_py()))
                 rb = _decode_split_cells(
-                    types, names, [pay_cols[j][i].as_py()
+                    types, names, [pay_cols[j][i]
                                    for j in range(len(names))])
                 if mask_col is not None:
                     mbuf = mask_col[i].as_py()
@@ -2646,13 +2674,28 @@ def apply_deletes(enc_df, *, equals: dict | None = None,
             raise ValueError(
                 f"ranges entry {c!r} has neither bound: a (None, None) "
                 "range matches nothing; give at least one of (lo, hi)")
-    known = {n for n, _ in _schema_pairs(enc_df)}
+    schema_pairs = _schema_pairs(enc_df)
+    known = {n for n, _ in schema_pairs}
     unknown = sorted({*equals, *ranges} - known)
     if unknown:
         raise ValueError(
             f"predicate columns {unknown} are not in the encoded schema "
             f"{sorted(known)} (a typo here would otherwise KeyError inside "
             "the Spark task)")
+    # probe hashes for the bloom short-circuit, computed ONCE driver-side.
+    # datetime probes hash at the ENCODED column's timestamp unit (same
+    # rule as _filter_chunks_probe): encode-side hashing uses the column's
+    # own int64 ticks, so probing a ms/s/ns column at micros would yield
+    # silent false "cannot match" verdicts and leave matching rows live.
+    type_of = dict(schema_pairs)
+
+    def _unit_of(c: str) -> str:
+        tname = type_of.get(c)
+        if isinstance(tname, str) and tname.startswith("timestamp["):
+            return tname[len("timestamp["):-1].split(";")[0]
+        return "us"
+
+    eq_hashes = {c: _probe_hash(v, _unit_of(c)) for c, v in equals.items()}
     split = "payload" not in enc_df.columns
     pred_cols = sorted({*equals, *ranges})
     if split:
@@ -2680,7 +2723,12 @@ def apply_deletes(enc_df, *, equals: dict | None = None,
             masks: list[bytes | None] = []
             lives: list[int] = []
             schemas = b.column(col_idx["schema_json"])
-            payloads = None if split else b.column(col_idx["payload"])
+            if split:
+                payloads = None
+                pred_cells = {c: _binary_cells(b.column(col_idx[f"payload_{c}"]))
+                              for c in pred_cols}
+            else:
+                payloads = _binary_cells(b.column(col_idx["payload"]))
             n_rows_col = b.column(col_idx["n_rows"])
             for i in range(len(b)):
                 n_rows = n_rows_col[i].as_py()
@@ -2713,9 +2761,8 @@ def apply_deletes(enc_df, *, equals: dict | None = None,
                         bb = b.column(col_idx[f"bloom_{c}"])[i].as_py()
                         if bb is None:
                             continue
-                        h = _probe_hash(equals[c])
                         if not bool(SplitBlockBloom.from_bytes(bb)
-                                    .might_contain(h).all()):
+                                    .might_contain(eq_hashes[c]).all()):
                             skip = True
                             break
                 if skip:
@@ -2728,10 +2775,9 @@ def apply_deletes(enc_df, *, equals: dict | None = None,
                     # cells are decoded (the rest never decompress)
                     rb = _decode_split_cells(
                         dict(pairs), pred_cols,
-                        [b.column(col_idx[f"payload_{c}"])[i].as_py()
-                         for c in pred_cols])
+                        [pred_cells[c][i] for c in pred_cols])
                 else:
-                    rb = decode_chunk_group(payloads[i].as_py(), pairs,
+                    rb = decode_chunk_group(payloads[i], pairs,
                                             set(pred_cols))
                 match = None
                 for c, v in equals.items():
