@@ -2544,6 +2544,7 @@ def merged_ndv_sketch(enc_df, column: str) -> bytes:
         raise ValueError(
             f"encoded table has no {ndv_col!r} column: encode with "
             f"ndv_columns=({column!r},)")
+    _refuse_masked_metadata(enc_df, "merged_ndv_sketch/estimate_ndv")
 
     def merge_part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         acc: bytes | None = None
@@ -2598,9 +2599,22 @@ def magnitude_histogram(enc_df, column: str):
         raise ValueError(
             f"encoded table has no {hist_col!r} column: encode with "
             f"hist_columns=({column!r},)")
+    _refuse_masked_metadata(enc_df, "magnitude_histogram")
     return (enc_df.select(F.posexplode(hist_col).alias("bucket", "cnt"))
             .groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
             .filter(F.col("cnt") > 0))
+
+
+def _refuse_masked_metadata(enc_df, what: str) -> None:
+    """Same staleness guard aggregate_encoded applies: per-chunk metadata
+    (sketches, histograms) describes the rows AS ENCODED, so a metadata
+    roll-up over a deletion-masked table would silently include deleted
+    rows."""
+    if "del_mask" in enc_df.columns:
+        raise ValueError(
+            f"{what} over a table carrying deletion vectors (del_mask "
+            "column) would include deleted rows: run materialize_deletes"
+            "(...) first, or compute from the decoded DataFrame")
 
 
 def magnitude_hist_oracle_sql(values_sql: str, value_col: str = "v") -> str:

@@ -77,8 +77,9 @@ def _grouped_index(spark, paths: list[str]):
         aggs.append(F.when(has_null_mx, F.lit(None))
                     .otherwise(F.max(mx)).alias(f"max_{c}"))
     return (enc
-            .select("n_rows", *(f"{p}_{c}" for c in stat_cols
-                                for p in ("min", "max")))
+            .select(*(["n_rows"] if "n_rows" in enc.columns else []),
+                    *(f"{p}_{c}" for c in stat_cols
+                      for p in ("min", "max")))
             .withColumn("file", F.element_at(
                 F.split(F.input_file_name(), "/"), -1))
             .groupBy("file").agg(*aggs))

@@ -13,6 +13,7 @@ instead of duplicating rows (effectively-once end to end).
 
 from __future__ import annotations
 
+import os
 import time
 
 
@@ -229,9 +230,20 @@ def run_windowed_ingest_stats(spark, rows_df, *, window: str = "1 hour",
         f"max(event_time) + INTERVAL {watermark} + INTERVAL {window} "
         f"+ INTERVAL {window} + INTERVAL 1 DAY").alias("t")
     ).collect()[0]["t"]
+    corpus_files = {f for f in os.listdir(src) if f.endswith(".parquet")}
     sentinel = spark.createDataFrame(
         [(far, "__sentinel__", 0)], rows_df.schema)
     sentinel.coalesce(1).write.mode("append").parquet(src)
+    # the file source orders batches by modification time: pin the
+    # sentinel's mtime strictly AFTER every corpus file so a coarse-mtime
+    # filesystem tie can never process the sentinel first (which would
+    # advance the watermark past the corpus and drop every event as late)
+    corpus_mtime = max(os.path.getmtime(os.path.join(src, f))
+                       for f in corpus_files)
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f not in corpus_files:
+            os.utime(os.path.join(src, f),
+                     (corpus_mtime + 10, corpus_mtime + 10))
 
     stream = (spark.readStream.schema(rows_df.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
