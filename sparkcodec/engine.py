@@ -1160,11 +1160,16 @@ def _encoded_out_ddl(payload_columns: tuple[str, ...] | None,
 
 def _descriptor_df(spark, splits: list[dict]):
     """(path, row_groups) descriptor DataFrame, one task per split --
-    the only thing the JVM ships to the scan-side workers."""
-    return spark.createDataFrame(
-        [(s["path"], s["row_groups"]) for s in splits],
-        "path STRING, row_groups ARRAY<INT>",
-    ).repartition(len(splits))
+    the only thing the JVM ships to the scan-side workers.
+
+    Built over ``parallelize(rows, n_slices)`` so each split lands in its
+    own partition directly: the former ``repartition(n)`` added a
+    round-robin Exchange -- a whole extra stage barrier on EVERY
+    scan-side encode/decode job, shuffling rows that are already one per
+    task (guide: remove shuffles outright)."""
+    rows = [(s["path"], s["row_groups"]) for s in splits]
+    rdd = spark.sparkContext.parallelize(rows, len(rows))
+    return spark.createDataFrame(rdd, "path STRING, row_groups ARRAY<INT>")
 
 
 def _read_splits(batches, batch_rows: int, columns) -> Iterator[pa.RecordBatch]:
