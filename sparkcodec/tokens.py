@@ -35,15 +35,22 @@ DOC_ID_DUCKDB = "source || '-' || printf('%012d', doc_id)"
 
 
 def tokens_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, tokens, n_tok, source) derived from documents.parquet."""
+    """(doc_id, tokens, n_tok, source) derived from documents.parquet.
+
+    ``n_tok`` references the ``tokens`` alias through a subquery so the
+    tokenizer expression is evaluated ONCE per row: inlining
+    ``size(<tokenize>)`` directly made the physical plan carry two copies
+    of the transform/filter/split chain (CollapseProject refuses to merge
+    them back, correctly -- the expression is non-cheap), doubling the
+    tokenize cost of every consumer.  Same rows, same schema."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("sc_documents")
     return spark.sql(f"""
-        SELECT {DOC_ID_SPARK}            AS doc_id,
-               {TOKENIZE_SPARK}          AS tokens,
-               CAST(size({TOKENIZE_SPARK}) AS INT) AS n_tok,
-               source
-        FROM sc_documents
+        SELECT doc_id, tokens, CAST(size(tokens) AS INT) AS n_tok, source
+        FROM (SELECT {DOC_ID_SPARK}   AS doc_id,
+                     {TOKENIZE_SPARK} AS tokens,
+                     source
+              FROM sc_documents)
     """)
 
 
