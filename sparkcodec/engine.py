@@ -1159,30 +1159,56 @@ def _encoded_out_ddl(payload_columns: tuple[str, ...] | None,
 
 
 def _descriptor_df(spark, splits: list[dict]):
-    """(path, row_groups) descriptor DataFrame, one task per split --
-    the only thing the JVM ships to the scan-side workers.
+    """(path, row_groups, skip_rows, take_rows) descriptor DataFrame, one
+    task per split -- the only thing the JVM ships to the scan-side
+    workers.  skip/take bound a row RANGE within the listed row groups
+    (0/-1 = all rows); see _plan_parquet_splits on when ranges appear.
 
     Built over ``parallelize(rows, n_slices)`` so each split lands in its
     own partition directly: the former ``repartition(n)`` added a
     round-robin Exchange -- a whole extra stage barrier on EVERY
     scan-side encode/decode job, shuffling rows that are already one per
     task (guide: remove shuffles outright)."""
-    rows = [(s["path"], s["row_groups"]) for s in splits]
+    rows = [(s["path"], s["row_groups"], s.get("skip_rows", 0),
+             s.get("take_rows", -1)) for s in splits]
     rdd = spark.sparkContext.parallelize(rows, len(rows))
-    return spark.createDataFrame(rdd, "path STRING, row_groups ARRAY<INT>")
+    return spark.createDataFrame(
+        rdd, "path STRING, row_groups ARRAY<INT>, skip_rows LONG, take_rows LONG")
 
 
 def _read_splits(batches, batch_rows: int, columns) -> Iterator[pa.RecordBatch]:
     """Worker-side split reader: descriptor batches -> the record batches
-    of every (file, row-groups) split, read locally with pyarrow."""
+    of every (file, row-groups[, row range]) split, read locally with
+    pyarrow.  A ranged split slices [skip, skip+take) out of its row
+    groups' row sequence and stops reading as soon as the range is
+    exhausted (parquet cannot seek inside a row group, so rows before
+    ``skip`` are decoded and discarded -- the bounded price of
+    parallelizing a grossly oversized row group)."""
     import pyarrow.parquet as pq
 
     for b in batches:
-        for p, rgs in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+        for p, rgs, skip, take in zip(b.column(0).to_pylist(),
+                                      b.column(1).to_pylist(),
+                                      b.column(2).to_pylist(),
+                                      b.column(3).to_pylist()):
             pf = pq.ParquetFile(p)
             try:
-                yield from pf.iter_batches(batch_size=batch_rows,
-                                           row_groups=rgs, columns=columns)
+                remaining = None if take is None or take < 0 else int(take)
+                for rb in pf.iter_batches(batch_size=batch_rows,
+                                          row_groups=rgs, columns=columns):
+                    if skip:
+                        if skip >= len(rb):
+                            skip -= len(rb)
+                            continue
+                        rb = rb.slice(skip)
+                        skip = 0
+                    if remaining is not None:
+                        if remaining <= 0:
+                            break
+                        if len(rb) > remaining:
+                            rb = rb.slice(0, remaining)
+                        remaining -= len(rb)
+                    yield rb
             finally:
                 pf.close()
 
@@ -1406,12 +1432,27 @@ def _pa_type_of_spark(dt) -> pa.DataType:
     raise TypeError(f"unsupported stat column spark type {dt}")
 
 
-def _plan_parquet_splits(path, n_splits: int) -> list[dict]:
+_MIN_RANGE_ROWS = 16384  # never range-split below this many rows per piece
+_MAX_RANGES = 8          # bounds the decode-and-discard amplification
+
+
+def _plan_parquet_splits(path, n_splits: int,
+                         allow_ranges: bool = True) -> list[dict]:
     """Driver-side split planning: list parquet fragments and pack their
     row groups into ~``n_splits`` row-balanced splits.  Only footers are
     read (one metadata fetch per file) -- no data moves to the driver.
     Mirrors Spark's own FilePartition packing, but the read happens in the
-    Python task via pyarrow, so list columns never cross the JVM bridge."""
+    Python task via pyarrow, so list columns never cross the JVM bridge.
+
+    ``allow_ranges``: a single row group far larger than the row target
+    (one giant unsplittable input -- the guide's input-skew case; Spark's
+    own scan cannot split it either) is divided into row RANGES
+    (skip/take over the group's row sequence) so the encode parallelizes
+    instead of serializing onto one core.  Ranges are capped at
+    _MAX_RANGES pieces of >= _MIN_RANGE_ROWS rows: rows before ``skip``
+    are decoded and discarded by the reader, so the amplification stays
+    bounded and tiny tables are never over-chunked.  Callers that need
+    file-atomic semantics (include_source_file resume) pass False."""
     import pyarrow.dataset as ds
 
     dataset = ds.dataset(path, format="parquet")
@@ -1428,13 +1469,31 @@ def _plan_parquet_splits(path, n_splits: int) -> list[dict]:
     cur_file, cur_rgs, cur_rows = None, [], 0
     for f, rg, nr in units:  # get_fragments yields file order; rgs stay contiguous
         if cur_file is not None and (f != cur_file or cur_rows >= target):
-            splits.append({"path": cur_file, "row_groups": cur_rgs})
+            splits.append({"path": cur_file, "row_groups": cur_rgs,
+                           "n_rows": cur_rows})
             cur_rgs, cur_rows = [], 0
         cur_file = f
         cur_rgs = [*cur_rgs, rg]
         cur_rows += nr
-    splits.append({"path": cur_file, "row_groups": cur_rgs})
-    return splits
+    splits.append({"path": cur_file, "row_groups": cur_rgs,
+                   "n_rows": cur_rows})
+    if not allow_ranges:
+        return splits
+    out: list[dict] = []
+    for s in splits:
+        rows = s["n_rows"]
+        k = min(rows // max(target, _MIN_RANGE_ROWS), _MAX_RANGES,
+                rows // _MIN_RANGE_ROWS)
+        if k < 2:
+            out.append(s)
+            continue
+        per = rows // k
+        for i in range(k):
+            lo = i * per
+            hi = rows if i == k - 1 else (i + 1) * per
+            out.append({"path": s["path"], "row_groups": s["row_groups"],
+                        "skip_rows": lo, "take_rows": hi - lo})
+    return out
 
 
 def encode_parquet_dataset(spark, path, *,
@@ -1469,7 +1528,10 @@ def encode_parquet_dataset(spark, path, *,
     """
     if n_splits is None:
         n_splits = max(spark.sparkContext.defaultParallelism * 2, 2)
-    splits = _plan_parquet_splits(path, n_splits)
+    # file-tagged encodes keep whole files per descriptor (resume
+    # overwrites per file, so ranges would break idempotent replacement)
+    splits = _plan_parquet_splits(path, n_splits,
+                                  allow_ranges=not include_source_file)
     # column order must track the worker's record batches: base, payloads
     # (split mode), blooms, stats, then source_file LAST (it is
     # append_column'd after the encode stream, so it must also come last
@@ -2127,7 +2189,9 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
     _sweep_stale_parts(out_dir)
     if n_splits is None:
         n_splits = max(spark.sparkContext.defaultParallelism * 2, 2)
-    splits = _plan_parquet_splits(enc_path, n_splits)
+    # encoded containers carry one row per chunk (tiny row counts), and
+    # this reader consumes whole splits: no row ranges here
+    splits = _plan_parquet_splits(enc_path, n_splits, allow_ranges=False)
     if not splits:
         return spark.createDataFrame([], "path STRING, n_rows LONG, n_bytes LONG")
     desc = _descriptor_df(spark, splits)
