@@ -32,6 +32,28 @@ def read_uvarint(buf, pos: int) -> tuple[int, int]:
         shift += 7
 
 
+def uvarint_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value ULEB128 byte count for a uint64 array (0 -> 1 byte)."""
+    from .bitpack import bit_widths
+
+    bl = bit_widths(np.ascontiguousarray(values, dtype=np.uint64)).astype(np.int64)
+    return np.maximum(1, (bl + 6) // 7)
+
+
+def uvarint_scatter(values: np.ndarray, nb: np.ndarray, out: np.ndarray,
+                    starts: np.ndarray) -> None:
+    """Write each value's ULEB128 bytes into ``out`` at ``starts``
+    (vectorized; byte-identical to :func:`write_uvarint` per value).
+    ``nb`` is :func:`uvarint_lengths` of ``values``."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    for k in range(int(nb.max()) if len(nb) else 0):
+        sel = nb > k
+        byte = (v[sel] & np.uint64(0x7F)).astype(np.uint8)
+        byte[nb[sel] > k + 1] |= np.uint8(0x80)
+        out[starts[sel] + k] = byte
+        v = v >> np.uint64(7)
+
+
 def zigzag_int(v: int) -> int:
     """Scalar zigzag for header fields (64-bit domain)."""
     return (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
