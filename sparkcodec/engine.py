@@ -1158,20 +1158,24 @@ def _encoded_out_ddl(payload_columns: tuple[str, ...] | None,
     return ENCODED_BASE_DDL + ", " + _payloads_ddl(payload_columns) + aux
 
 
-def _descriptor_df(spark, splits: list[dict]):
-    """(path, row_groups, skip_rows, take_rows) descriptor DataFrame, one
-    task per split -- the only thing the JVM ships to the scan-side
-    workers.  skip/take bound a row RANGE within the listed row groups
-    (0/-1 = all rows); see _plan_parquet_splits on when ranges appear.
+def _descriptor_df(spark, splits: list[dict], n_slices: int | None = None):
+    """(path, row_groups, skip_rows, take_rows) descriptor DataFrame --
+    the only thing the JVM ships to the scan-side workers.  skip/take
+    bound a row RANGE within the listed row groups (0/-1 = all rows); see
+    _plan_parquet_splits on when ranges appear.  ``n_slices`` spreads the
+    descriptors over that many task partitions (consecutive splits share
+    a task; its encode stream then windows across them, keeping chunks
+    full); default one task per split.
 
-    Built over ``parallelize(rows, n_slices)`` so each split lands in its
-    own partition directly: the former ``repartition(n)`` added a
+    Built over ``parallelize(rows, n_slices)`` so descriptors land in
+    their partitions directly: the former ``repartition(n)`` added a
     round-robin Exchange -- a whole extra stage barrier on EVERY
-    scan-side encode/decode job, shuffling rows that are already one per
-    task (guide: remove shuffles outright)."""
+    scan-side encode/decode job, shuffling rows that are already placed
+    (guide: remove shuffles outright)."""
     rows = [(s["path"], s["row_groups"], s.get("skip_rows", 0),
              s.get("take_rows", -1)) for s in splits]
-    rdd = spark.sparkContext.parallelize(rows, len(rows))
+    rdd = spark.sparkContext.parallelize(
+        rows, n_slices if n_slices else len(rows))
     return spark.createDataFrame(
         rdd, "path STRING, row_groups ARRAY<INT>, skip_rows LONG, take_rows LONG")
 
@@ -1434,6 +1438,11 @@ def _pa_type_of_spark(dt) -> pa.DataType:
 
 _MIN_RANGE_ROWS = 16384  # never range-split below this many rows per piece
 _MAX_RANGES = 8          # bounds the decode-and-discard amplification
+_MIN_SPLIT_BYTES = 16 << 20  # uncompressed bytes under which extra splits
+#                              are pure dispatch overhead (guide 2.2/6:
+#                              fewer, larger map tasks; each Python task
+#                              costs a worker round-trip regardless of
+#                              its data)
 
 
 def _plan_parquet_splits(path, n_splits: int,
@@ -1452,31 +1461,37 @@ def _plan_parquet_splits(path, n_splits: int,
     _MAX_RANGES pieces of >= _MIN_RANGE_ROWS rows: rows before ``skip``
     are decoded and discarded by the reader, so the amplification stays
     bounded and tiny tables are never over-chunked.  Callers that need
-    file-atomic semantics (include_source_file resume) pass False."""
+    file-atomic semantics (include_source_file resume) pass False.
+
+    Each split also records its (uncompressed) ``n_bytes`` so callers can
+    choose how many task slices to spread the splits over (see
+    :func:`_task_slices`)."""
     import pyarrow.dataset as ds
 
     dataset = ds.dataset(path, format="parquet")
-    units: list[tuple[str, int, int]] = []  # (file, row_group, n_rows)
+    units: list[tuple[str, int, int, int]] = []  # (file, rg, n_rows, bytes)
     for frag in dataset.get_fragments():
         md = frag.metadata
         for rg in range(md.num_row_groups):
-            units.append((frag.path, rg, md.row_group(rg).num_rows))
+            rgm = md.row_group(rg)
+            units.append((frag.path, rg, rgm.num_rows, rgm.total_byte_size))
     if not units:
         return []
     total_rows = sum(u[2] for u in units)
     target = max(1, total_rows // max(n_splits, 1))
     splits: list[dict] = []
-    cur_file, cur_rgs, cur_rows = None, [], 0
-    for f, rg, nr in units:  # get_fragments yields file order; rgs stay contiguous
+    cur_file, cur_rgs, cur_rows, cur_bytes = None, [], 0, 0
+    for f, rg, nr, nb in units:  # get_fragments yields file order; rgs stay contiguous
         if cur_file is not None and (f != cur_file or cur_rows >= target):
             splits.append({"path": cur_file, "row_groups": cur_rgs,
-                           "n_rows": cur_rows})
-            cur_rgs, cur_rows = [], 0
+                           "n_rows": cur_rows, "n_bytes": cur_bytes})
+            cur_rgs, cur_rows, cur_bytes = [], 0, 0
         cur_file = f
         cur_rgs = [*cur_rgs, rg]
         cur_rows += nr
+        cur_bytes += nb
     splits.append({"path": cur_file, "row_groups": cur_rgs,
-                   "n_rows": cur_rows})
+                   "n_rows": cur_rows, "n_bytes": cur_bytes})
     if not allow_ranges:
         return splits
     out: list[dict] = []
@@ -1492,8 +1507,27 @@ def _plan_parquet_splits(path, n_splits: int,
             lo = i * per
             hi = rows if i == k - 1 else (i + 1) * per
             out.append({"path": s["path"], "row_groups": s["row_groups"],
-                        "skip_rows": lo, "take_rows": hi - lo})
+                        "skip_rows": lo, "take_rows": hi - lo,
+                        "n_bytes": s["n_bytes"] // k})
     return out
+
+
+def _task_slices(splits: list[dict], min_splits: int | None) -> int:
+    """How many task partitions to spread the splits over.  None (caller
+    pinned n_splits) -> one task per split, as before.  Otherwise the
+    adaptive count: at least ``min_splits`` (cluster parallelism) tasks,
+    more only while each still averages >= _MIN_SPLIT_BYTES of input --
+    on small inputs every extra Python task is a fixed worker round-trip
+    that dwarfs its data (guide 2.2/6: fewer, larger map tasks), while on
+    large inputs the byte floor is irrelevant and the full
+    2x-parallelism count stands for straggler backfill.  Scale-adaptive
+    by construction: derived from input bytes and parallelism, never a
+    host-specific constant."""
+    if min_splits is None:
+        return len(splits)
+    total_bytes = sum(s.get("n_bytes", 0) for s in splits)
+    return int(min(len(splits),
+                   max(min_splits, total_bytes // _MIN_SPLIT_BYTES, 1)))
 
 
 def encode_parquet_dataset(spark, path, *,
@@ -1526,8 +1560,10 @@ def encode_parquet_dataset(spark, path, *,
     chunks never span two files -- the unit the file-granular resumable
     job (manifest.run_encode_files_job) overwrites idempotently.
     """
+    min_splits = None
     if n_splits is None:
-        n_splits = max(spark.sparkContext.defaultParallelism * 2, 2)
+        min_splits = max(spark.sparkContext.defaultParallelism, 2)
+        n_splits = min_splits * 2
     # file-tagged encodes keep whole files per descriptor (resume
     # overwrites per file, so ranges would break idempotent replacement)
     splits = _plan_parquet_splits(path, n_splits,
@@ -1561,7 +1597,7 @@ def encode_parquet_dataset(spark, path, *,
         out_ddl += ", source_file STRING"
     if not splits:
         return spark.createDataFrame([], out_ddl)
-    desc = _descriptor_df(spark, splits)
+    desc = _descriptor_df(spark, splits, _task_slices(splits, min_splits))
 
     def encode_split(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
@@ -1664,8 +1700,10 @@ def encode_to_parquet(spark, path, out_dir: str, *,
 
     os.makedirs(out_dir, exist_ok=True)
     _sweep_stale_parts(out_dir)
+    min_splits = None
     if n_splits is None:
-        n_splits = max(spark.sparkContext.defaultParallelism * 2, 2)
+        min_splits = max(spark.sparkContext.defaultParallelism, 2)
+        n_splits = min_splits * 2
     splits = _plan_parquet_splits(path, n_splits)
     manifest_ddl = ("path STRING, n_chunks LONG, n_rows LONG, "
                     "n_tokens LONG, bytes_in LONG, bytes_out LONG")
@@ -1682,7 +1720,7 @@ def encode_to_parquet(spark, path, out_dir: str, *,
                            read_columns=columns)
     if split_payload:
         payload_columns, columns = _resolve_split_columns(columns, ds_schema.names)
-    desc = _descriptor_df(spark, splits)
+    desc = _descriptor_df(spark, splits, _task_slices(splits, min_splits))
 
     def encode_split(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import uuid
@@ -2187,14 +2225,16 @@ def decode_to_parquet(spark, enc_path: str, out_dir: str, *,
 
     os.makedirs(out_dir, exist_ok=True)
     _sweep_stale_parts(out_dir)
+    min_splits = None
     if n_splits is None:
-        n_splits = max(spark.sparkContext.defaultParallelism * 2, 2)
+        min_splits = max(spark.sparkContext.defaultParallelism, 2)
+        n_splits = min_splits * 2
     # encoded containers carry one row per chunk (tiny row counts), and
     # this reader consumes whole splits: no row ranges here
     splits = _plan_parquet_splits(enc_path, n_splits, allow_ranges=False)
     if not splits:
         return spark.createDataFrame([], "path STRING, n_rows LONG, n_bytes LONG")
-    desc = _descriptor_df(spark, splits)
+    desc = _descriptor_df(spark, splits, _task_slices(splits, min_splits))
     col_set = set(columns) if columns is not None else None
 
     import pyarrow.dataset as _ds
