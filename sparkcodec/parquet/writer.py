@@ -1082,10 +1082,14 @@ def _page_spans_from_levels(d: np.ndarray, r: np.ndarray, values: pa.Array,
         slot_size[valued] += leaf.type_length
     else:
         slot_size[valued] += 4 if leaf.phys in (PT_INT32, PT_FLOAT) else 8
-    cum_slot = np.cumsum(slot_size)
+    # page boundaries are row-aligned, so all cumulative bookkeeping can
+    # live at ROW granularity: reduceat folds the slot-level sizes/value
+    # counts to one entry per row (slot-level cumsums built full-column
+    # int64 temporaries that dominated this function on list leaves)
     row_end_slots = np.concatenate([row_starts[1:], [n_slots]])
-    row_cum = cum_slot[row_end_slots - 1]
-    val_cum = np.cumsum(valued)  # values in slots [0, i]
+    row_cum = np.cumsum(np.add.reduceat(slot_size, row_starts))
+    rowval_cum = np.cumsum(
+        np.add.reduceat(valued.astype(np.int64), row_starts))
     spans = []
     start = 0
     while start < n_rows:
@@ -1094,8 +1098,8 @@ def _page_spans_from_levels(d: np.ndarray, r: np.ndarray, values: pa.Array,
         end = max(start + 1, min(end, n_rows))
         slot_lo = int(row_starts[start])
         slot_hi = int(row_end_slots[end - 1])
-        val_lo = int(val_cum[slot_lo - 1]) if slot_lo else 0
-        val_hi = int(val_cum[slot_hi - 1])
+        val_lo = int(rowval_cum[start - 1]) if start else 0
+        val_hi = int(rowval_cum[end - 1])
         spans.append((slot_lo, slot_hi, val_lo, val_hi, end - start))
         start = end
     return spans
