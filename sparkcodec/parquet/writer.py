@@ -271,8 +271,10 @@ def _compute_levels(arr: pa.Array, leaf: _Leaf) -> tuple[np.ndarray, np.ndarray,
             has = np.zeros(len(alive), dtype=bool)
             has[idx] = lens > 0
             total = int(counts.sum())
-            new_d = np.repeat(d, counts)
-            new_d[np.repeat(has, counts)] += 1
+            # +1 def level applied on the ROW vector before expansion
+            # (identical to incrementing every expanded slot of a
+            # non-empty row, minus a full-width mask + fancy index)
+            new_d = np.repeat(d + has.astype(np.uint64), counts)
             new_r = np.full(total, this_rep, dtype=np.uint64)
             starts = np.zeros(len(counts) + 1, dtype=np.int64)
             np.cumsum(counts, out=starts[1:])
